@@ -1,0 +1,92 @@
+#!/usr/bin/env python
+"""Benchmark harness: full dedup pipeline throughput at one parallelism.
+
+Runs the headline workload (clips_bench = sf documents replicated x20 with
+planted audio dups, FIXTURES.md section 4) end-to-end (scan -> committed
+clusters) and prints ONE JSON line:
+
+    {"metric": "dedup_pipeline_wall", "value": <sec>, "unit": "sec",
+     "queries": {<stage>: <sec>, ...}, "sf": <sf>, ...}
+
+Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+SPARK_GRAFT_CPUS (default 32), BENCH_REPLICATE (default 20),
+BENCH_RUNS (default 1 timed run; protocol runs in BENCH/BASELINE.md use 3).
+The scaling-efficiency protocol (N vs 4N cores) is bench_scaling.py.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("BENCH_REPLICATE", "20"))
+    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
+    from locality_sensitive_hashing_spark.fixtures import bench_clips_df
+    from locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
+    from locality_sensitive_hashing_spark.session import get_spark
+    from locality_sensitive_hashing_spark.sources.tables import TableIO
+
+    spark = get_spark(f"local[{cpus}]", app_name="lsh-bench",
+                      shuffle_partitions=max(cpus, 8))
+
+    # ---- corpus: built once per (sf, replicate), cached as parquet -------
+    cache_root = os.environ.get("BENCH_CACHE", "/tmp/lsh_bench_cache")
+    tag = f"{os.path.basename(sf_dir.rstrip('/'))}_x{replicate}"
+    clips_path = os.path.join(cache_root, f"clips_{tag}.parquet")
+    if not os.path.exists(clips_path):
+        os.makedirs(cache_root, exist_ok=True)
+        tmp = clips_path + ".tmp"
+        bench_clips_df(spark, sf_dir, replicate=replicate).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        os.rename(tmp, clips_path)
+    clips = spark.read.parquet(clips_path)
+    n_clips = clips.count()
+
+    # ---- timed runs (fresh TableIO dir each -> no resume short-circuit) --
+    walls: list[float] = []
+    stage_walls: dict[str, float] = {}
+    for _ in range(runs):
+        workdir = tempfile.mkdtemp(prefix="lsh_bench_run_")
+        io = TableIO(spark, workdir)
+        t0 = time.time()
+        pipe = DedupPipeline(spark, CFG, io, run_id="bench")
+        clusters = pipe.run(clips)
+        n_clusters = clusters.select("cluster_id").distinct().count()
+        walls.append(time.time() - t0)
+        m = io.read("metrics").where("partition_id = -1").toPandas()
+        stage_walls = {r.stage: round(float(r.wall_sec), 2) for r in m.itertuples()}
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    walls.sort()
+    wall = walls[len(walls) // 2]
+    result = {
+        "metric": "dedup_pipeline_wall",
+        "value": round(wall, 2),
+        "unit": "sec",
+        "queries": stage_walls,
+        "sf": sf,
+        "n_clips": n_clips,
+        "n_clusters": n_clusters,
+        "clips_per_sec": round(n_clips / wall, 1),
+        "cpus": cpus,
+        "runs": runs,
+        "config_id": CFG.config_id,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,298 @@
+"""Deterministic clips-corpus synthesis with planted duplicate classes.
+
+Schema mandated by BASELINE.json input_hint:
+``clip_id string, bytes binary, sr_hz int, dur_ms int, codec string,
+transcript string``.  Planted classes and fractions follow FIXTURES.md
+section 1; all generation is seeded (numpy default_rng) and self-contained
+(driver rule: no external data).  The labels returned alongside the corpus
+are *construction* labels used for sanity assertions; the quantitative
+ground truth for recall is the numpy oracle run at the pinned Config.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from locality_sensitive_hashing_spark import audio as A
+from locality_sensitive_hashing_spark import hashing as H
+from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as _CFG
+
+# 60-word vocabulary, same flavor as the driver's documents.text
+# (verified sample in SURVEY.md Appendix A)
+VOCAB = [
+    "the", "a", "fast", "slow", "big", "small", "key", "order", "sort",
+    "table", "scan", "merge", "part", "window", "hash", "join", "batch",
+    "stream", "spark", "dup", "group", "query", "row", "data", "filter",
+    "customer", "line", "value", "agg", "column", "vector", "shuffle",
+    "bucket", "cluster", "shingle", "signature", "band", "audio", "clip",
+    "codec", "sample", "rate", "token", "text", "index", "cache", "disk",
+    "memory", "stage", "task", "plan", "node", "edge", "graph", "label",
+    "prime", "modulo", "seed", "pair", "match",
+]
+
+CODECS = ("pcm_s16le", "pcm_f32le")
+
+
+def _transcript(rng: np.random.Generator, lo: int = 20, hi: int = 80) -> list[str]:
+    n = int(rng.integers(lo, hi + 1))
+    return [VOCAB[i] for i in rng.integers(0, len(VOCAB), n)]
+
+
+def _substitute(rng: np.random.Generator, toks: list[str], n_subs: int) -> list[str]:
+    out = list(toks)
+    idx = rng.choice(len(out), size=min(n_subs, len(out)), replace=False)
+    for i in idx:
+        out[i] = VOCAB[int(rng.integers(0, len(VOCAB)))]
+    return out
+
+
+def _true_jaccard(t1: list[str], t2: list[str], k: int = _CFG.shingle_k) -> float:
+    s1 = H.shingle_set(H.normalize_text(" ".join(t1)), k)
+    s2 = H.shingle_set(H.normalize_text(" ".join(t2)), k)
+    return len(np.intersect1d(s1, s2)) / len(np.union1d(s1, s2))
+
+
+def _near_variant(
+    rng: np.random.Generator, toks: list[str], min_j: float, lo: int, hi: int
+) -> list[str]:
+    """Token-substituted variant whose true shingle-Jaccard stays >= min_j.
+
+    Keeps the planted pair inside the banding detector's near-certain zone
+    (hit prob 1-(1-J^r)^b >= 0.999 at J >= 0.7 with b=32, r=4 -- MMDS
+    section 3.4.2); the fixture seed is pinned, so a passing corpus stays
+    passing.
+    """
+    for n_subs in range(hi, lo - 1, -1):
+        for _ in range(8):
+            cand = _substitute(rng, toks, n_subs)
+            if _true_jaccard(toks, cand) >= min_j and cand != toks:
+                return cand
+    return _substitute(rng, toks, lo)
+
+
+def _simhash_near_variant(
+    rng: np.random.Generator, toks: list[str], max_ham: int
+) -> list[str]:
+    """Variant with Hamming(simhash) <= max_ham by construction check
+    (FIXTURES.md simhash-near class)."""
+    base_fp = H.simhash64(" ".join(toks))
+    for n_subs in (1, 1, 1, 2, 2, 1, 1, 1):
+        cand = _substitute(rng, toks, n_subs)
+        if cand != toks and H.hamming64(base_fp, H.simhash64(" ".join(cand))) <= max_ham:
+            return cand
+    return toks[:-1] + [toks[-1]]  # last resort: duplicate-ish (ham small)
+
+
+def make_clips(
+    n_rows: int, seed: int = 42
+) -> tuple[pd.DataFrame, pd.DataFrame]:
+    """Build a clips corpus of ~n_rows with planted duplicate classes.
+
+    Returns (clips, planted) where planted has columns
+    (id1, id2, dup_class, expect_dup) -- expect_dup False for the negative
+    controls that must never cluster together (FIXTURES.md section 1).
+    """
+    rng = np.random.default_rng(seed)
+    rows: list[dict] = []
+    planted: list[tuple[str, str, str, bool]] = []
+    next_id = [0]
+
+    def new_row(transcript: list[str], pcm: np.ndarray | None = None,
+                sr: int | None = None, codec: str | None = None,
+                raw: bytes | None = None, dur_ms: int | None = None) -> dict:
+        cid = f"clip{next_id[0]:08d}"
+        next_id[0] += 1
+        if raw is None:
+            sr = sr or int(rng.choice([8000, 16000]))
+            dur_ms = dur_ms or int(rng.integers(250, 2001))
+            codec = codec or str(rng.choice(CODECS))
+            pcm = pcm if pcm is not None else A.synth_pcm(rng, sr, dur_ms)
+            raw = A.encode_wav(pcm, sr, codec)
+        row = {
+            "clip_id": cid, "bytes": raw, "sr_hz": sr, "dur_ms": dur_ms,
+            "codec": codec, "transcript": " ".join(transcript), "_pcm": pcm,
+        }
+        rows.append(row)
+        return row
+
+    # fractions of n_rows that are *partner* rows per class (FIXTURES.md)
+    plan = [
+        ("exact", 0.05), ("reencoded", 0.05), ("near_transcript", 0.08),
+        ("substring", 0.04), ("simhash_near", 0.03), ("neg_audio", 0.015),
+        ("neg_text", 0.015), ("chain", 0.02),
+    ]
+    counts = {name: max(1, int(n_rows * frac)) for name, frac in plan}
+    n_planted_rows = sum(
+        c * (2 if name != "chain" else 3) for name, c in counts.items()
+    ) - counts["chain"] * 0  # chain groups contribute 3 rows each
+    n_singletons = max(0, n_rows - n_planted_rows)
+
+    for _ in range(n_singletons):
+        new_row(_transcript(rng))
+
+    for name, c in counts.items():
+        for _ in range(c):
+            toks = _transcript(rng)
+            if name == "exact":
+                s = new_row(toks)
+                p = new_row(toks, raw=s["bytes"], sr=s["sr_hz"],
+                            codec=s["codec"], dur_ms=s["dur_ms"], pcm=s["_pcm"])
+                planted.append((s["clip_id"], p["clip_id"], name, True))
+            elif name == "reencoded":
+                sr = int(rng.choice([8000, 16000]))
+                dur = int(rng.integers(250, 2001))
+                pcm = A.synth_pcm(rng, sr, dur)
+                s = new_row(toks, pcm=pcm, sr=sr, codec="pcm_f32le", dur_ms=dur)
+                p = new_row(toks, pcm=pcm, sr=sr, codec="pcm_s16le", dur_ms=dur)
+                planted.append((s["clip_id"], p["clip_id"], name, True))
+            elif name in ("near_transcript", "simhash_near"):
+                variant = (
+                    _near_variant(rng, toks, 0.7, 2, 6)
+                    if name == "near_transcript"
+                    else _simhash_near_variant(rng, toks, 3)
+                )
+                s = new_row(toks)
+                p = new_row(variant, raw=s["bytes"],
+                            sr=s["sr_hz"], codec=s["codec"],
+                            dur_ms=s["dur_ms"], pcm=s["_pcm"])
+                planted.append((s["clip_id"], p["clip_id"], name, True))
+            elif name == "substring":
+                # A's transcript embedded verbatim inside longer B
+                inner = _transcript(rng, 10, 20)
+                outer = _transcript(rng, 15, 25) + inner + _transcript(rng, 15, 25)
+                s = new_row(inner)
+                p = new_row(outer, raw=s["bytes"], sr=s["sr_hz"],
+                            codec=s["codec"], dur_ms=s["dur_ms"], pcm=s["_pcm"])
+                planted.append((s["clip_id"], p["clip_id"], name, True))
+            elif name == "neg_audio":
+                # same transcript, audio SNR in [25, 29.9) dB: must NOT dup
+                sr = int(rng.choice([8000, 16000]))
+                dur = int(rng.integers(250, 2001))
+                pcm = A.synth_pcm(rng, sr, dur)
+                noisy = A.add_noise_at_snr(rng, pcm, float(rng.uniform(25.0, 29.9)))
+                s = new_row(toks, pcm=pcm, sr=sr, codec="pcm_f32le", dur_ms=dur)
+                p = new_row(toks, pcm=noisy, sr=sr, codec="pcm_f32le", dur_ms=dur)
+                planted.append((s["clip_id"], p["clip_id"], name, False))
+            elif name == "neg_text":
+                # transcript Jaccard ~0.2, different audio: must NOT dup.
+                # Kept tokens are INTERLEAVED with fresh ones so no long
+                # verbatim common substring sneaks past the SA detector.
+                keep = max(2, len(toks) // 5)
+                fresh = _transcript(rng, 30, 50)
+                part: list[str] = []
+                for i, tok in enumerate(fresh):
+                    part.append(tok)
+                    if i < keep:
+                        part.append(toks[i])
+                while (
+                    H.longest_common_substring_len(
+                        H.normalize_text(" ".join(toks)),
+                        H.normalize_text(" ".join(part)),
+                    )
+                    >= _CFG.sa_min_len
+                ):
+                    part = _transcript(rng, 30, 50)
+                s = new_row(toks)
+                p = new_row(part)
+                planted.append((s["clip_id"], p["clip_id"], name, False))
+            elif name == "chain":
+                # A~B~C transitively (same audio); A,C not directly similar
+                s = new_row(toks)
+                b_toks = _near_variant(rng, toks, 0.7, 2, 3)
+                b = new_row(b_toks, raw=s["bytes"], sr=s["sr_hz"],
+                            codec=s["codec"], dur_ms=s["dur_ms"], pcm=s["_pcm"])
+                c = new_row(_near_variant(rng, b_toks, 0.7, 2, 3), raw=s["bytes"],
+                            sr=s["sr_hz"], codec=s["codec"],
+                            dur_ms=s["dur_ms"], pcm=s["_pcm"])
+                planted.append((s["clip_id"], b["clip_id"], name, True))
+                planted.append((b["clip_id"], c["clip_id"], name, True))
+
+    clips = pd.DataFrame(rows).drop(columns=["_pcm"])
+    # shuffle row order (pipeline must be order-invariant) but keep ids stable
+    clips = clips.sample(frac=1.0, random_state=seed).reset_index(drop=True)
+    planted_df = pd.DataFrame(
+        planted, columns=["id1", "id2", "dup_class", "expect_dup"]
+    )
+    return clips, planted_df
+
+
+def bench_clips_df(spark, sf_dir: str, replicate: int = 20, seed: int = 42):
+    """Distributed bench corpus: sf documents replicated x`replicate` with
+    fresh clip ids (FIXTURES.md clips_bench), audio synthesized IN
+    EXECUTORS via mapInPandas (deterministic per (doc_id, rep) substream),
+    so corpus construction itself scales with the cluster.
+
+    rep 1 reuses rep 0's audio substream -> one exact audio+transcript dup
+    pair per doc (real clusters); reps >= 2 share the transcript but carry
+    different audio -> heavy candidate load that must FAIL audio verify
+    (the expensive realistic path).
+    """
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.sources.tables import (
+        CLIPS_SCHEMA,
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    reps = spark.range(replicate).select(F.col("id").cast("int").alias("rep"))
+    base = docs.crossJoin(reps)
+
+    def synth(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text, rep in zip(pdf["doc_id"], pdf["text"], pdf["rep"]):
+                audio_rep = 0 if rep == 1 else int(rep)
+                rng = np.random.default_rng([seed, int(doc_id), audio_rep])
+                sr, dur = 8000, 250
+                raw = A.encode_wav(A.synth_pcm(rng, sr, dur), sr, "pcm_s16le")
+                out.append(
+                    (f"doc{int(doc_id):08d}r{int(rep):02d}", raw, sr, dur,
+                     "pcm_s16le", text)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                         "transcript"],
+            )
+
+    return base.repartition(64, "doc_id", "rep").mapInPandas(synth, CLIPS_SCHEMA)
+
+
+def clips_from_documents(docs: pd.DataFrame, seed: int = 42,
+                         replicate: int = 1,
+                         plant_dups: bool = False) -> pd.DataFrame:
+    """Derive a clips table from the driver's ``documents`` table.
+
+    Used by the driver-facing queries()/bench paths (TESTDATA.md): each
+    document text becomes a transcript; audio is a short deterministic tone
+    per row (cheap -- bench measures pipeline throughput, FIXTURES.md
+    section 1 "clips_bench ... replicating sf0.1 documents").
+
+    ``plant_dups``: for every 10th document add an exact copy and a
+    near-dup transcript variant sharing the audio, so the flagship
+    pipeline's clusters are non-trivial while staying fully derived from
+    the driver's parquet (no external data).
+    """
+    rng = np.random.default_rng(seed)
+    rows = []
+
+    def add(cid: str, text: str, raw: bytes, sr: int, dur: int) -> None:
+        rows.append({
+            "clip_id": cid, "bytes": raw, "sr_hz": sr, "dur_ms": dur,
+            "codec": "pcm_s16le", "transcript": text,
+        })
+
+    for rep in range(replicate):
+        for doc_id, text in zip(docs["doc_id"], docs["text"]):
+            sr, dur = 8000, 250
+            raw = A.encode_wav(A.synth_pcm(rng, sr, dur), sr, "pcm_s16le")
+            base = f"doc{int(doc_id):08d}r{rep:02d}"
+            add(base, text, raw, sr, dur)
+            if plant_dups and int(doc_id) % 10 == 0:
+                add(base + "x", text, raw, sr, dur)  # exact dup
+                toks = text.split()
+                add(base + "n", " ".join(_near_variant(rng, toks, 0.7, 1, 3)),
+                    raw, sr, dur)  # near-dup transcript, same audio
+    return pd.DataFrame(rows)

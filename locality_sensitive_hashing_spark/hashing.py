@@ -1,0 +1,313 @@
+"""Shared numpy kernels for shingling, MinHash, banding, SimHash, winnowing.
+
+This module is imported by BOTH the single-process oracle
+(:mod:`locality_sensitive_hashing_spark.oracle`, the fixture generator) and
+the Spark Arrow UDFs (:mod:`locality_sensitive_hashing_spark.operators`), on
+the driver and on every executor (shipped via --py-files).  Sharing one
+kernel is what makes the oracle-vs-pipeline comparison bit-exact at a pinned
+:class:`~locality_sensitive_hashing_spark.config.Config`
+(BASELINE.json: "matching the reference's cluster assignments ... at
+identical shingle-size/num-hashes/band-row config").
+
+Semantics sources: MMDS sections 3.2-3.4 (shingling, minhashing, banding);
+Broder 1997 (MinHash / universal hash family); Charikar STOC 2002 (SimHash);
+Schleimer-Wilkerson-Aiken SIGMOD 2003 (winnowing, used as the scalable
+blocking stage in front of the suffix-array verifier).  Expected reference
+locus for the minhash/band kernels: REF?lsh_matrix.py (UNVERIFIED -- the
+reference mount was empty this session; SURVEY.md section 0.1).
+
+All integer arithmetic is either exact int64 (universal hash mod 2^31-1) or
+well-defined uint64 wraparound (polynomial gram hashes, band-hash mixing),
+so results are identical on every platform numpy supports.
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+from locality_sensitive_hashing_spark.config import Config
+
+# uint64 mixing constants (splitmix64 / FNV-style; arbitrary but frozen)
+_GOLD = np.uint64(0x9E3779B97F4A7C15)
+_FNV_PRIME = np.uint64(0x100000001B3)
+_FNV_OFFSET = np.uint64(0xCBF29CE484222325)
+
+_NORM_RE = re.compile(r"[^a-z0-9]+")
+
+
+def normalize_text(text: str) -> str:
+    """Lowercase; collapse non-alphanumeric runs to single spaces; trim.
+
+    MUST stay equivalent to the Spark Column expression in
+    ``functions/text.py`` (lower + regexp_replace("[^a-z0-9]+", " ") + trim)
+    and to the DuckDB oracle SQL. MMDS section 3.2.1 shingle prep.
+    """
+    return _NORM_RE.sub(" ", text.lower()).strip()
+
+
+def _text_bytes(text: str) -> np.ndarray:
+    return np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+
+
+def hash_kgrams(text: str, k: int) -> np.ndarray:
+    """uint64 polynomial hashes of every character k-gram of ``text``.
+
+    Position i covers text[i:i+k]. Returns an empty array when
+    len(text) < k. Vectorized per document: one sliding-window view + one
+    broadcast multiply-accumulate, no per-character Python.
+    """
+    b = _text_bytes(text)
+    n = b.size - k + 1
+    if n <= 0:
+        return np.empty(0, dtype=np.uint64)
+    win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+    # powers[j] = FNV_PRIME ** (k-1-j)  (uint64 wraparound, deterministic)
+    with np.errstate(over="ignore"):
+        powers = np.concatenate(
+            [
+                np.multiply.accumulate(
+                    np.full(k - 1, _FNV_PRIME, dtype=np.uint64)
+                )[::-1],
+                np.ones(1, dtype=np.uint64),
+            ]
+        ) if k > 1 else np.ones(1, dtype=np.uint64)
+    h = (win * powers).sum(axis=1, dtype=np.uint64)
+    # final avalanche so adjacent grams decorrelate
+    h ^= h >> np.uint64(33)
+    h *= _GOLD
+    h ^= h >> np.uint64(29)
+    return h
+
+
+def shingle_set(text: str, k: int) -> np.ndarray:
+    """Sorted distinct uint64 shingle hashes of normalized ``text``.
+
+    Jaccard is over *sets* (MMDS section 3.1.1), hence the dedup. Documents
+    shorter than k shingle to the single sentinel {0} so every row still
+    gets a well-defined signature.
+    """
+    h = hash_kgrams(text, k)
+    if h.size == 0:
+        return np.zeros(1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def hash_family(cfg: Config) -> tuple[np.ndarray, np.ndarray]:
+    """Seed-derived universal-hash coefficients (a_j, b_j), j = 1..H.
+
+    h_j(x) = (a_j * x + b_j) mod P with P = cfg.modulo_prime (Broder 1997;
+    MMDS section 3.3.5). a_j in [1, P), b_j in [0, P). int64 so the
+    broadcast product a*x (x < P < 2^31) stays exact in int64.
+    """
+    rng = np.random.default_rng(cfg.seed)
+    p = cfg.modulo_prime
+    a = rng.integers(1, p, size=cfg.num_hashes, dtype=np.int64)
+    b = rng.integers(0, p, size=cfg.num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature(
+    shingles: np.ndarray, a: np.ndarray, b: np.ndarray, p: int
+) -> np.ndarray:
+    """MinHash signature: sig[j] = min over shingles x of (a_j*x+b_j) mod P.
+
+    ``shingles`` is the uint64 set from :func:`shingle_set`; values are
+    first reduced mod P into the hash-family domain. Returns int64 (H,).
+    One numpy broadcast per document -- the "signature matrix" of
+    REF?lsh_matrix.py computed a column at a time (MMDS section 3.3.5).
+    """
+    x = (shingles % np.uint64(p)).astype(np.int64)
+    # (n_shingles, H) broadcast; both factors < 2^31 so product < 2^62
+    return ((x[:, None] * a[None, :] + b[None, :]) % p).min(axis=0)
+
+
+def band_hashes(sig: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """Per-band bucket keys: fold each band's r signature values + band id.
+
+    MMDS section 3.4.1 banding. Returns int64 (bands,) (uint64 mix viewed
+    as int64 for Spark LongType). Vectorized across bands; the fold loop
+    runs rows_per_band (~4) iterations only.
+    """
+    m = np.asarray(sig, dtype=np.uint64).reshape(bands, rows_per_band)
+    acc = (np.arange(1, bands + 1, dtype=np.uint64) * _GOLD) ^ _FNV_OFFSET
+    for j in range(rows_per_band):
+        acc = (acc ^ m[:, j]) * _FNV_PRIME
+        acc ^= acc >> np.uint64(31)
+    return acc.view(np.int64)
+
+
+def signature_and_bands(
+    text: str, cfg: Config, a: np.ndarray, b: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Normalize -> shingle -> minhash -> band hashes for one document."""
+    sig = minhash_signature(
+        shingle_set(normalize_text(text), cfg.shingle_k), a, b, cfg.modulo_prime
+    )
+    return sig, band_hashes(sig, cfg.bands, cfg.rows_per_band)
+
+
+def hash_tokens(tokens: list[str]) -> np.ndarray:
+    """uint64 hash per token (whitespace tokens of normalized text)."""
+    out = np.empty(len(tokens), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, t in enumerate(tokens):
+            h = _FNV_OFFSET
+            for c in t.encode("utf-8"):
+                h = (h ^ np.uint64(c)) * _FNV_PRIME
+            out[i] = h
+    return out
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash fingerprint of normalized ``text`` (Charikar 2002).
+
+    Token-level, weight = token frequency: bit i of the fingerprint is 1
+    iff sum over tokens of weight * (+1 if token-hash bit i else -1) > 0.
+    Returned as signed int64 (bit pattern of the uint64 fingerprint) for
+    Spark LongType. Empty text -> 0.
+    """
+    toks = normalize_text(text).split()
+    if not toks:
+        return 0
+    uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+    th = hash_tokens(list(uniq))
+    bits = ((th[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)).astype(
+        np.int64
+    )
+    sums = ((2 * bits - 1) * counts[:, None].astype(np.int64)).sum(axis=0)
+    fp = np.uint64(0)
+    one = np.uint64(1)
+    for i in np.nonzero(sums > 0)[0]:
+        fp |= one << np.uint64(i)
+    return int(fp.view(np.int64) if isinstance(fp, np.uint64) else fp)
+
+
+def simhash_chunks(fp: int, n_chunks: int = 4) -> list[int]:
+    """Split a 64-bit fingerprint into n equal chunks (pigeonhole blocking).
+
+    Hamming(f1, f2) <= n_chunks - 1 implies at least one equal chunk
+    (Manku et al. WWW'07 blocking for Charikar fingerprints).
+    """
+    u = fp & 0xFFFFFFFFFFFFFFFF  # two's complement view of the int64 carrier
+    width = 64 // n_chunks
+    mask = (1 << width) - 1
+    return [(u >> (width * i)) & mask for i in range(n_chunks)]
+
+
+def hamming64(f1: int, f2: int) -> int:
+    """Popcount of XOR of two 64-bit fingerprints (signed-int64 carriers)."""
+    u1 = f1 + (1 << 64) if f1 < 0 else f1
+    u2 = f2 + (1 << 64) if f2 < 0 else f2
+    return bin(u1 ^ u2).count("1")
+
+
+def winnow_anchors(text: str, gram_len: int, window: int) -> np.ndarray:
+    """Winnowing fingerprints: distinct uint64 anchors of normalized text.
+
+    Standard winnowing (Schleimer et al. 2003): hash all gram_len-grams,
+    slide a window of ``window`` consecutive gram hashes, keep each
+    window's minimum. Guarantee: two texts sharing a common substring of
+    length >= gram_len + window - 1 share at least one anchor, so with
+    gram_len = sa_min_len // 2 and window = sa_min_len - gram_len + 1 the
+    blocking stage is lossless for the sa_min_len detector (O15).
+    """
+    h = hash_kgrams(text, gram_len)
+    if h.size == 0:
+        return np.empty(0, dtype=np.uint64)
+    if h.size <= window:
+        return np.unique(h.min(keepdims=True))
+    win = np.lib.stride_tricks.sliding_window_view(h, window)
+    return np.unique(win.min(axis=1))
+
+
+def sa_params(cfg: Config) -> tuple[int, int]:
+    """(gram_len, window) for winnowing so matches >= sa_min_len are caught."""
+    gram_len = max(4, cfg.sa_min_len // 2)
+    window = cfg.sa_min_len - gram_len + 1
+    return gram_len, window
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array of an int sequence via prefix doubling (numpy argsort).
+
+    Manber-Myers 1990 doubling scheme, O(n log^2 n) with vectorized sorts.
+    ``s`` is int32/int64 >= 0.
+    """
+    n = s.size
+    if n == 0:
+        return np.empty(0, dtype=np.int64)
+    rank = np.asarray(s, dtype=np.int64)
+    idx = np.arange(n, dtype=np.int64)
+    k = 1
+    while True:
+        second = np.full(n, -1, dtype=np.int64)
+        second[: n - k] = rank[k:]
+        order = np.lexsort((second, rank))
+        key_r = rank[order]
+        key_s = second[order]
+        new_rank = np.empty(n, dtype=np.int64)
+        changed = np.empty(n, dtype=bool)
+        changed[0] = False
+        changed[1:] = (key_r[1:] != key_r[:-1]) | (key_s[1:] != key_s[:-1])
+        new_rank[order] = np.cumsum(changed)
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order
+        k *= 2
+        if k >= n:
+            return np.lexsort((idx, rank))  # all ranks distinct fallback
+
+
+def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
+    """Kasai LCP array: lcp[i] = LCP(suffix sa[i-1], suffix sa[i])."""
+    n = s.size
+    lcp = np.zeros(n, dtype=np.int64)
+    rank = np.empty(n, dtype=np.int64)
+    rank[sa] = np.arange(n)
+    h = 0
+    for i in range(n):
+        r = rank[i]
+        if r > 0:
+            j = sa[r - 1]
+            m = n - max(i, j)
+            while h < m and s[i + h] == s[j + h]:
+                h += 1
+            lcp[r] = h
+            if h > 0:
+                h -= 1
+        else:
+            h = 0
+    return lcp
+
+
+def longest_common_substring_len(t1: str, t2: str) -> int:
+    """Exact longest-common-substring length via SA + LCP on t1#t2$.
+
+    The per-pair verifier behind the suffix-array detector (O15): winnowing
+    proposes candidate pairs, this confirms LCS >= sa_min_len exactly.
+
+    Containment fast path: equal strings / verbatim containment resolve via
+    substring search (exact same answer, no SA build) -- dominant for
+    exact-dup-heavy corpora.
+    """
+    if not t1 or not t2:
+        return 0
+    if t1 in t2:
+        return len(t1.encode("utf-8"))
+    if t2 in t1:
+        return len(t2.encode("utf-8"))
+    b1 = _text_bytes(t1).astype(np.int64) + 2
+    b2 = _text_bytes(t2).astype(np.int64) + 2
+    if b1.size == 0 or b2.size == 0:
+        return 0
+    s = np.concatenate([b1, np.array([1], dtype=np.int64), b2])
+    sa = suffix_array(s)
+    lcp = lcp_array(s, sa)
+    # src[i]: does the i-th suffix in SA order start inside t1? The max
+    # cross-text LCP is attained at some SA-adjacent pair with differing
+    # sources (any farther pair's LCP is a min over the adjacent ones).
+    src = sa < b1.size
+    cross = src[1:] != src[:-1]
+    return int(lcp[1:][cross].max(initial=0))

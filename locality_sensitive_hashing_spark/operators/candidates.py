@@ -1,0 +1,98 @@
+"""Blocking -> candidate-pair generation, caps, salting (O8-O10, O16, O24-O25).
+
+One generic kernel serves all three detectors (MinHash buckets, SimHash
+chunks, suffix-array anchors): group rows by a blocking key, drop oversized
+groups (bounded-bucket explosion caps, loudly counted -- BASELINE.json
+"bounded-bucket explosion caps"), self-join the survivors, keep id1 < id2,
+dedup across keys.  Reference locus: the GAE MapReduce reduce phase grouped
+(bucket -> doc ids) and emitted in-bucket pairs (REF?mapreduce pipeline,
+UNVERIFIED -- empty mount; semantics MMDS section 3.4.1).
+
+Scale notes (10^12 clips):
+- The size pre-pass prunes hot buckets BEFORE the quadratic self-join, so
+  the join's per-key fan-out is bounded by cap^2; with cap=64 a bucket
+  contributes <= 2016 pairs. AQE skew-join splitting then handles residual
+  partition-level skew (session.py).
+- The count aggregation is a partial+final hash aggregate (map-side
+  combine); its shuffle carries only (key, count), not rows.
+- Pair dedup is a hash aggregate on (id1, id2); at scale this is the
+  pipeline's largest shuffle and the reason `bytes` is not in this plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark.config import Config
+
+
+def block_sizes(blocks: DataFrame, key_cols: list[str]) -> DataFrame:
+    """(key..., n) group sizes of a blocking table."""
+    return blocks.groupBy(*key_cols).agg(F.count("*").alias("n"))
+
+
+def dropped_blocks(blocks: DataFrame, key_cols: list[str], cap: int) -> DataFrame:
+    """Blocks exceeding the cap -- logged to metrics, never silently lost
+    (O25). Columns: key..., n_members."""
+    return (
+        block_sizes(blocks, key_cols)
+        .where(F.col("n") > cap)
+        .withColumnRenamed("n", "n_members")
+    )
+
+
+def pairs_from_blocks(
+    blocks: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    detector: str,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Unordered candidate pairs (id1 < id2, distinct) from shared blocks.
+
+    Blocks with 1 member produce nothing; blocks with > cap members are
+    excluded here and surfaced by :func:`dropped_blocks`.
+    """
+    sizes = block_sizes(blocks, key_cols)
+    eligible = sizes.where((F.col("n") > 1) & (F.col("n") <= cap)).select(*key_cols)
+    pruned = blocks.join(eligible, key_cols)
+    left = pruned.select(*key_cols, F.col(id_col).alias("id1"))
+    right = pruned.select(*key_cols, F.col(id_col).alias("id2"))
+    return (
+        left.join(right, key_cols)
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+        .withColumn("detector", F.lit(detector))
+    )
+
+
+def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
+    """Union detector candidate sets with provenance (O16):
+    (id1, id2, detectors array<string> sorted)."""
+    u = pair_dfs[0]
+    for d in pair_dfs[1:]:
+        u = u.unionByName(d)
+    return u.groupBy("id1", "id2").agg(
+        F.array_sort(F.collect_set("detector")).alias("detectors")
+    )
+
+
+def salted_repartition(
+    df: DataFrame, cfg: Config, *cols: str, n_partitions: int | None = None
+) -> DataFrame:
+    """Repartition by (cols..., salt) to split hot keys (O24).
+
+    salt = pmod(xxhash64(all columns), salt_buckets) -- deterministic, so
+    resumed runs produce identical partitioning. Used in front of UDF
+    stages when the upstream distribution is skewed (e.g. clips clustered
+    by source shard).
+    """
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(cfg.salt_buckets))
+    args = [F.col(c) for c in cols] + [salt]
+    return (
+        df.repartition(n_partitions, *args)
+        if n_partitions
+        else df.repartition(*args)
+    )

@@ -1,0 +1,75 @@
+"""Iterative DataFrame connected components (O21): min-label propagation.
+
+The reference folded verified pairs into disjoint sets with an in-process
+union-find (REF? "dup sets", UNVERIFIED -- empty mount; MMDS section 3.4
+practice). Union-find is inherently sequential, so the Spark-native
+equivalent is hash-partitioned min-label propagation (BASELINE.json
+"iterative DataFrame connected-components (hash-partitioned label
+propagation)"): every node starts labeled with itself; each round every
+node takes the min label among itself and its neighbors; convergence in
+O(diameter) rounds. Duplicate clusters have tiny diameters (chains of
+near-dups), so rounds stay single-digit; an iteration cap + convergence
+assertion guard pathological graphs.
+
+The fixed point labels every node with the minimum clip_id in its
+component -- exactly the oracle's union-find cluster_id convention
+(min-id, SURVEY.md Appendix B item 6).
+
+Scale notes: each round is one join + one partial-agg groupBy on the SAME
+key (clip_id), so the shuffle partitioning is reused; `localCheckpoint``
+truncates the growing lineage each round (SURVEY.md section 4.2); the
+convergence check is a driver-side count of changed labels only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark.config import Config
+
+
+def connected_components(
+    edges: DataFrame, nodes: DataFrame, cfg: Config
+) -> DataFrame:
+    """(clip_id, cluster_id) with cluster_id = min clip_id in component.
+
+    ``edges``: (id1, id2) verified dup pairs; ``nodes``: (clip_id) the full
+    clip universe (singletons label themselves).
+    """
+    sym = (
+        edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
+        .unionByName(
+            edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = nodes.select(
+        "clip_id", F.col("clip_id").alias("cluster_id")
+    ).localCheckpoint()
+
+    for _ in range(cfg.cc_max_iters):
+        # neighbor label messages: dst receives src's current label
+        msgs = (
+            sym.join(labels, sym.src == labels.clip_id)
+            .select(F.col("dst").alias("clip_id"), "cluster_id")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("clip_id")
+            .agg(F.min("cluster_id").alias("cluster_id"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "clip_id")
+            .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(
+        f"connected components did not converge in {cfg.cc_max_iters} iters"
+    )

@@ -1,0 +1,115 @@
+"""MinHash signature + band-hash operator (O2-O7).
+
+The signature stage of the reference's "signature matrix" build
+(REF?lsh_matrix.py, UNVERIFIED -- empty mount; semantics MMDS section
+3.3.5 / Broder 1997), re-expressed as ONE Arrow-vectorized pandas UDF per
+row-batch: normalize (JVM-side Column expr) -> k-shingle set -> universal
+hash MinHash -> per-band bucket keys.  No per-row Python: the UDF body is
+one numpy broadcast per document over its shingle set
+(BASELINE.json: "numpy-batched universal-hash MinHash ... no per-row
+Python").
+
+Scale notes (10^12 clips): this stage is embarrassingly parallel and
+linear in input size; `bytes` never enters it (column pruning keeps the
+scan at clip_id+transcript -- verified via explain() in tests); output is
+~H*8 bytes/row (1 KB at H=128), i.e. ~1 PB of signatures at 10^12 rows,
+written partitioned by clip_id hash for the later verification join.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark import hashing as H
+from locality_sensitive_hashing_spark.config import Config
+from locality_sensitive_hashing_spark.functions.text import normalize_text
+
+
+def signature_udf(cfg: Config):
+    """pandas UDF: normalized text -> struct(sig, band_hashes).
+
+    The (a_j, b_j) family is derived on the driver from cfg.seed and
+    captured in the closure (2*H int64 -- tiny), so every executor uses the
+    identical family as the numpy oracle (fixture parity requirement,
+    BASELINE.json "identical shingle-size/num-hashes/band-row config").
+    """
+    a, b = H.hash_family(cfg)
+    k, p = cfg.shingle_k, cfg.modulo_prime
+    bands, rows = cfg.bands, cfg.rows_per_band
+
+    @F.pandas_udf("sig array<long>, band_hashes array<long>")
+    def compute(norm: pd.Series) -> pd.DataFrame:
+        sigs, bhs = [], []
+        for text in norm:
+            ss = H.shingle_set(text or "", k)
+            sig = H.minhash_signature(ss, a, b, p)
+            sigs.append(sig.tolist())
+            bhs.append(H.band_hashes(sig, bands, rows).tolist())
+        return pd.DataFrame({"sig": sigs, "band_hashes": bhs})
+
+    return compute
+
+
+def shingles_udf(cfg: Config):
+    """pandas UDF: normalized text -> sorted distinct int64 shingle hashes.
+
+    Only used by parity tests and the shingle-level queries; the pipeline
+    computes shingles inside :func:`signature_udf` without materializing
+    them.
+    """
+    k = cfg.shingle_k
+
+    @F.pandas_udf("array<long>")
+    def compute(norm: pd.Series) -> pd.Series:
+        import numpy as np
+
+        return pd.Series(
+            [H.shingle_set(t or "", k).view(np.int64).tolist() for t in norm]
+        )
+
+    return compute
+
+
+def with_signatures(
+    df: DataFrame,
+    cfg: Config,
+    text_col: str = "transcript",
+    id_col: str = "clip_id",
+    pre_normalized: bool = False,
+) -> DataFrame:
+    """Project (id, norm, sig, band_hashes) from a corpus DataFrame.
+
+    Selects ONLY id + text before the UDF so Catalyst prunes `bytes`
+    out of the parquet scan (the audio payload must never ride through the
+    signature shuffle -- SURVEY.md section 4.2).  In the production
+    pipeline ``df`` is the distinct-texts table (one row per unique
+    transcript, ``pre_normalized=True``) -- the signature cost scales with
+    unique content, not corpus size.
+    """
+    udf = signature_udf(cfg)
+    norm = F.col(text_col) if pre_normalized else normalize_text(text_col)
+    return (
+        df.select(id_col, norm.alias("norm"))
+        .withColumn("_sb", udf(F.col("norm")))
+        .select(id_col, "norm", F.col("_sb.sig").alias("sig"),
+                F.col("_sb.band_hashes").alias("band_hashes"))
+    )
+
+
+def explode_bands(signatures: DataFrame, id_col: str = "clip_id") -> DataFrame:
+    """(id, band_id, band_hash) rows -- MMDS section 3.4.1 banding
+    explode; the groupBy key of the LSH bucket stage (O8)."""
+    return signatures.select(
+        id_col, F.posexplode("band_hashes").alias("band_id", "band_hash")
+    )
+
+
+def estimated_jaccard(sig1, sig2) -> "F.Column":
+    """Fraction of equal signature components (MMDS section 3.3.3) --
+    JVM-side zip_with/aggregate, no UDF."""
+    eq = F.zip_with(sig1, sig2, lambda x, y: (x == y).cast("int"))
+    return (
+        F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(sig1)
+    ).cast("double")

@@ -1,0 +1,136 @@
+"""Content-class grouping: the engine's core scale lever.
+
+At 10^12-clip scale most mass is duplicated content: the same transcript
+re-crawled, the same audio re-encoded or byte-copied.  Every text-derived
+computation (shingles, MinHash, SimHash, winnowing, LCS, Jaccard) is a pure
+function of the normalized transcript, and the PCM verdict is a pure
+function of the two byte payloads.  So the pipeline:
+
+1. keys every clip by ``text_key = sha256(norm)`` and
+   ``audio_key = sha256(bytes)`` (256-bit -- collision-free at any scale,
+   unlike 64-bit at 10^12 rows);
+2. runs ALL detectors on **distinct texts** (one signature per distinct
+   transcript, not per clip);
+3. partitions each text group into **audio classes** (byte-identical
+   payloads) and verifies only class *representatives* -- byte-equal
+   members connect to their representative through linear chain edges, and
+   ``pcm_compare(a, b)`` equals ``pcm_compare(rep(a), rep(b))`` because
+   both are functions of the byte payloads alone, so representative-level
+   verification yields EXACTLY the same connected components as all-pairs
+   verification.
+
+This turns the quadratic candidate work from O(clips-per-bucket^2) into
+O(distinct-content-classes-per-bucket^2), which is the difference between
+"melts at a 20x-replicated crawl" and "linear in unique content".
+
+The reference (single-corpus text demo, REF?lsh_matrix.py, UNVERIFIED --
+empty mount) had no such layer; its semantics are preserved for distinct
+content and extended to replicated content per BASELINE.json's 10^12-clip
+north star.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark.config import Config
+from locality_sensitive_hashing_spark.functions.text import normalize_text
+
+
+def with_content_keys(clips: DataFrame) -> DataFrame:
+    """(clip_id, text_key, audio_key) + norm -- one pass over the corpus.
+
+    The only stage that reads both `transcript` and `bytes`; everything
+    downstream joins on the 32-byte keys instead of hauling payloads.
+    """
+    return clips.select(
+        "clip_id",
+        normalize_text("transcript").alias("norm"),
+        F.sha2(normalize_text("transcript"), 256).alias("text_key"),
+        F.sha2(F.col("bytes"), 256).alias("audio_key"),
+    )
+
+
+def distinct_texts(keyed: DataFrame) -> DataFrame:
+    """(text_key, norm): one row per distinct normalized transcript."""
+    return keyed.groupBy("text_key").agg(F.min("norm").alias("norm"))
+
+
+def audio_classes(keyed: DataFrame) -> DataFrame:
+    """(text_key, audio_key, rep, n_members): one row per byte-identical
+    payload class within a text group; rep = min clip_id."""
+    return keyed.groupBy("text_key", "audio_key").agg(
+        F.min("clip_id").alias("rep"), F.count("*").alias("n_members")
+    )
+
+
+def chain_edges(keyed: DataFrame) -> DataFrame:
+    """Linear within-class edges: consecutive clip_ids of each audio class.
+
+    Byte-equality is transitive, so a path is as good as a clique for
+    connected components -- O(n) edges instead of O(n^2).
+    Columns: (id1, id2, text_key, audio_key).
+    """
+    w = Window.partitionBy("text_key", "audio_key").orderBy("clip_id")
+    return (
+        keyed.withColumn("_prev", F.lag("clip_id").over(w))
+        .where(F.col("_prev").isNotNull())
+        .select(
+            F.col("_prev").alias("id1"),
+            F.col("clip_id").alias("id2"),
+            "text_key",
+            "audio_key",
+        )
+    )
+
+
+def group_class_counts(classes: DataFrame) -> DataFrame:
+    """(text_key, n_classes) -- audio-class count per text group."""
+    return classes.groupBy("text_key").agg(F.count("*").alias("n_classes"))
+
+
+def within_group_rep_pairs(classes: DataFrame, cfg: Config) -> DataFrame:
+    """Cross-audio-class representative pairs inside each text group.
+
+    Groups with more than ``bucket_cap`` audio classes are dropped (the
+    bounded-explosion rule, surfaced via :func:`dropped_groups`).
+    Columns: (id1, id2) with id1 < id2 (clip ids of class reps).
+    """
+    counts = group_class_counts(classes)
+    elig = counts.where(
+        (F.col("n_classes") > 1) & (F.col("n_classes") <= cfg.bucket_cap)
+    ).select("text_key")
+    reps = classes.join(elig, "text_key").select("text_key", "rep")
+    l = reps.select("text_key", F.col("rep").alias("id1"))
+    r = reps.select("text_key", F.col("rep").alias("id2"))
+    return (
+        l.join(r, "text_key")
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+
+
+def dropped_groups(classes: DataFrame, cfg: Config) -> DataFrame:
+    """Text groups whose audio-class count exceeds the cap (logged)."""
+    return group_class_counts(classes).where(F.col("n_classes") > cfg.bucket_cap)
+
+
+def decode_ok_udf():
+    """pandas UDF: wav bytes -> decodable-and-nonempty boolean (used once
+    per audio class representative, not per pair)."""
+    from locality_sensitive_hashing_spark import audio as A
+
+    @F.pandas_udf("boolean")
+    def compute(b: pd.Series) -> pd.Series:
+        out = []
+        for raw in b:
+            try:
+                pcm, _ = A.decode_wav(bytes(raw or b""))
+                out.append(pcm.size > 0)
+            except Exception:
+                out.append(False)
+        return pd.Series(out)
+
+    return compute

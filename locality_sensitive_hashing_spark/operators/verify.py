@@ -1,0 +1,193 @@
+"""Two-level pair verification: text pairs, then audio-class expansion.
+
+Level 1 (O11, O19-O20 analogs) -- **text pairs** over distinct transcripts:
+a candidate text pair (tk1 < tk2, from any detector) passes iff
+
+    text_ok = estimated Jaccard >= cfg.jaccard_threshold   (O11)
+              OR SimHash Hamming distance <= cfg.hamming_t (O14)
+              OR longest common substring >= cfg.sa_min_len (O15)
+
+(transcript equality -- O19 -- can't occur across *distinct* texts; equal
+transcripts meet inside one text group below.)
+
+Level 2 (O17-O18) -- **clip edges** via audio classes (see
+operators/textgroup.py for why representative-level verification is
+exactly equivalent):
+
+- ``chain``  : consecutive byte-identical clips of one audio class;
+               dup iff the payload decodes non-empty.
+- ``within`` : class-representative pairs inside one text group
+               (transcripts equal => text_ok); dup iff PCM verdict passes.
+- ``cross``  : class-representative pairs across a PASSING text pair;
+               dup iff PCM verdict passes.
+
+The PCM verdict (BASELINE.json per-row invariant: np.allclose AND
+SNR >= cfg.snr_db) runs ONCE per distinct (bytes1, bytes2) representative
+combination -- the only place payload bytes cross into Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark.config import Config
+from locality_sensitive_hashing_spark.operators.audio_verify import pcm_compare_udf
+from locality_sensitive_hashing_spark.operators.minhash import estimated_jaccard
+from locality_sensitive_hashing_spark.operators.simhash import hamming_distance
+from locality_sensitive_hashing_spark.operators.textgroup import (
+    decode_ok_udf,
+    within_group_rep_pairs,
+)
+
+_INF = float("inf")
+_NEG_INF = float("-inf")
+
+VERIFIED_COLUMNS = [
+    "id1", "id2", "kind", "detectors", "est_jaccard", "teq", "hamming",
+    "lcs", "allclose", "snr_db", "is_dup",
+]
+
+
+def verify_text_pairs(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    fingerprints: DataFrame,
+    sa_pairs: DataFrame | None,
+    cfg: Config,
+) -> DataFrame:
+    """Attach text-level metrics + text_ok to candidate text pairs.
+
+    ``candidates``: (id1, id2, detectors) keyed by text_key;
+    ``signatures``: (text_key, norm, sig); ``fingerprints``:
+    (text_key, fingerprint); ``sa_pairs``: (id1, id2, lcs) or None.
+    Output: (tk1, tk2, detectors, est_jaccard, hamming, lcs, text_ok).
+    """
+    s1 = signatures.select(F.col("text_key").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = signatures.select(F.col("text_key").alias("id2"), F.col("sig").alias("sig2"))
+    f1 = fingerprints.select(F.col("text_key").alias("id1"), F.col("fingerprint").alias("f1"))
+    f2 = fingerprints.select(F.col("text_key").alias("id2"), F.col("fingerprint").alias("f2"))
+    df = (
+        candidates.join(s1, "id1")
+        .join(s2, "id2")
+        .join(f1, "id1")
+        .join(f2, "id2")
+        .withColumn("est_jaccard", estimated_jaccard(F.col("sig1"), F.col("sig2")))
+        .withColumn("hamming", hamming_distance(F.col("f1"), F.col("f2")).cast("int"))
+        .drop("sig1", "sig2", "f1", "f2")
+    )
+    if sa_pairs is not None:
+        df = df.join(sa_pairs.select("id1", "id2", "lcs"), ["id1", "id2"], "left")
+        df = df.withColumn("lcs", F.coalesce(F.col("lcs"), F.lit(-1)).cast("long"))
+    else:
+        df = df.withColumn("lcs", F.lit(-1).cast("long"))
+    text_ok = (
+        (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
+        | (F.col("hamming") <= F.lit(cfg.hamming_t))
+        | (F.col("lcs") >= F.lit(cfg.sa_min_len))
+    )
+    return df.select(
+        F.col("id1").alias("tk1"),
+        F.col("id2").alias("tk2"),
+        "detectors", "est_jaccard", "hamming", "lcs",
+    ).withColumn("text_ok", text_ok)
+
+
+def _audio_verdict(pairs: DataFrame, clips: DataFrame) -> DataFrame:
+    """Join rep payloads and run the PCM UDF: adds (allclose, snr_db)."""
+    b1 = clips.select(F.col("clip_id").alias("id1"), F.col("bytes").alias("_b1"))
+    b2 = clips.select(F.col("clip_id").alias("id2"), F.col("bytes").alias("_b2"))
+    udf = pcm_compare_udf()
+    return (
+        pairs.join(b1, "id1")
+        .join(b2, "id2")
+        .withColumn("_a", udf(F.col("_b1"), F.col("_b2")))
+        .withColumn("allclose", F.col("_a.allclose"))
+        .withColumn("snr_db", F.col("_a.snr_db"))
+        .drop("_b1", "_b2", "_a")
+    )
+
+
+def expand_and_verify(
+    text_verified: DataFrame,
+    classes: DataFrame,
+    chains: DataFrame,
+    clips: DataFrame,
+    cfg: Config,
+) -> DataFrame:
+    """Clip-level verified edges: chain + within-group + cross-group.
+
+    ``classes``: (text_key, audio_key, rep, n_members);
+    ``chains``: (id1, id2, text_key, audio_key).
+    Returns VERIFIED_COLUMNS.
+    """
+    snr_thresh = F.lit(cfg.snr_db)
+
+    # -- chain edges: byte-identical, dup iff payload decodes non-empty ---
+    dec = decode_ok_udf()
+    class_ok = (
+        classes.join(clips.select(F.col("clip_id").alias("rep"), "bytes"), "rep")
+        .withColumn("decode_ok", dec(F.col("bytes")))
+        .select("text_key", "audio_key", "rep", "decode_ok")
+    )
+    chain = (
+        chains.join(class_ok.select("text_key", "audio_key", "decode_ok"),
+                    ["text_key", "audio_key"])
+        .select(
+            "id1", "id2",
+            F.lit("chain").alias("kind"),
+            F.array(F.lit("exact")).alias("detectors"),
+            F.lit(1.0).alias("est_jaccard"),
+            F.lit(True).alias("teq"),
+            F.lit(0).alias("hamming"),
+            F.lit(-1).cast("long").alias("lcs"),
+            F.col("decode_ok").alias("allclose"),
+            F.when(F.col("decode_ok"), F.lit(_INF)).otherwise(F.lit(_NEG_INF)).alias("snr_db"),
+            F.col("decode_ok").alias("is_dup"),
+        )
+    )
+
+    # -- within-group representative pairs (transcripts equal) ------------
+    within = within_group_rep_pairs(classes, cfg).select(
+        "id1", "id2",
+        F.lit("within").alias("kind"),
+        F.array(F.lit("within_text")).alias("detectors"),
+        F.lit(1.0).alias("est_jaccard"),
+        F.lit(True).alias("teq"),
+        F.lit(0).alias("hamming"),
+        F.lit(-1).cast("long").alias("lcs"),
+    )
+    within = _audio_verdict(within, clips).withColumn(
+        "is_dup", F.col("allclose") & (F.col("snr_db") >= snr_thresh)
+    )
+
+    # -- cross-group representative pairs over passing text pairs ---------
+    counts = classes.groupBy("text_key").agg(F.count("*").alias("n_classes"))
+    ok_reps = (
+        classes.join(counts.where(F.col("n_classes") <= cfg.bucket_cap), "text_key")
+        .select("text_key", "rep")
+    )
+    r1 = ok_reps.select(F.col("text_key").alias("tk1"), F.col("rep").alias("rep1"))
+    r2 = ok_reps.select(F.col("text_key").alias("tk2"), F.col("rep").alias("rep2"))
+    cross = (
+        text_verified.where("text_ok")
+        .join(r1, "tk1")
+        .join(r2, "tk2")
+        .select(
+            F.least("rep1", "rep2").alias("id1"),
+            F.greatest("rep1", "rep2").alias("id2"),
+            F.lit("cross").alias("kind"),
+            "detectors", "est_jaccard",
+            F.lit(False).alias("teq"),
+            "hamming", "lcs",
+        )
+    )
+    cross = _audio_verdict(cross, clips).withColumn(
+        "is_dup", F.col("allclose") & (F.col("snr_db") >= snr_thresh)
+    )
+
+    return (
+        chain.select(*VERIFIED_COLUMNS)
+        .unionByName(within.select(*VERIFIED_COLUMNS))
+        .unionByName(cross.select(*VERIFIED_COLUMNS))
+    )

