@@ -117,6 +117,25 @@ def pcm_compare(raw1: bytes, raw2: bytes) -> tuple[bool, float]:
     return close, snr
 
 
+DIGEST_K = 64
+
+
+def pcm_digest(pcm: np.ndarray, atol: float = ALLCLOSE_ATOL,
+               k: int = DIGEST_K) -> np.ndarray:
+    """Quantized sample digest: k evenly-spaced samples, floor-quantized
+    to 2*atol units (int64).
+
+    Screening bound (used JVM-side in operators/verify.py): for samples a,
+    b with q = floor(x / (2*atol)), |q_a - q_b| >= 2 implies
+    |a - b| > (|q_a - q_b| - 1) * 2*atol >= 2*atol > atol, i.e. the pair
+    PROVABLY fails np.allclose -- a sound rejector, never a false reject.
+    """
+    if pcm.size == 0:
+        return np.empty(0, dtype=np.int64)
+    pos = (np.arange(k, dtype=np.int64) * pcm.size) // k
+    return np.floor(pcm[pos] / (2.0 * atol)).astype(np.int64)
+
+
 def synth_pcm(rng: np.random.Generator, sr_hz: int, dur_ms: int) -> np.ndarray:
     """Deterministic test tone: 2-4 sines + Gaussian noise, peak-normalized."""
     n = int(sr_hz * dur_ms / 1000)

@@ -223,8 +223,14 @@ def winnow_anchors(text: str, gram_len: int, window: int) -> np.ndarray:
 
 
 def sa_params(cfg: Config) -> tuple[int, int]:
-    """(gram_len, window) for winnowing so matches >= sa_min_len are caught."""
-    gram_len = max(4, cfg.sa_min_len // 2)
+    """(gram_len, window) for winnowing so matches >= sa_min_len are caught.
+
+    Losslessness needs gram_len + window - 1 <= sa_min_len (Schleimer et
+    al. 2003 guarantee); within that constraint a LONGER gram is far more
+    selective (fewer spurious cross-document anchor collisions -> fewer
+    LCS verifications), at the cost of ~2n/window anchors per doc.
+    """
+    gram_len = max(4, (3 * cfg.sa_min_len) // 4)
     window = cfg.sa_min_len - gram_len + 1
     return gram_len, window
 

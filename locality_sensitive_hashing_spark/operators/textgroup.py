@@ -58,12 +58,56 @@ def distinct_texts(keyed: DataFrame) -> DataFrame:
     return keyed.groupBy("text_key").agg(F.min("norm").alias("norm"))
 
 
-def audio_classes(keyed: DataFrame) -> DataFrame:
-    """(text_key, audio_key, rep, n_members): one row per byte-identical
-    payload class within a text group; rep = min clip_id."""
-    return keyed.groupBy("text_key", "audio_key").agg(
+def audio_classes(keyed: DataFrame, clips: DataFrame | None = None) -> DataFrame:
+    """(text_key, audio_key, rep, n_members [, decode_ok, n_samples,
+    digest]): one row per byte-identical payload class within a text
+    group; rep = min clip_id.
+
+    When ``clips`` is given, the representative payload is decoded ONCE
+    per class and summarized (decodability, sample count, quantized sample
+    digest) so pair verification can screen JVM-side on 256-byte digests
+    instead of shuffling full payloads (operators/verify.py).
+    """
+    cls = keyed.groupBy("text_key", "audio_key").agg(
         F.min("clip_id").alias("rep"), F.count("*").alias("n_members")
     )
+    if clips is None:
+        return cls
+    meta = class_audio_meta_udf()
+    return (
+        cls.join(clips.select(F.col("clip_id").alias("rep"), "bytes"), "rep")
+        .withColumn("_m", meta(F.col("bytes")))
+        .select(
+            "text_key", "audio_key", "rep", "n_members",
+            F.col("_m.decode_ok").alias("decode_ok"),
+            F.col("_m.n_samples").alias("n_samples"),
+            F.col("_m.digest").alias("digest"),
+        )
+    )
+
+
+def class_audio_meta_udf():
+    """pandas UDF: wav bytes -> struct(decode_ok, n_samples, digest).
+
+    Runs once per audio class representative; the digest feeds the exact
+    allclose pre-screen (audio.pcm_digest)."""
+    from locality_sensitive_hashing_spark import audio as A
+
+    @F.pandas_udf("decode_ok boolean, n_samples long, digest array<long>")
+    def compute(b: pd.Series) -> pd.DataFrame:
+        oks, ns, digs = [], [], []
+        for raw in b:
+            try:
+                pcm, _ = A.decode_wav(bytes(raw or b""))
+                ok = pcm.size > 0
+            except Exception:
+                pcm, ok = None, False
+            oks.append(ok)
+            ns.append(int(pcm.size) if ok else 0)
+            digs.append(A.pcm_digest(pcm).tolist() if ok else [])
+        return pd.DataFrame({"decode_ok": oks, "n_samples": ns, "digest": digs})
+
+    return compute
 
 
 def chain_edges(keyed: DataFrame) -> DataFrame:
@@ -117,20 +161,3 @@ def dropped_groups(classes: DataFrame, cfg: Config) -> DataFrame:
     return group_class_counts(classes).where(F.col("n_classes") > cfg.bucket_cap)
 
 
-def decode_ok_udf():
-    """pandas UDF: wav bytes -> decodable-and-nonempty boolean (used once
-    per audio class representative, not per pair)."""
-    from locality_sensitive_hashing_spark import audio as A
-
-    @F.pandas_udf("boolean")
-    def compute(b: pd.Series) -> pd.Series:
-        out = []
-        for raw in b:
-            try:
-                pcm, _ = A.decode_wav(bytes(raw or b""))
-                out.append(pcm.size > 0)
-            except Exception:
-                out.append(False)
-        return pd.Series(out)
-
-    return compute

@@ -36,7 +36,6 @@ from locality_sensitive_hashing_spark.operators.audio_verify import pcm_compare_
 from locality_sensitive_hashing_spark.operators.minhash import estimated_jaccard
 from locality_sensitive_hashing_spark.operators.simhash import hamming_distance
 from locality_sensitive_hashing_spark.operators.textgroup import (
-    decode_ok_udf,
     within_group_rep_pairs,
 )
 
@@ -124,14 +123,9 @@ def expand_and_verify(
     snr_thresh = F.lit(cfg.snr_db)
 
     # -- chain edges: byte-identical, dup iff payload decodes non-empty ---
-    dec = decode_ok_udf()
-    class_ok = (
-        classes.join(clips.select(F.col("clip_id").alias("rep"), "bytes"), "rep")
-        .withColumn("decode_ok", dec(F.col("bytes")))
-        .select("text_key", "audio_key", "rep", "decode_ok")
-    )
+    # (decode_ok was computed once per class in the audio_classes stage)
     chain = (
-        chains.join(class_ok.select("text_key", "audio_key", "decode_ok"),
+        chains.join(classes.select("text_key", "audio_key", "decode_ok"),
                     ["text_key", "audio_key"])
         .select(
             "id1", "id2",
@@ -157,9 +151,6 @@ def expand_and_verify(
         F.lit(0).alias("hamming"),
         F.lit(-1).cast("long").alias("lcs"),
     )
-    within = _audio_verdict(within, clips).withColumn(
-        "is_dup", F.col("allclose") & (F.col("snr_db") >= snr_thresh)
-    )
 
     # -- cross-group representative pairs over passing text pairs ---------
     counts = classes.groupBy("text_key").agg(F.count("*").alias("n_classes"))
@@ -182,12 +173,50 @@ def expand_and_verify(
             "hamming", "lcs",
         )
     )
-    cross = _audio_verdict(cross, clips).withColumn(
+
+    # -- unified rep-pair verdict: JVM digest screen, then PCM UDF --------
+    # Representative pairs join 256-byte class digests (NOT payloads);
+    # a sound allclose bound (audio.pcm_digest) rejects provable non-dups
+    # entirely JVM-side; only screen survivors join actual bytes and cross
+    # into the Python PCM UDF. Rejected pairs get (allclose=False,
+    # snr_db=-inf, is_dup=False) -- exactly what the full compare would
+    # conclude for allclose/is_dup (snr_db for rejected pairs is reported
+    # as -inf by convention; the numpy oracle applies the identical rule).
+    rep_pairs = within.unionByName(cross)
+    meta1 = classes.select(
+        F.col("rep").alias("id1"), F.col("decode_ok").alias("_ok1"),
+        F.col("n_samples").alias("_n1"), F.col("digest").alias("_g1"),
+    )
+    meta2 = classes.select(
+        F.col("rep").alias("id2"), F.col("decode_ok").alias("_ok2"),
+        F.col("n_samples").alias("_n2"), F.col("digest").alias("_g2"),
+    )
+    screened = (
+        rep_pairs.join(meta1, "id1")
+        .join(meta2, "id2")
+        .withColumn(
+            "_maybe_dup",
+            F.col("_ok1") & F.col("_ok2")
+            & (F.col("_n1") == F.col("_n2")) & (F.col("_n1") > 0)
+            & F.forall(
+                F.zip_with("_g1", "_g2", lambda x, y: F.abs(x - y) <= 1),
+                lambda v: v,
+            ),
+        )
+        .drop("_ok1", "_ok2", "_n1", "_n2", "_g1", "_g2")
+    )
+    survivors = _audio_verdict(screened.where("_maybe_dup"), clips).withColumn(
         "is_dup", F.col("allclose") & (F.col("snr_db") >= snr_thresh)
+    )
+    rejected = screened.where(~F.col("_maybe_dup")).select(
+        "*",
+        F.lit(False).alias("allclose"),
+        F.lit(_NEG_INF).alias("snr_db"),
+        F.lit(False).alias("is_dup"),
     )
 
     return (
         chain.select(*VERIFIED_COLUMNS)
-        .unionByName(within.select(*VERIFIED_COLUMNS))
-        .unionByName(cross.select(*VERIFIED_COLUMNS))
+        .unionByName(survivors.select(*VERIFIED_COLUMNS))
+        .unionByName(rejected.select(*VERIFIED_COLUMNS))
     )

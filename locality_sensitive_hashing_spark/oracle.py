@@ -38,7 +38,8 @@ NEG_INF = float("-inf")
 @dataclass
 class OracleResult:
     keyed: pd.DataFrame  # clip_id, norm, text_key, audio_key
-    texts: pd.DataFrame  # text_key, norm
+    texts: pd.DataFrame  # text_key, norm; audio_classes carries the
+    # per-class decode metadata + quantized digest (same screen as Spark)
     shingles: pd.DataFrame  # text_key, shingles (sorted distinct int64 list)
     signatures: pd.DataFrame  # text_key, sig
     simhash: pd.DataFrame  # text_key, fingerprint
@@ -63,12 +64,15 @@ def _pairs_from_groups(groups: dict) -> set[tuple[str, str]]:
     return pairs
 
 
-def _decode_ok(raw: bytes) -> bool:
+def _class_meta(raw: bytes) -> tuple[bool, int, np.ndarray]:
+    """(decode_ok, n_samples, digest) -- mirrors class_audio_meta_udf."""
     try:
         pcm, _ = audio_mod.decode_wav(raw)
-        return pcm.size > 0
+        if pcm.size > 0:
+            return True, int(pcm.size), audio_mod.pcm_digest(pcm)
     except Exception:
-        return False
+        pass
+    return False, 0, np.empty(0, dtype=np.int64)
 
 
 def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
@@ -188,15 +192,18 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
         .agg(rep=("clip_id", "min"), n_members=("clip_id", "size"))
         .reset_index()
     )
+    meta = {r.rep: _class_meta(bytes(blobs[r.rep])) for r in cls.itertuples()}
+    cls["decode_ok"] = [meta[r][0] for r in cls["rep"]]
+    cls["n_samples"] = [meta[r][1] for r in cls["rep"]]
+    cls["digest"] = [meta[r][2].tolist() for r in cls["rep"]]
     classes_df = cls.sort_values(["text_key", "audio_key"]).reset_index(drop=True)
-    n_classes = cls.groupby("text_key").size().to_dict()
+    n_classes = cls.groupby("text_key")["rep"].size().to_dict()
     dropped_groups_df = pd.DataFrame(
         sorted((tk, n) for tk, n in n_classes.items() if n > cfg.bucket_cap),
         columns=["text_key", "n_classes"],
     )
     class_decode_ok = {
-        (r.text_key, r.audio_key): _decode_ok(bytes(blobs[r.rep]))
-        for r in cls.itertuples()
+        (r.text_key, r.audio_key): r.decode_ok for r in cls.itertuples()
     }
 
     ver_rows = []
@@ -211,6 +218,13 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
             )
 
     def pcm(rep1: str, rep2: str) -> tuple[bool, float, bool]:
+        """Digest-screened PCM verdict (same rule as operators/verify.py)."""
+        ok1, n1, g1 = meta[rep1]
+        ok2, n2, g2 = meta[rep2]
+        if not (ok1 and ok2) or n1 != n2 or n1 == 0:
+            return False, NEG_INF, False
+        if (np.abs(g1 - g2) > 1).any():  # provable allclose failure
+            return False, NEG_INF, False
         close, snr = audio_mod.pcm_compare(bytes(blobs[rep1]), bytes(blobs[rep2]))
         return close, snr, bool(close and snr >= cfg.snr_db)
 

@@ -173,7 +173,7 @@ class DedupPipeline:
         )
 
         def build_classes():
-            cl = audio_classes(keyed)
+            cl = audio_classes(keyed, clips)
             self.io.write(dropped_groups(cl, cfg), "dropped_groups", cfg.config_id)
             return cl
 

@@ -36,6 +36,11 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # pair-verification joins pull rep payloads (tens of MB at test
+        # scale) onto candidate pairs; let Spark broadcast up to 64 MB
+        # instead of shuffling byte payloads through sort-merge. On a real
+        # cluster AQE still falls back to SMJ when runtime sizes exceed it.
+        .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow transfer for the four vectorized UDFs (no per-row Python)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")

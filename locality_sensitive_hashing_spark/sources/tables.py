@@ -98,12 +98,16 @@ class TableIO:
         return os.path.join(self.root, table)
 
     def write(self, df: DataFrame, table: str, config_id: str,
-              mode: str = "overwrite") -> int:
-        """Atomically (re)place `table` with `df`; returns row count."""
+              mode: str = "overwrite") -> None:
+        """Atomically (re)place `table` with `df`.
+
+        Row counts are NOT recomputed here -- the metrics stage (O23)
+        already aggregates per-partition counts over the written output;
+        one scan instead of two.
+        """
         final = self._path(table)
         tmp = f"{final}.__tmp_{int(time.time() * 1000)}"
         df.write.mode("overwrite").parquet(tmp)
-        n = self.spark.read.parquet(tmp).count()
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
@@ -111,12 +115,10 @@ class TableIO:
             {
                 "table": table,
                 "config_id": config_id,
-                "rows": n,
                 "ts": time.time(),
                 "schema": df.schema.simpleString(),
             }
         )
-        return n
 
     def append(self, df: DataFrame, table: str, config_id: str) -> None:
         """Append-only tables (metrics/lineage)."""

@@ -94,6 +94,10 @@ def test_audio_classes_exact(pipeline_run, corpus):
     exp = oracle.audio_classes
     assert list(got.rep) == list(exp.rep)
     assert list(got.n_members) == list(exp.n_members)
+    assert list(got.decode_ok) == list(exp.decode_ok)
+    assert list(got.n_samples) == list(exp.n_samples)
+    for g, e in zip(got.digest, exp.digest):
+        assert list(g) == list(e)
 
 
 def test_verified_edges_and_recall(pipeline_run, corpus):
