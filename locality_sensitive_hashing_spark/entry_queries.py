@@ -433,6 +433,22 @@ WITH r AS (SELECT lang, doc_id, n_chars,
            FROM documents)
 SELECT lang, doc_id, n_chars, CAST(rn AS INT) AS rn FROM r WHERE rn <= 3
 """,
+    "ann_topk_per_query": """
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 60),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, generate_subscripts(embedding, 1) AS i FROM e),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM u GROUP BY vec_id),
+dots AS (SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+         FROM u a JOIN u b ON a.i = b.i AND a.vec_id <> b.vec_id
+         GROUP BY a.vec_id, b.vec_id),
+scored AS (SELECT d.query_id, d.neighbor_id, d.dot / (n1.nv * n2.nv) AS c
+           FROM dots d JOIN nrm n1 ON n1.vec_id = d.query_id
+                        JOIN nrm n2 ON n2.vec_id = d.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, round(c, 6) AS cosine,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
     "sql_dedup_clusters": f"""
 WITH RECURSIVE {_sql_edges_subquery().lstrip()},
 keyed AS (SELECT lpad(CAST(id1 AS VARCHAR), 8, '0') AS id1,
@@ -514,6 +530,52 @@ def q_full_pipeline_clusters(spark, sf_dir):
     return run_flagship(spark, sf_dir)
 
 
+def q_ann_topk_per_query(spark, sf_dir):
+    """Exact cosine top-3 per query vector (brute-force ANN baseline) --
+    SQL-checked against a DuckDB window-rank replica."""
+    from locality_sensitive_hashing_spark.operators.ann import brute_force_topk
+
+    emb = read_testdata(spark, sf_dir, "embeddings").where(F.col("vec_id") < 60)
+    return brute_force_topk(emb, k=3)
+
+
+def q_ann_lsh_topk(spark, sf_dir):
+    """Hyperplane-LSH approximate top-3 (rows-only: seeded hyperplanes
+    aren't SQL-reproducible; recall-vs-brute-force is pytest-gated)."""
+    from locality_sensitive_hashing_spark.operators.ann import lsh_ann_topk
+
+    emb = read_testdata(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    return lsh_ann_topk(emb, k=3, n_planes=16, bands=4, seed=CFG.seed)
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
+    from locality_sensitive_hashing_spark.operators.ann import (
+        embedding_near_dup_pairs,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, threshold=0.9, seed=CFG.seed)
+
+
+def q_audio_features(spark, sf_dir):
+    """Real multimodal decode: per-clip audio features over clips derived
+    from the documents table (rows-only -- audio synthesis + WAV decode
+    are not SQL)."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents
+    from locality_sensitive_hashing_spark.operators.multimodal import audio_features
+    from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA
+
+    docs = (
+        read_testdata(spark, sf_dir, "documents")
+        .select("doc_id", "text").limit(200).toPandas()
+    )
+    clips = spark.createDataFrame(
+        clips_from_documents(docs, seed=CFG.seed), schema=CLIPS_SCHEMA
+    )
+    return audio_features(clips)
+
+
 QUERIES_SQL_CHECKED = {
     "normalize_transcripts": q_normalize,
     "shingle_explode": q_shingle_explode,
@@ -531,6 +593,7 @@ QUERIES_SQL_CHECKED = {
     "events_type_agg": q_events_type_agg,
     "top_docs_per_lang": q_top_docs_per_lang,
     "sql_dedup_clusters": q_sql_dedup_clusters,
+    "ann_topk_per_query": q_ann_topk_per_query,
 }
 
 QUERIES_ROWS_ONLY = {
@@ -540,6 +603,9 @@ QUERIES_ROWS_ONLY = {
     "simhash_candidates": q_simhash_candidates,
     "sa_substring_candidates": q_sa_candidates,
     "full_pipeline_clusters": q_full_pipeline_clusters,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "audio_features": q_audio_features,
 }
 
 

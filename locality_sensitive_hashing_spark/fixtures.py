@@ -223,10 +223,16 @@ def bench_clips_df(spark, sf_dir: str, replicate: int = 20, seed: int = 42):
     EXECUTORS via mapInPandas (deterministic per (doc_id, rep) substream),
     so corpus construction itself scales with the cluster.
 
-    rep 1 reuses rep 0's audio substream -> one exact audio+transcript dup
-    pair per doc (real clusters); reps >= 2 share the transcript but carry
-    different audio -> heavy candidate load that must FAIL audio verify
-    (the expensive realistic path).
+    Web-scale-realistic duplication mix per document family:
+    - rep 0: the original (text + audio)
+    - rep 1: byte-identical audio + identical transcript (exact dup ->
+      chain edge, real cluster)
+    - reps >= 2: NEAR-VARIANT transcript (1-3 deterministic token
+    substitutions) + unique audio -> every replica is distinct content
+    that must flow through the full detector + digest-screen path and
+    then FAIL audio verify. This makes the bench compute-bound in the
+    parallel stages (signatures, banding joins, Jaccard estimates,
+    screens) rather than in fixed per-stage overhead.
     """
     from pyspark.sql import functions as F
 
@@ -243,12 +249,17 @@ def bench_clips_df(spark, sf_dir: str, replicate: int = 20, seed: int = 42):
         for pdf in batches:
             out = []
             for doc_id, text, rep in zip(pdf["doc_id"], pdf["text"], pdf["rep"]):
-                audio_rep = 0 if rep == 1 else int(rep)
+                rep = int(rep)
+                audio_rep = 0 if rep == 1 else rep
                 rng = np.random.default_rng([seed, int(doc_id), audio_rep])
                 sr, dur = 8000, 250
                 raw = A.encode_wav(A.synth_pcm(rng, sr, dur), sr, "pcm_s16le")
+                if rep >= 2:
+                    trng = np.random.default_rng([seed, int(doc_id), rep, 1])
+                    toks = str(text).split()
+                    text = " ".join(_substitute(trng, toks, 1 + rep % 3))
                 out.append(
-                    (f"doc{int(doc_id):08d}r{int(rep):02d}", raw, sr, dur,
+                    (f"doc{int(doc_id):08d}r{rep:02d}", raw, sr, dur,
                      "pcm_s16le", text)
                 )
             yield pd.DataFrame(

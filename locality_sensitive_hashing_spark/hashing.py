@@ -288,6 +288,27 @@ def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
+def lcs_at_least(t1: str, t2: str, min_len: int) -> int:
+    """Exact LCS length if >= min_len, else -1 -- with an O(n) screen.
+
+    LCS(t1, t2) >= L holds iff the texts share some L-gram, so
+    intersecting hashed L-gram sets (vectorized, ~20x cheaper than the
+    suffix array) soundly rejects pairs below the threshold; only
+    survivors pay for the exact SA+LCP length. Equal-gram hashes are
+    equal, so a false reject is impossible; a hash-collision false PASS
+    is corrected by the exact computation. Used by the SA detector's
+    per-pair verifier (Spark UDF and numpy oracle alike).
+    """
+    g1 = hash_kgrams(t1, min_len)
+    g2 = hash_kgrams(t2, min_len)
+    if g1.size == 0 or g2.size == 0:
+        return -1
+    if np.intersect1d(g1, g2, assume_unique=False).size == 0:
+        return -1
+    lcs = longest_common_substring_len(t1, t2)
+    return lcs if lcs >= min_len else -1
+
+
 def longest_common_substring_len(t1: str, t2: str) -> int:
     """Exact longest-common-substring length via SA + LCP on t1#t2$.
 

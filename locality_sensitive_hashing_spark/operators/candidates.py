@@ -80,17 +80,23 @@ def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
 
 
 def salted_repartition(
-    df: DataFrame, cfg: Config, *cols: str, n_partitions: int | None = None
+    df: DataFrame,
+    cfg: Config,
+    *key_cols: str,
+    salt_from: str = "clip_id",
+    n_partitions: int | None = None,
 ) -> DataFrame:
-    """Repartition by (cols..., salt) to split hot keys (O24).
+    """Repartition by (key_cols..., salt) to split hot keys (O24).
 
-    salt = pmod(xxhash64(all columns), salt_buckets) -- deterministic, so
-    resumed runs produce identical partitioning. Used in front of UDF
-    stages when the upstream distribution is skewed (e.g. clips clustered
-    by source shard).
+    The salt MUST derive from a column that varies within a hot key
+    (default: the row id), otherwise a hot key still lands on one
+    partition. salt = pmod(xxhash64(salt_from), salt_buckets) --
+    deterministic, so resumed runs produce identical partitioning. Used
+    in front of UDF stages when the upstream distribution is skewed
+    (e.g. clips clustered by source shard).
     """
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(cfg.salt_buckets))
-    args = [F.col(c) for c in cols] + [salt]
+    salt = F.pmod(F.xxhash64(F.col(salt_from)), F.lit(cfg.salt_buckets))
+    args = [F.col(c) for c in key_cols] + [salt]
     return (
         df.repartition(n_partitions, *args)
         if n_partitions

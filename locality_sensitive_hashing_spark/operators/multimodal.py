@@ -1,0 +1,169 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+The pattern a 100 TB training-data pipeline needs: media rides as a
+`binary` column with typed metadata; decode / feature-extract / resize /
+frame-sample are Arrow-batched `mapInPandas` operators so payloads stream
+through Python workers in bounded batches (session.py caps Arrow batch
+rows), never materializing per-executor.
+
+Audio is REAL here (the numpy WAV kernel).  Image decode/resize and video
+frame-sampling are STUBS: the sandbox has no image/video libraries
+(SURVEY.md Appendix A), so the Spark-side plumbing (schema, partitioning,
+UDF signature, batch shape) is real and tested, while the codec call is
+either a clearly-marked NotImplementedError (strict mode) or a
+deterministic fake derived from the payload bytes (plumbing-test mode).
+Swap `_decode_image_stub` for PIL/libvips on a real cluster.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from locality_sensitive_hashing_spark import audio as A
+
+AUDIO_FEATURES_SCHEMA = (
+    "clip_id string, decode_ok boolean, n_samples long, sr_hz int, "
+    "duration_s double, rms double, peak double, clipping_ratio double"
+)
+
+IMAGE_META_SCHEMA = (
+    "image_id string, decode_ok boolean, width int, height int, "
+    "channels int, mean_luma double"
+)
+
+FRAME_SAMPLE_SCHEMA = (
+    "video_id string, frame_index long, frame_ts_s double, frame_digest string"
+)
+
+
+def audio_features(clips: DataFrame) -> DataFrame:
+    """Real audio feature extraction: decode -> duration/RMS/peak/clipping.
+
+    mapInPandas so each Arrow batch decodes in one Python call; input only
+    needs (clip_id, bytes) -- Catalyst prunes the rest at the scan.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    pcm, sr = A.decode_wav(bytes(raw or b""))
+                    if pcm.size == 0:
+                        raise ValueError("empty")
+                    rows.append((
+                        cid, True, int(pcm.size), int(sr),
+                        float(pcm.size / sr),
+                        float(np.sqrt(np.mean(pcm * pcm))),
+                        float(np.abs(pcm).max()),
+                        float(np.mean(np.abs(pcm) >= 0.999)),
+                    ))
+                except Exception:
+                    rows.append((cid, False, 0, 0, 0.0, 0.0, 0.0, 0.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "decode_ok", "n_samples", "sr_hz",
+                         "duration_s", "rms", "peak", "clipping_ratio"],
+            )
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        extract, AUDIO_FEATURES_SCHEMA
+    )
+
+
+def _decode_image_stub(raw: bytes, strict: bool) -> tuple[int, int, int, float]:
+    """STUB image decode. No image libs in this environment.
+
+    strict=True raises NotImplementedError (production posture until a
+    codec library is wired in); strict=False returns a deterministic fake
+    derived from the payload (so the distributed plumbing is testable):
+    width/height from a digest of the bytes, mean_luma = mean byte / 255.
+    """
+    if strict:
+        raise NotImplementedError(
+            "image decode requires PIL/libvips; not available in this sandbox"
+        )
+    d = hashlib.sha256(raw).digest()
+    width = 16 + d[0] % 64
+    height = 16 + d[1] % 64
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    luma = float(arr.mean() / 255.0) if arr.size else 0.0
+    return width, height, 3, luma
+
+
+def image_metadata(
+    images: DataFrame, strict: bool = False,
+    id_col: str = "image_id", bytes_col: str = "bytes",
+) -> DataFrame:
+    """Image decode plumbing: (image_id, bytes) -> typed metadata rows.
+
+    Decode itself is the stub above; everything Spark-side (projection,
+    Arrow batching, schema) is production-shaped.
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for iid, raw in zip(pdf[id_col], pdf[bytes_col]):
+                try:
+                    w, h, c, luma = _decode_image_stub(bytes(raw or b""), strict)
+                    rows.append((iid, True, w, h, c, luma))
+                except NotImplementedError:
+                    raise
+                except Exception:
+                    rows.append((iid, False, 0, 0, 0, 0.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["image_id", "decode_ok", "width", "height",
+                         "channels", "mean_luma"],
+            )
+
+    return images.select(
+        images[id_col].alias(id_col), images[bytes_col].alias(bytes_col)
+    ).mapInPandas(extract, IMAGE_META_SCHEMA)
+
+
+def frame_sample(
+    videos: DataFrame, fps_sample: float = 1.0, strict: bool = False,
+    id_col: str = "video_id", bytes_col: str = "bytes",
+    duration_col: str = "dur_ms",
+) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame.
+
+    STUB decode: frame content is a deterministic digest of
+    (payload bytes, frame index); the row explosion, timestamps and batch
+    shape are the real distributed pattern (1 input row -> ceil(dur *
+    fps_sample) output rows via mapInPandas).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for vid, raw, dur_ms in zip(
+                pdf[id_col], pdf[bytes_col], pdf[duration_col]
+            ):
+                if strict:
+                    raise NotImplementedError(
+                        "video decode requires ffmpeg/pyav; not in this sandbox"
+                    )
+                dur_s = float(dur_ms) / 1000.0
+                n_frames = max(1, int(np.ceil(dur_s * fps_sample)))
+                base = hashlib.sha256(bytes(raw or b"")).hexdigest()[:16]
+                for i in range(n_frames):
+                    rows.append((vid, i, i / fps_sample,
+                                 hashlib.sha256(f"{base}:{i}".encode()).hexdigest()[:16]))
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "frame_index", "frame_ts_s", "frame_digest"],
+            )
+
+    return videos.select(
+        videos[id_col].alias(id_col),
+        videos[bytes_col].alias(bytes_col),
+        videos[duration_col].alias(duration_col),
+    ).mapInPandas(extract, FRAME_SAMPLE_SCHEMA)

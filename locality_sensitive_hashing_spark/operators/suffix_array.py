@@ -59,19 +59,43 @@ def with_anchors(
     )
 
 
-def lcs_udf():
-    """pandas UDF: (norm1, norm2) -> exact LCS length via SA + LCP."""
+def lcs_udf(min_len: int):
+    """pandas UDF: (norm1, norm2) -> exact LCS if >= min_len else -1.
+
+    Shared-gram screen first (O(n)), exact SA+LCP only for survivors
+    (hashing.lcs_at_least -- identical kernel in the numpy oracle)."""
 
     @F.pandas_udf("long")
     def compute(t1: pd.Series, t2: pd.Series) -> pd.Series:
         return pd.Series(
-            [
-                H.longest_common_substring_len(a or "", b or "")
-                for a, b in zip(t1, t2)
-            ]
+            [H.lcs_at_least(a or "", b or "", min_len) for a, b in zip(t1, t2)]
         )
 
     return compute
+
+
+def sa_anchor_pairs(
+    signatures: DataFrame,
+    cfg: Config,
+    norm_col: str = "norm",
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """UNVERIFIED substring candidates: pairs sharing a winnowing anchor.
+
+    The exact LCS verify is deferred to text-pair verification
+    (operators/verify.py), which computes it ONLY for pairs whose verdict
+    depends on it (est-Jaccard and Hamming both below their thresholds) --
+    for every other pair the LCS value cannot change text_ok, and skipping
+    the suffix-array build there is the difference between ~1M and ~10k SA
+    constructions on a near-dup-heavy corpus. Detector tag 'sa' means
+    "shared a winnowing anchor" (candidacy provenance).
+    """
+    anchors = with_anchors(
+        signatures.select(id_col, norm_col), cfg, norm_col, id_col
+    )
+    return pairs_from_blocks(
+        anchors, ["anchor"], cfg.bucket_cap, "sa", id_col=id_col
+    )
 
 
 def sa_candidates(
@@ -80,19 +104,22 @@ def sa_candidates(
     norm_col: str = "norm",
     id_col: str = "clip_id",
 ) -> DataFrame:
-    """Verified substring-candidate pairs (LCS >= sa_min_len).
+    """Verified substring-candidate pairs (LCS >= sa_min_len) -- anchor
+    blocking + exact verify in one operator.
 
     ``signatures`` must carry (id, norm) -- the signature stage output
     is reused so normalization happens once. The LCS verify joins the two
     normalized texts back onto the (small) candidate set, never the corpus.
+
+    Kept as the standalone SA-detector operator (rows-only driver query);
+    the pipeline uses :func:`sa_anchor_pairs` + deferred verification in
+    operators/verify.py instead, so the expensive exact LCS runs only
+    where the verdict depends on it.
     """
-    anchors = with_anchors(
-        signatures.select(id_col, norm_col), cfg, norm_col, id_col
-    )
-    pairs = pairs_from_blocks(anchors, ["anchor"], cfg.bucket_cap, "sa", id_col=id_col)
+    pairs = sa_anchor_pairs(signatures, cfg, norm_col, id_col)
     t1 = signatures.select(F.col(id_col).alias("id1"), F.col(norm_col).alias("t1"))
     t2 = signatures.select(F.col(id_col).alias("id2"), F.col(norm_col).alias("t2"))
-    lcs = lcs_udf()
+    lcs = lcs_udf(cfg.sa_min_len)
     return (
         pairs.join(t1, "id1")
         .join(t2, "id2")

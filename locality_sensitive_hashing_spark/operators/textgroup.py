@@ -111,18 +111,21 @@ def class_audio_meta_udf():
 
 
 def chain_edges(keyed: DataFrame) -> DataFrame:
-    """Linear within-class edges: consecutive clip_ids of each audio class.
+    """Star within-class edges: every member links to its class rep.
 
-    Byte-equality is transitive, so a path is as good as a clique for
-    connected components -- O(n) edges instead of O(n^2).
-    Columns: (id1, id2, text_key, audio_key).
+    Byte-equality is transitive, so a STAR on the representative (min
+    clip_id) is as good as a clique for connected components -- O(n)
+    edges like a path, but diameter 2 instead of n-1, so min-label
+    propagation converges in O(1) rounds even for classes with millions
+    of byte-identical members. Columns: (id1, id2, text_key, audio_key),
+    id1 = rep < id2.
     """
-    w = Window.partitionBy("text_key", "audio_key").orderBy("clip_id")
+    w = Window.partitionBy("text_key", "audio_key")
     return (
-        keyed.withColumn("_prev", F.lag("clip_id").over(w))
-        .where(F.col("_prev").isNotNull())
+        keyed.withColumn("_rep", F.min("clip_id").over(w))
+        .where(F.col("clip_id") != F.col("_rep"))
         .select(
-            F.col("_prev").alias("id1"),
+            F.col("_rep").alias("id1"),
             F.col("clip_id").alias("id2"),
             "text_key",
             "audio_key",

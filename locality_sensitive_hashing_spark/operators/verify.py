@@ -52,18 +52,34 @@ def verify_text_pairs(
     candidates: DataFrame,
     signatures: DataFrame,
     fingerprints: DataFrame,
-    sa_pairs: DataFrame | None,
     cfg: Config,
 ) -> DataFrame:
     """Attach text-level metrics + text_ok to candidate text pairs.
 
     ``candidates``: (id1, id2, detectors) keyed by text_key;
     ``signatures``: (text_key, norm, sig); ``fingerprints``:
-    (text_key, fingerprint); ``sa_pairs``: (id1, id2, lcs) or None.
+    (text_key, fingerprint).
     Output: (tk1, tk2, detectors, est_jaccard, hamming, lcs, text_ok).
+
+    The exact LCS (suffix array + LCP) is computed ONLY for pairs whose
+    verdict depends on it: anchor-candidates ('sa' in detectors) with
+    est-Jaccard and Hamming both below their thresholds. For every other
+    pair lcs cannot change text_ok and is reported as -1 (not computed) --
+    the numpy oracle applies the identical rule, and the cluster output
+    is provably unchanged vs computing LCS everywhere.
     """
-    s1 = signatures.select(F.col("text_key").alias("id1"), F.col("sig").alias("sig1"))
-    s2 = signatures.select(F.col("text_key").alias("id2"), F.col("sig").alias("sig2"))
+    from locality_sensitive_hashing_spark.operators.suffix_array import lcs_udf
+
+    s1 = signatures.select(
+        F.col("text_key").alias("id1"),
+        F.col("sig").alias("sig1"),
+        F.col("norm").alias("norm1"),
+    )
+    s2 = signatures.select(
+        F.col("text_key").alias("id2"),
+        F.col("sig").alias("sig2"),
+        F.col("norm").alias("norm2"),
+    )
     f1 = fingerprints.select(F.col("text_key").alias("id1"), F.col("fingerprint").alias("f1"))
     f2 = fingerprints.select(F.col("text_key").alias("id2"), F.col("fingerprint").alias("f2"))
     df = (
@@ -75,11 +91,24 @@ def verify_text_pairs(
         .withColumn("hamming", hamming_distance(F.col("f1"), F.col("f2")).cast("int"))
         .drop("sig1", "sig2", "f1", "f2")
     )
-    if sa_pairs is not None:
-        df = df.join(sa_pairs.select("id1", "id2", "lcs"), ["id1", "id2"], "left")
-        df = df.withColumn("lcs", F.coalesce(F.col("lcs"), F.lit(-1)).cast("long"))
-    else:
-        df = df.withColumn("lcs", F.lit(-1).cast("long"))
+    needs_lcs = (
+        F.array_contains("detectors", "sa")
+        & (F.col("est_jaccard") < F.lit(cfg.jaccard_threshold))
+        & (F.col("hamming") > F.lit(cfg.hamming_t))
+    )
+    # filter -> compute -> left-join back: Spark hoists Python UDFs out of
+    # CASE WHEN into eager ArrowEvalPython nodes, so a `when(needs_lcs,
+    # udf)` would still SA-verify every row; a filtered subframe cannot.
+    lcs = lcs_udf(cfg.sa_min_len)
+    lcs_subset = (
+        df.where(needs_lcs)
+        .select("id1", "id2", lcs(F.col("norm1"), F.col("norm2")).alias("_lcs"))
+    )
+    df = (
+        df.join(lcs_subset, ["id1", "id2"], "left")
+        .withColumn("lcs", F.coalesce(F.col("_lcs"), F.lit(-1)).cast("long"))
+        .drop("_lcs", "norm1", "norm2")
+    )
     text_ok = (
         (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
         | (F.col("hamming") <= F.lit(cfg.hamming_t))

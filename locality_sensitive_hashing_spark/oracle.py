@@ -146,20 +146,14 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
         if H.hamming64(fps[p[0]], fps[p[1]]) <= cfg.hamming_t
     }
 
-    # --- suffix-array text candidates: winnowing + exact LCS (O15) ---
+    # --- suffix-array anchor candidates (O15 blocking; LCS deferred) ---
     gram_len, window = H.sa_params(cfg)
     agroups: dict[int, list[str]] = {}
     for tk, norm in norm_of.items():
         for anc in H.winnow_anchors(norm, gram_len, window).tolist():
             agroups.setdefault(anc, []).append(tk)
     akept = {k: m for k, m in agroups.items() if 1 < len(m) <= cfg.bucket_cap}
-    lcs_cache: dict[tuple[str, str], int] = {}
-    sa_pairs = set()
-    for p in _pairs_from_groups(akept):
-        lcs = H.longest_common_substring_len(norm_of[p[0]], norm_of[p[1]])
-        if lcs >= cfg.sa_min_len:
-            sa_pairs.add(p)
-            lcs_cache[p] = lcs
+    sa_pairs = _pairs_from_groups(akept)
 
     # --- union + text-pair verification (O16, O11, O20) ---
     all_pairs: dict[tuple[str, str], set[str]] = {}
@@ -174,7 +168,15 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
     for (tk1, tk2), dets in sorted(all_pairs.items()):
         est_j = float((sigs[tk1] == sigs[tk2]).mean())
         ham = H.hamming64(fps[tk1], fps[tk2])
-        lcs = lcs_cache.get((tk1, tk2), -1)
+        # exact LCS only where the verdict depends on it (same lazy rule
+        # as operators/verify.py)
+        lcs = -1
+        if (
+            "sa" in dets
+            and est_j < cfg.jaccard_threshold
+            and ham > cfg.hamming_t
+        ):
+            lcs = H.lcs_at_least(norm_of[tk1], norm_of[tk2], cfg.sa_min_len)
         text_ok = (
             est_j >= cfg.jaccard_threshold
             or ham <= cfg.hamming_t
@@ -209,11 +211,11 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
     ver_rows = []
     members = keyed.sort_values("clip_id").groupby(["text_key", "audio_key"])["clip_id"]
     for (tk, ak), ms in members:
-        ids = ms.tolist()
+        ids = ms.tolist()  # sorted; ids[0] is the class rep
         ok = class_decode_ok[(tk, ak)]
-        for i in range(len(ids) - 1):
+        for other in ids[1:]:  # star on the rep (diameter 2)
             ver_rows.append(
-                (ids[i], ids[i + 1], "chain", ["exact"], 1.0, True, 0, -1,
+                (ids[0], other, "chain", ["exact"], 1.0, True, 0, -1,
                  ok, INF if ok else NEG_INF, ok)
             )
 

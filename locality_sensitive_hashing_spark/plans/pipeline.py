@@ -62,7 +62,7 @@ from locality_sensitive_hashing_spark.operators.simhash import (
     simhash_candidates,
     with_fingerprint,
 )
-from locality_sensitive_hashing_spark.operators.suffix_array import sa_candidates
+from locality_sensitive_hashing_spark.operators.suffix_array import sa_anchor_pairs
 from locality_sensitive_hashing_spark.operators.textgroup import (
     audio_classes,
     chain_edges,
@@ -155,21 +155,20 @@ class DedupPipeline:
                     lambda: simhash_candidates(fingerprints, cfg, id_col="text_key"),
                 )
             )
-        sa_pairs = None
         if "sa" in self.detectors:
-            sa_pairs = self._stage(
-                "cand_sa", lambda: sa_candidates(signatures, cfg, id_col="text_key")
+            cand_parts.append(
+                self._stage(
+                    "cand_sa",
+                    lambda: sa_anchor_pairs(signatures, cfg, id_col="text_key"),
+                )
             )
-            cand_parts.append(sa_pairs.select("id1", "id2", "detector"))
 
         candidates = self._stage(
             "candidates", lambda: union_candidates(*cand_parts)
         )
         text_verified = self._stage(
             "text_verified",
-            lambda: verify_text_pairs(
-                candidates, signatures, fingerprints, sa_pairs, cfg
-            ),
+            lambda: verify_text_pairs(candidates, signatures, fingerprints, cfg),
         )
 
         def build_classes():

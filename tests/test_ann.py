@@ -1,0 +1,82 @@
+"""ANN operators: brute-force exactness, LSH recall, near-dup pairs."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark.operators.ann import (
+    brute_force_topk,
+    cosine,
+    embedding_near_dup_pairs,
+    lsh_ann_topk,
+)
+
+
+@pytest.fixture(scope="module")
+def emb_df(spark):
+    """60 clustered vectors: 12 well-separated centers x 5 near-copies."""
+    rng = np.random.default_rng(9)
+    rows = []
+    centers = rng.standard_normal((12, 16)) * 4
+    vid = 0
+    for c in centers:
+        for _ in range(5):
+            v = c + rng.standard_normal(16) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    ).cache()
+
+
+def test_cosine_expr(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]),
+         ([1.0, 1.0], [1.0, 0.0])],
+        "a array<double>, b array<double>",
+    )
+    got = df.select(F.round(cosine(F.col("a"), F.col("b")), 6).alias("c")).toPandas()
+    assert got.c.tolist() == [1.0, 0.0, round(1 / np.sqrt(2), 6)]
+
+
+def test_brute_force_topk_matches_numpy(emb_df):
+    got = brute_force_topk(emb_df, k=3).toPandas()
+    pdf = emb_df.toPandas()
+    vecs = {r.vec_id: np.array(r.embedding) for r in pdf.itertuples()}
+    for qid in list(vecs)[:10]:
+        sims = sorted(
+            (
+                (-np.dot(vecs[qid], v) / (np.linalg.norm(vecs[qid]) * np.linalg.norm(v)), nid)
+                for nid, v in vecs.items()
+                if nid != qid
+            )
+        )[:3]
+        exp = [nid for _s, nid in sims]
+        g = got[got.query_id == qid].sort_values("rank").neighbor_id.tolist()
+        assert g == exp, f"query {qid}"
+
+
+def test_lsh_ann_recall_vs_bruteforce(emb_df):
+    """LSH top-1 must find the true nearest neighbor for nearly every
+    query on a clustered corpus (same-cluster vectors share sign buckets
+    w.h.p.)."""
+    bf = brute_force_topk(emb_df, k=1).toPandas().set_index("query_id")
+    ann = lsh_ann_topk(emb_df, k=1, n_planes=16, bands=4, seed=42).toPandas()
+    ann = ann.set_index("query_id")
+    hits = sum(
+        1 for q in bf.index
+        if q in ann.index and ann.loc[q].neighbor_id == bf.loc[q].neighbor_id
+    )
+    assert hits / len(bf) >= 0.9, f"ANN top-1 recall {hits / len(bf)}"
+
+
+def test_embedding_near_dup_pairs(emb_df):
+    pairs = embedding_near_dup_pairs(emb_df, threshold=0.99).toPandas()
+    assert len(pairs) > 0
+    assert (pairs.cosine >= 0.99).all()
+    # near-dups must come from the same planted cluster (ids // 5 equal)
+    same = (pairs.id1 // 5 == pairs.id2 // 5).mean()
+    assert same == 1.0

@@ -1,0 +1,71 @@
+"""Multimodal plumbing: real audio features; stubbed image/video ops."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from locality_sensitive_hashing_spark import audio as A
+from locality_sensitive_hashing_spark.operators.multimodal import (
+    audio_features,
+    frame_sample,
+    image_metadata,
+)
+
+
+def test_audio_features_real(spark, clips_df, corpus):
+    clips_pd, _, _ = corpus
+    got = audio_features(clips_df).toPandas().set_index("clip_id")
+    assert len(got) == len(clips_pd)
+    assert got.decode_ok.all()
+    # spot-check three rows against direct numpy decode
+    for r in clips_pd.head(3).itertuples():
+        pcm, sr = A.decode_wav(bytes(r.bytes))
+        g = got.loc[r.clip_id]
+        assert g.n_samples == pcm.size and g.sr_hz == sr
+        assert abs(g.rms - float(np.sqrt(np.mean(pcm * pcm)))) < 1e-9
+        assert abs(g.duration_s - pcm.size / sr) < 1e-9
+
+
+def test_audio_features_garbage(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["g1"], "bytes": [b"nope"]})
+    )
+    got = audio_features(df).toPandas()
+    assert not got.decode_ok.iloc[0] and got.n_samples.iloc[0] == 0
+
+
+def test_image_metadata_stub_plumbing(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({"image_id": ["a", "b"], "bytes": [b"imagebytes1", b"imagebytes2"]})
+    )
+    got = image_metadata(df, strict=False).toPandas().sort_values("image_id")
+    assert list(got.columns) == ["image_id", "decode_ok", "width", "height",
+                                 "channels", "mean_luma"]
+    assert got.decode_ok.all() and (got.channels == 3).all()
+    # deterministic: same payload -> same fake decode
+    again = image_metadata(df, strict=False).toPandas().sort_values("image_id")
+    assert got.reset_index(drop=True).equals(again.reset_index(drop=True))
+
+
+def test_image_metadata_strict_raises(spark):
+    df = spark.createDataFrame(pd.DataFrame({"image_id": ["a"], "bytes": [b"x"]}))
+    with pytest.raises(Exception, match="NotImplementedError|image decode"):
+        image_metadata(df, strict=True).collect()
+
+
+def test_frame_sample_explosion(spark):
+    df = spark.createDataFrame(
+        pd.DataFrame({
+            "video_id": ["v1", "v2"],
+            "bytes": [b"videopayload1", b"videopayload2"],
+            "dur_ms": [3500, 900],
+        })
+    )
+    got = frame_sample(df, fps_sample=1.0).toPandas()
+    assert len(got[got.video_id == "v1"]) == 4  # ceil(3.5)
+    assert len(got[got.video_id == "v2"]) == 1
+    v1 = got[got.video_id == "v1"].sort_values("frame_index")
+    assert v1.frame_ts_s.tolist() == [0.0, 1.0, 2.0, 3.0]
+    assert v1.frame_digest.nunique() == 4  # per-frame deterministic digests

@@ -131,6 +131,26 @@ def test_text_analysis_functions(spark):
     assert fps[0] != fps[1]
 
 
+def test_chain_edges_are_star_on_rep(spark):
+    """Byte-identical classes emit a STAR on the min clip_id (diameter 2,
+    so CC converges in O(1) rounds even for million-member classes)."""
+    import pandas as pd
+
+    from locality_sensitive_hashing_spark.operators.textgroup import chain_edges
+
+    keyed = spark.createDataFrame(
+        pd.DataFrame({
+            "clip_id": ["c3", "c1", "c2", "z9", "z8"],
+            "norm": ["t"] * 5,
+            "text_key": ["T"] * 5,
+            "audio_key": ["A", "A", "A", "B", "B"],
+        })
+    )
+    got = chain_edges(keyed).toPandas()
+    edges = set(map(tuple, got[["id1", "id2"]].values))
+    assert edges == {("c1", "c2"), ("c1", "c3"), ("z8", "z9")}
+
+
 def test_word_shingles(spark):
     df = spark.createDataFrame(pd.DataFrame({"t": ["a b c d", "a"]}))
     out = df.select(TX.word_shingles("t", 2).alias("s")).toPandas()["s"].tolist()
