@@ -57,8 +57,12 @@ def main() -> None:
     # ---- timed runs (fresh TableIO dir each -> no resume short-circuit) --
     walls: list[float] = []
     stage_walls: dict[str, float] = {}
+    # stage tables on tmpfs when available: local-mode disk serializes an
+    # otherwise-parallel workload (a cluster writes stages to distributed
+    # storage); mirrors the spark.local.dir choice in session.py
+    work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
     for _ in range(runs):
-        workdir = tempfile.mkdtemp(prefix="lsh_bench_run_")
+        workdir = tempfile.mkdtemp(prefix="lsh_bench_run_", dir=work_root)
         io = TableIO(spark, workdir)
         t0 = time.time()
         pipe = DedupPipeline(spark, CFG, io, run_id="bench")

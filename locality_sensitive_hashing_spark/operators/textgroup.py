@@ -45,11 +45,14 @@ def with_content_keys(clips: DataFrame) -> DataFrame:
     The only stage that reads both `transcript` and `bytes`; everything
     downstream joins on the 32-byte keys instead of hauling payloads.
     """
+    # keys truncated to 128 bits (32 hex chars): still collision-free at
+    # 10^12 rows (birthday bound ~2^-40), and the key strings ride every
+    # downstream pair shuffle -- half the bytes of a full sha256 hex.
     return clips.select(
         "clip_id",
         normalize_text("transcript").alias("norm"),
-        F.sha2(normalize_text("transcript"), 256).alias("text_key"),
-        F.sha2(F.col("bytes"), 256).alias("audio_key"),
+        F.substring(F.sha2(normalize_text("transcript"), 256), 1, 32).alias("text_key"),
+        F.substring(F.sha2(F.col("bytes"), 256), 1, 32).alias("audio_key"),
     )
 
 

@@ -48,49 +48,57 @@ VERIFIED_COLUMNS = [
 ]
 
 
-def verify_text_pairs(
+def text_pair_metrics(
     candidates: DataFrame,
     signatures: DataFrame,
     fingerprints: DataFrame,
-    cfg: Config,
 ) -> DataFrame:
-    """Attach text-level metrics + text_ok to candidate text pairs.
+    """Cheap text-pair metrics: (tk1, tk2, detectors, est_jaccard, hamming).
 
-    ``candidates``: (id1, id2, detectors) keyed by text_key;
-    ``signatures``: (text_key, norm, sig); ``fingerprints``:
-    (text_key, fingerprint).
-    Output: (tk1, tk2, detectors, est_jaccard, hamming, lcs, text_ok).
-
-    The exact LCS (suffix array + LCP) is computed ONLY for pairs whose
-    verdict depends on it: anchor-candidates ('sa' in detectors) with
-    est-Jaccard and Hamming both below their thresholds. For every other
-    pair lcs cannot change text_ok and is reported as -1 (not computed) --
-    the numpy oracle applies the identical rule, and the cluster output
-    is provably unchanged vs computing LCS everywhere.
+    One pass of JVM column math (zip_with/aggregate Jaccard estimate +
+    bit_count Hamming) over the candidate set. Materialized as its own
+    stage so the expensive estimate is computed exactly once -- the lazy
+    LCS stage below re-reads this table instead of re-deriving the plan
+    (a left-join back onto the same un-materialized subplan would execute
+    the Jaccard fold twice).
     """
-    from locality_sensitive_hashing_spark.operators.suffix_array import lcs_udf
-
-    s1 = signatures.select(
-        F.col("text_key").alias("id1"),
-        F.col("sig").alias("sig1"),
-        F.col("norm").alias("norm1"),
-    )
-    s2 = signatures.select(
-        F.col("text_key").alias("id2"),
-        F.col("sig").alias("sig2"),
-        F.col("norm").alias("norm2"),
-    )
+    s1 = signatures.select(F.col("text_key").alias("id1"), F.col("sig").alias("sig1"))
+    s2 = signatures.select(F.col("text_key").alias("id2"), F.col("sig").alias("sig2"))
     f1 = fingerprints.select(F.col("text_key").alias("id1"), F.col("fingerprint").alias("f1"))
     f2 = fingerprints.select(F.col("text_key").alias("id2"), F.col("fingerprint").alias("f2"))
-    df = (
+    return (
         candidates.join(s1, "id1")
         .join(s2, "id2")
         .join(f1, "id1")
         .join(f2, "id2")
         .withColumn("est_jaccard", estimated_jaccard(F.col("sig1"), F.col("sig2")))
         .withColumn("hamming", hamming_distance(F.col("f1"), F.col("f2")).cast("int"))
-        .drop("sig1", "sig2", "f1", "f2")
+        .select(
+            F.col("id1").alias("tk1"),
+            F.col("id2").alias("tk2"),
+            "detectors", "est_jaccard", "hamming",
+        )
     )
+
+
+def verify_text_pairs(
+    metrics: DataFrame, signatures: DataFrame, cfg: Config
+) -> DataFrame:
+    """Finalize text pairs: lazy exact-LCS + text_ok.
+
+    ``metrics``: output of :func:`text_pair_metrics` (ideally read back
+    from its committed stage). The exact LCS (suffix array + LCP) is
+    computed ONLY for pairs whose verdict depends on it:
+    anchor-candidates ('sa' in detectors) with est-Jaccard and Hamming
+    both below their thresholds. For every other pair lcs cannot change
+    text_ok and is reported as -1 (not computed) -- the numpy oracle
+    applies the identical rule, and the cluster output is provably
+    unchanged vs computing LCS everywhere.
+
+    Output: (tk1, tk2, detectors, est_jaccard, hamming, lcs, text_ok).
+    """
+    from locality_sensitive_hashing_spark.operators.suffix_array import lcs_udf
+
     needs_lcs = (
         F.array_contains("detectors", "sa")
         & (F.col("est_jaccard") < F.lit(cfg.jaccard_threshold))
@@ -99,15 +107,19 @@ def verify_text_pairs(
     # filter -> compute -> left-join back: Spark hoists Python UDFs out of
     # CASE WHEN into eager ArrowEvalPython nodes, so a `when(needs_lcs,
     # udf)` would still SA-verify every row; a filtered subframe cannot.
+    n1 = signatures.select(F.col("text_key").alias("tk1"), F.col("norm").alias("norm1"))
+    n2 = signatures.select(F.col("text_key").alias("tk2"), F.col("norm").alias("norm2"))
     lcs = lcs_udf(cfg.sa_min_len)
     lcs_subset = (
-        df.where(needs_lcs)
-        .select("id1", "id2", lcs(F.col("norm1"), F.col("norm2")).alias("_lcs"))
+        metrics.where(needs_lcs)
+        .join(n1, "tk1")
+        .join(n2, "tk2")
+        .select("tk1", "tk2", lcs(F.col("norm1"), F.col("norm2")).alias("_lcs"))
     )
     df = (
-        df.join(lcs_subset, ["id1", "id2"], "left")
+        metrics.join(lcs_subset, ["tk1", "tk2"], "left")
         .withColumn("lcs", F.coalesce(F.col("_lcs"), F.lit(-1)).cast("long"))
-        .drop("_lcs", "norm1", "norm2")
+        .drop("_lcs")
     )
     text_ok = (
         (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
@@ -115,9 +127,7 @@ def verify_text_pairs(
         | (F.col("lcs") >= F.lit(cfg.sa_min_len))
     )
     return df.select(
-        F.col("id1").alias("tk1"),
-        F.col("id2").alias("tk2"),
-        "detectors", "est_jaccard", "hamming", "lcs",
+        "tk1", "tk2", "detectors", "est_jaccard", "hamming", "lcs"
     ).withColumn("text_ok", text_ok)
 
 

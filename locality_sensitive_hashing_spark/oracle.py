@@ -87,8 +87,8 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
     keyed_rows = []
     for r in clips.itertuples():
         norm = H.normalize_text(r.transcript)
-        tk = hashlib.sha256(norm.encode("utf-8")).hexdigest()
-        ak = hashlib.sha256(bytes(r.bytes)).hexdigest()
+        tk = hashlib.sha256(norm.encode("utf-8")).hexdigest()[:32]
+        ak = hashlib.sha256(bytes(r.bytes)).hexdigest()[:32]
         keyed_rows.append((r.clip_id, norm, tk, ak))
     keyed = pd.DataFrame(keyed_rows, columns=["clip_id", "norm", "text_key", "audio_key"])
     blobs = dict(zip(clips["clip_id"], clips["bytes"]))

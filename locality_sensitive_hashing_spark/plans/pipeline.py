@@ -72,6 +72,7 @@ from locality_sensitive_hashing_spark.operators.textgroup import (
 )
 from locality_sensitive_hashing_spark.operators.verify import (
     expand_and_verify,
+    text_pair_metrics,
     verify_text_pairs,
 )
 from locality_sensitive_hashing_spark.sources.tables import TableIO
@@ -117,23 +118,51 @@ class DedupPipeline:
 
     # -- pipeline -----------------------------------------------------------
     def run(self, clips: DataFrame) -> DataFrame:
+        """Execute the DAG; independent branches run CONCURRENTLY.
+
+        The audio branch (audio_classes, chain_edges) shares no input
+        with the text branch, and the three detectors are mutually
+        independent, so they are submitted from worker threads (Spark
+        sessions are thread-safe; session.py enables FAIR scheduling).
+        On a real cluster this keeps executors saturated across stage
+        boundaries; in local mode it overlaps UDF compute with shuffle
+        I/O. Stage commits stay atomic (TableIO holds a manifest lock).
+        """
+        from concurrent.futures import ThreadPoolExecutor
+
         cfg = self.cfg
 
         keyed = self._stage("keyed", lambda: with_content_keys(clips))
-        texts = self._stage("texts", lambda: distinct_texts(keyed))
-        signatures = self._stage(
-            "signatures",
-            lambda: with_signatures(
-                texts, cfg, text_col="norm", id_col="text_key", pre_normalized=True
-            ),
-        )
-        fingerprints = self._stage(
-            "fingerprints",
-            lambda: with_fingerprint(texts, text_col="norm", id_col="text_key"),
-        )
 
-        cand_parts: list[DataFrame] = []
-        if "minhash" in self.detectors:
+        def build_classes():
+            cl = audio_classes(keyed, clips)
+            self.io.write(dropped_groups(cl, cfg), "dropped_groups", cfg.config_id)
+            return cl
+
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            # audio branch in parallel with the whole text branch
+            f_classes = pool.submit(self._stage, "audio_classes", build_classes)
+            f_chains = pool.submit(
+                self._stage, "chain_edges", lambda: chain_edges(keyed)
+            )
+
+            texts = self._stage("texts", lambda: distinct_texts(keyed))
+            f_sigs = pool.submit(
+                self._stage,
+                "signatures",
+                lambda: with_signatures(
+                    texts, cfg, text_col="norm", id_col="text_key",
+                    pre_normalized=True,
+                ),
+            )
+            f_fps = pool.submit(
+                self._stage,
+                "fingerprints",
+                lambda: with_fingerprint(texts, text_col="norm", id_col="text_key"),
+            )
+            signatures = f_sigs.result()
+            fingerprints = f_fps.result()
+
             def build_minhash():
                 buckets = explode_bands(signatures, id_col="text_key")
                 # bounded-bucket caps: overflow counted, never silent (O25)
@@ -147,37 +176,42 @@ class DedupPipeline:
                     "minhash", id_col="text_key",
                 )
 
-            cand_parts.append(self._stage("cand_minhash", build_minhash))
-        if "simhash" in self.detectors:
-            cand_parts.append(
-                self._stage(
-                    "cand_simhash",
-                    lambda: simhash_candidates(fingerprints, cfg, id_col="text_key"),
+            futures = []
+            if "minhash" in self.detectors:
+                futures.append(pool.submit(self._stage, "cand_minhash", build_minhash))
+            if "simhash" in self.detectors:
+                futures.append(
+                    pool.submit(
+                        self._stage,
+                        "cand_simhash",
+                        lambda: simhash_candidates(
+                            fingerprints, cfg, id_col="text_key"
+                        ),
+                    )
                 )
-            )
-        if "sa" in self.detectors:
-            cand_parts.append(
-                self._stage(
-                    "cand_sa",
-                    lambda: sa_anchor_pairs(signatures, cfg, id_col="text_key"),
+            if "sa" in self.detectors:
+                futures.append(
+                    pool.submit(
+                        self._stage,
+                        "cand_sa",
+                        lambda: sa_anchor_pairs(signatures, cfg, id_col="text_key"),
+                    )
                 )
-            )
+            cand_parts = [f.result() for f in futures]
+            classes = f_classes.result()
+            chains = f_chains.result()
 
         candidates = self._stage(
             "candidates", lambda: union_candidates(*cand_parts)
         )
+        text_metrics = self._stage(
+            "text_metrics",
+            lambda: text_pair_metrics(candidates, signatures, fingerprints),
+        )
         text_verified = self._stage(
             "text_verified",
-            lambda: verify_text_pairs(candidates, signatures, fingerprints, cfg),
+            lambda: verify_text_pairs(text_metrics, signatures, cfg),
         )
-
-        def build_classes():
-            cl = audio_classes(keyed, clips)
-            self.io.write(dropped_groups(cl, cfg), "dropped_groups", cfg.config_id)
-            return cl
-
-        classes = self._stage("audio_classes", build_classes)
-        chains = self._stage("chain_edges", lambda: chain_edges(keyed))
         verified = self._stage(
             "verified",
             lambda: expand_and_verify(text_verified, classes, chains, clips, cfg),

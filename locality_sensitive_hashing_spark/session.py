@@ -49,8 +49,24 @@ def get_spark(
         # stage (the only stage that moves `bytes` through Python).
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "16g"))
+        # FAIR scheduling so independent pipeline stages submitted from
+        # worker threads (plans/pipeline.py) share the executor slots the
+        # way concurrent jobs on a real cluster do.
+        .config("spark.scheduler.mode", "FAIR")
     )
+    # local-mode shuffle files all land on one disk, which serializes an
+    # otherwise-parallel workload; with ample RAM, tmpfs stands in for a
+    # real cluster's distributed shuffle fabric. Disable by setting
+    # SPARK_LOCAL_DIRS yourself or SPARK_GRAFT_TMPFS=0.
+    if (
+        os.environ.get("SPARK_GRAFT_TMPFS", "1") != "0"
+        and "SPARK_LOCAL_DIRS" not in os.environ
+        and os.path.isdir("/dev/shm")
+    ):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

@@ -21,6 +21,7 @@ import json
 import os
 import shutil
 import tempfile
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +68,12 @@ class TableIO:
         self.root = root
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
+        # pipeline stages commit from concurrent threads (plans/pipeline.py
+        # runs independent DAG branches in parallel); the manifest
+        # read-modify-write and same-table appends must be serialized
+        # within this process
+        self._lock = threading.Lock()
+        self._append_lock = threading.Lock()
 
     # -- manifest ---------------------------------------------------------
     def _load_manifest(self) -> dict:
@@ -76,12 +83,13 @@ class TableIO:
             return json.load(f)
 
     def _append_snapshot(self, entry: dict) -> None:
-        m = self._load_manifest()
-        m["snapshots"].append(entry)
-        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
-        with os.fdopen(fd, "w") as f:
-            json.dump(m, f, indent=1)
-        os.rename(tmp, self._manifest_path)
+        with self._lock:
+            m = self._load_manifest()
+            m["snapshots"].append(entry)
+            fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".manifest")
+            with os.fdopen(fd, "w") as f:
+                json.dump(m, f, indent=1)
+            os.rename(tmp, self._manifest_path)
 
     def committed(self, table: str, config_id: str) -> bool:
         """True iff a snapshot of `table` at `config_id` is committed."""
@@ -121,8 +129,15 @@ class TableIO:
         )
 
     def append(self, df: DataFrame, table: str, config_id: str) -> None:
-        """Append-only tables (metrics/lineage)."""
-        df.write.mode("append").parquet(self._path(table))
+        """Append-only tables (metrics/lineage).
+
+        Serialized under the instance lock: two concurrent pipeline stages
+        appending to the SAME table would collide in the Hadoop output
+        committer's shared ``_temporary`` directory. (Overwrite writes of
+        distinct tables don't contend -- separate directories.)
+        """
+        with self._append_lock:
+            df.write.mode("append").parquet(self._path(table))
         self._append_snapshot(
             {"table": table, "config_id": config_id, "rows": -1,
              "ts": time.time(), "append": True,

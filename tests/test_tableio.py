@@ -1,0 +1,59 @@
+"""TableIO commit-protocol semantics: atomicity, healing, config keying."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pandas as pd
+import pytest
+
+from locality_sensitive_hashing_spark.sources.tables import TableIO
+
+
+@pytest.fixture()
+def io(spark):
+    d = tempfile.mkdtemp(prefix="lsh_io_")
+    yield TableIO(spark, d)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _df(spark, n=5):
+    return spark.createDataFrame(pd.DataFrame({"x": list(range(n))}))
+
+
+def test_write_read_committed(spark, io):
+    io.write(_df(spark), "t1", "cfgA")
+    assert io.committed("t1", "cfgA")
+    assert not io.committed("t1", "cfgB")  # different config -> recompute
+    assert io.read("t1").count() == 5
+
+
+def test_orphan_dir_without_manifest_not_committed(spark, io):
+    """Crash between data write and manifest append: dir exists, no
+    snapshot entry -> stage reruns (manifest is the source of truth)."""
+    os.makedirs(io._path("orphan"))
+    assert not io.committed("orphan", "cfgA")
+
+
+def test_manifest_without_dir_not_committed(spark, io):
+    """Snapshot entry but data dir lost -> not committed (healed by
+    recompute), never a phantom read."""
+    io.write(_df(spark), "t2", "cfgA")
+    shutil.rmtree(io._path("t2"))
+    assert not io.committed("t2", "cfgA")
+
+
+def test_overwrite_replaces_atomically(spark, io):
+    io.write(_df(spark, 5), "t3", "cfgA")
+    io.write(_df(spark, 9), "t3", "cfgA")
+    assert io.read("t3").count() == 9
+    # both snapshots recorded in the log (append-only history)
+    assert sum(1 for s in io.snapshots() if s["table"] == "t3") == 2
+
+
+def test_append_mode(spark, io):
+    io.append(_df(spark, 3), "m", "cfgA")
+    io.append(_df(spark, 4), "m", "cfgA")
+    assert io.read("m").count() == 7
