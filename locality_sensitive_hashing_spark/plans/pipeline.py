@@ -96,6 +96,8 @@ class DedupPipeline:
         self.detectors = detectors
         self.executed_stages: list[str] = []
         self.skipped_stages: list[str] = []
+        self._metrics_futures: list = []
+        self._metrics_pool = None
 
     # -- stage runner -------------------------------------------------------
     def _stage(self, name: str, build) -> DataFrame:
@@ -108,11 +110,21 @@ class DedupPipeline:
         self.io.write(df, name, cid)
         out = self.io.read(name)
         wall = time.time() - t0
-        self.io.append(
-            partition_lineage(self.spark, out, self.run_id, cid, name, wall),
-            "metrics",
-            cid,
-        )
+
+        # lineage/metrics are advisory (the data commit above is the
+        # correctness event), so the extra scan+append runs asynchronously
+        # instead of serializing every stage boundary
+        def emit():
+            self.io.append(
+                partition_lineage(self.spark, out, self.run_id, cid, name, wall),
+                "metrics",
+                cid,
+            )
+
+        if self._metrics_pool is not None:
+            self._metrics_futures.append(self._metrics_pool.submit(emit))
+        else:
+            emit()
         self.executed_stages.append(name)
         return out
 
@@ -128,6 +140,19 @@ class DedupPipeline:
         boundaries; in local mode it overlaps UDF compute with shuffle
         I/O. Stage commits stay atomic (TableIO holds a manifest lock).
         """
+        from concurrent.futures import ThreadPoolExecutor
+
+        self._metrics_pool = ThreadPoolExecutor(max_workers=1)
+        try:
+            return self._run(clips)
+        finally:
+            # on crash: wait for in-flight metrics jobs so no thread
+            # outlives the run (their errors are secondary to the crash)
+            self._metrics_pool.shutdown(wait=True)
+            self._metrics_pool = None
+            self._metrics_futures = []
+
+    def _run(self, clips: DataFrame) -> DataFrame:
         from concurrent.futures import ThreadPoolExecutor
 
         cfg = self.cfg
@@ -224,4 +249,8 @@ class DedupPipeline:
                 cfg,
             ),
         )
+        # drain async metrics before declaring the run complete (a metrics
+        # failure must surface, and callers may read the metrics table)
+        for f in self._metrics_futures:
+            f.result()
         return clusters
