@@ -40,6 +40,21 @@ def test_normalize_jvm_matches_python(spark, corpus):
     assert res == ["a b c 42", "", "", "a b c d"]
 
 
+def test_normalize_unicode_parity(spark):
+    """JVM and python normalization agree on non-ASCII input (case-fold
+    edge cases like Turkish dotted I, ligatures, sharp s); non-Latin text
+    collapses to the empty norm on BOTH sides -- one shared text_key whose
+    group the audio-class caps bound."""
+    samples = [
+        "Ärger ÜBER Öl", "straße GROSS", "İstanbul", "ΣΊΣΥΦΟΣ",
+        "Здравствуй МИР", "日本語のテキスト", "café NAÏVE", "ǅungla",
+        "ﬁre ﬂow", "áccent",
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"t": samples}))
+    got = df.select(TX.normalize_text("t").alias("n")).toPandas()["n"].tolist()
+    assert got == [H.normalize_text(s) for s in samples]
+
+
 def test_char_shingles_expr(spark):
     df = spark.createDataFrame(pd.DataFrame({"t": ["abcdef", "ab", ""]}))
     out = df.select(TX.char_shingles("t", 3).alias("s")).toPandas()["s"].tolist()
