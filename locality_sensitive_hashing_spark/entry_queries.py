@@ -7,13 +7,37 @@ Column names and rounding are aligned on both sides because the driver's
 compare hashes values after sorting columns by name
 (``__spark_entry__.py`` contract).
 
-UDF-backed and iterative operators (MinHash/SimHash signatures, winnowed
-suffix-array, audio verify, full pipeline) cannot be expressed in DuckDB
-SQL at identical hash families, so they register as rows-only checks --
-EXCEPT clustering: ``sql_dedup_clusters`` cross-checks the Spark
-connected-components operator against a DuckDB recursive-CTE transitive
-closure over a pure-SQL candidate graph, which pins O21's semantics to an
-independent engine.
+UDF-backed operators (MinHash/SimHash/winnowing/ANN-bucketing) cannot be
+*recomputed from scratch* in DuckDB at identical uint64 hash families --
+but every derivation DOWNSTREAM of a hash kernel is pure relational
+algebra.  So each such query commits its kernel output to a small aux
+parquet table (``_aux_write``, deterministic path under /tmp keyed by the
+sf directory) and the oracle SQL replays the downstream math over
+``read_parquet`` of that table with DuckDB's own engine:
+
+- ``minhash_signatures``: aux = distinct shingle hashes; oracle recomputes
+  the full universal-hash MinHash (min over (a*x+b) mod P, the (a, b)
+  family embedded as VALUES literals) -- the signature MATH is
+  cross-engine-checked, only the uint64 shingle hash itself stays
+  pytest-gated.
+- ``simhash_fingerprints``: aux = per-token hash+count; oracle rebuilds
+  the 64 weighted bit sums and the fingerprint (Charikar's sign rule) in
+  HUGEINT arithmetic.
+- ``minhash_candidates`` / ``simhash_candidates`` / ``sa_substring_
+  candidates`` / ``ann_lsh_topk`` / ``embedding_near_dups``: aux = the
+  blocking table (bands / fingerprints / anchors / sign buckets); oracle
+  independently re-derives capped bucket pairs + verification (bit_count
+  Hamming, shared-L-gram substring check, exact cosine + rank).
+- ``full_pipeline_clusters``: aux = the pipeline's verified dup edges +
+  node universe; oracle replays clustering as a recursive-CTE transitive
+  closure (same trick as ``sql_dedup_clusters``, now over the REAL
+  pipeline output).
+
+The only rows-only entry left is ``audio_features`` (WAV decode is not
+SQL).  NOTE for maintainers: every query result must be scalar columns
+only -- the driver's canonicalizer sorts the pandas frame and dies on
+array cells (round-1 `minhash_signatures` regression; tests/test_entry.py
+now reproduces that sort).
 """
 
 from __future__ import annotations
@@ -21,12 +45,62 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from locality_sensitive_hashing_spark import hashing as H
 from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
 from locality_sensitive_hashing_spark.functions import text as TX
 from locality_sensitive_hashing_spark.sources.tables import read_testdata
+
+# ---------------------------------------------------------------------------
+# aux tables for the DuckDB oracle (kernel outputs committed to parquet so
+# the oracle can replay the relational derivation downstream of the UDFs)
+# ---------------------------------------------------------------------------
+
+AUX_ROOT = "/tmp/lsh_oracle_aux"
+_ORACLE_SF = "sf0.01"  # the driver's correctness scale factor
+
+
+def _aux_write(df: DataFrame, sf_dir: str, name: str) -> None:
+    """Commit a kernel-output table where the oracle SQL can read it.
+
+    Path is deterministic per (sf basename, table) so the SQL string --
+    which the driver fetches BEFORE running anything -- can embed it; the
+    Spark query writes it eagerly when invoked, the oracle reads it after.
+    """
+    path = os.path.join(AUX_ROOT, os.path.basename(sf_dir.rstrip("/")), name)
+    df.write.mode("overwrite").parquet(path)
+
+
+def _aux_rp(name: str) -> str:
+    return f"read_parquet('{AUX_ROOT}/{_ORACLE_SF}/{name}/*.parquet')"
+
+
+_U64 = "CAST('18446744073709551616' AS HUGEINT)"  # 2^64 (unsigned view shift)
+_I64_MIN_U = "CAST('9223372036854775808' AS HUGEINT)"  # 2^63
+
+# seed-pinned universal-hash family, embedded into the minhash oracle SQL
+_FAM_A, _FAM_B = H.hash_family(CFG)
+_UHASH_VALUES = ", ".join(
+    f"({j}, {int(_FAM_A[j])}, {int(_FAM_B[j])})" for j in range(CFG.num_hashes)
+)
+_POW2_VALUES = ", ".join(f"({i}, CAST('{1 << i}' AS HUGEINT))" for i in range(64))
+_N_CHUNKS = CFG.hamming_t + 1
+_CHUNK_W = 64 // _N_CHUNKS
+_CHUNK_VALUES = ", ".join(
+    f"({i}, CAST('{1 << (_CHUNK_W * i)}' AS HUGEINT))" for i in range(_N_CHUNKS)
+)
+# unsigned view of a signed-int64 carrier column {c}
+_UVIEW = "(CAST({c} AS HUGEINT) + CASE WHEN {c} < 0 THEN " + _U64 + " ELSE 0 END)"
+
+# threshold chosen from the measured cosine distribution of the driver's
+# (random-ish) embeddings at sf0.01: max pair cosine is ~0.51, so the
+# production-style 0.95 would return 0 rows and prove nothing; 0.4 yields
+# ~30 LSH-candidate pairs (and no pair sits near the boundary). The
+# operator's default stays 0.95 for real near-dup corpora.
+NEAR_DUP_THRESHOLD = 0.4
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (kept in one place so Spark & DuckDB stay in sync)
@@ -465,9 +539,144 @@ SELECT node AS doc_key, min(lbl) AS cluster_key FROM reach GROUP BY node
 """,
 }
 
+# --- oracles over committed aux kernel tables (see module docstring) -------
+# These re-derive everything DOWNSTREAM of the uint64 hash kernels with
+# DuckDB's own engine: universal-hash MinHash, Charikar bit sums, pigeonhole
+# chunking, capped bucket pairing, Hamming/substring/cosine verification,
+# and transitive-closure clustering.
+
+ORACLE_SQL.update({
+    "minhash_signatures": f"""
+WITH sh AS (SELECT clip_id, shingle FROM {_aux_rp('minhash_shingles')}),
+fam(pos, a, b) AS (VALUES {_UHASH_VALUES}),
+x AS (SELECT clip_id,
+      CAST({_UVIEW.format(c='shingle')} % {CFG.modulo_prime} AS BIGINT) AS x
+      FROM sh)
+SELECT x.clip_id, CAST(f.pos AS INT) AS pos,
+       min((f.a * x.x + f.b) % {CFG.modulo_prime}) AS sig_value
+FROM x CROSS JOIN fam f GROUP BY x.clip_id, f.pos
+""",
+    "minhash_candidates": f"""
+WITH b AS (SELECT clip_id, band_id, band_hash FROM {_aux_rp('minhash_bands')}),
+sizes AS (SELECT band_id, band_hash, count(*) AS n FROM b GROUP BY band_id, band_hash),
+elig AS (SELECT band_id, band_hash FROM sizes WHERE n > 1 AND n <= {CFG.bucket_cap}),
+pruned AS (SELECT x.clip_id, x.band_id, x.band_hash
+           FROM b x JOIN elig e USING (band_id, band_hash))
+SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2, 'minhash' AS detector
+FROM pruned l JOIN pruned r USING (band_id, band_hash)
+WHERE l.clip_id < r.clip_id
+""",
+    "simhash_fingerprints": f"""
+WITH t AS (SELECT clip_id, th, cnt FROM {_aux_rp('simhash_tokens')}),
+pw(i, p) AS (VALUES {_POW2_VALUES}),
+u AS (SELECT clip_id, {_UVIEW.format(c='th')} AS uh, cnt FROM t),
+bits AS (SELECT u.clip_id, pw.i, pw.p,
+         sum(CASE WHEN (u.uh // pw.p) % 2 = 1 THEN cnt ELSE -cnt END) AS s
+         FROM u CROSS JOIN pw GROUP BY u.clip_id, pw.i, pw.p),
+fp AS (SELECT clip_id, sum(CASE WHEN s > 0 THEN p ELSE 0 END) AS ufp
+       FROM bits GROUP BY clip_id),
+ids AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS clip_id FROM documents)
+SELECT ids.clip_id,
+       CAST(CASE WHEN coalesce(fp.ufp, 0) >= {_I64_MIN_U}
+                 THEN coalesce(fp.ufp, 0) - {_U64}
+                 ELSE coalesce(fp.ufp, 0) END AS BIGINT) AS fingerprint
+FROM ids LEFT JOIN fp USING (clip_id)
+""",
+    "simhash_candidates": f"""
+WITH f AS (SELECT clip_id, fingerprint FROM {_aux_rp('simhash_fps')}),
+pw(chunk_id, p) AS (VALUES {_CHUNK_VALUES}),
+u AS (SELECT clip_id, fingerprint, {_UVIEW.format(c='fingerprint')} AS uf FROM f),
+ch AS (SELECT clip_id, chunk_id, CAST((uf // p) % {1 << _CHUNK_W} AS BIGINT) AS chunk_val
+       FROM u CROSS JOIN pw),
+sizes AS (SELECT chunk_id, chunk_val, count(*) AS n FROM ch GROUP BY chunk_id, chunk_val),
+elig AS (SELECT chunk_id, chunk_val FROM sizes WHERE n > 1 AND n <= {CFG.bucket_cap}),
+pruned AS (SELECT c.clip_id, c.chunk_id, c.chunk_val
+           FROM ch c JOIN elig USING (chunk_id, chunk_val)),
+cand AS (SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2
+         FROM pruned l JOIN pruned r USING (chunk_id, chunk_val)
+         WHERE l.clip_id < r.clip_id)
+SELECT c.id1, c.id2, 'simhash' AS detector
+FROM cand c JOIN f f1 ON f1.clip_id = c.id1 JOIN f f2 ON f2.clip_id = c.id2
+WHERE bit_count(xor(f1.fingerprint, f2.fingerprint)) <= {CFG.hamming_t}
+""",
+    "sa_substring_candidates": f"""
+WITH a AS (SELECT clip_id, anchor FROM {_aux_rp('sa_anchors')}),
+sizes AS (SELECT anchor, count(*) AS n FROM a GROUP BY anchor),
+elig AS (SELECT anchor FROM sizes WHERE n > 1 AND n <= {CFG.bucket_cap}),
+pruned AS (SELECT x.clip_id, x.anchor FROM a x JOIN elig USING (anchor)),
+cand AS (SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2
+         FROM pruned l JOIN pruned r USING (anchor) WHERE l.clip_id < r.clip_id),
+n AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS clip_id, {NORM_SQL} AS norm
+      FROM documents),
+p AS (SELECT c.id1, c.id2, n1.norm AS t1, n2.norm AS t2
+      FROM cand c JOIN n n1 ON n1.clip_id = c.id1 JOIN n n2 ON n2.clip_id = c.id2),
+pos AS (SELECT id1, id2, t1, t2,
+        unnest(generate_series(1, greatest(length(t1) - {CFG.sa_min_len - 1}, 0))) AS i
+        FROM p)
+SELECT DISTINCT id1, id2, 'sa' AS detector
+FROM pos WHERE strpos(t2, substring(t1, i, {CFG.sa_min_len})) > 0
+""",
+    "full_pipeline_clusters": f"""
+WITH RECURSIVE e AS (SELECT id1, id2 FROM {_aux_rp('pipeline_edges')}),
+nodes AS (SELECT clip_id FROM {_aux_rp('pipeline_nodes')}),
+sym AS (SELECT id1 AS src, id2 AS dst FROM e UNION SELECT id2, id1 FROM e),
+reach(node, lbl) AS (
+    SELECT clip_id, clip_id FROM nodes
+    UNION
+    SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS clip_id, min(lbl) AS cluster_id FROM reach GROUP BY node
+""",
+    "ann_lsh_topk": f"""
+WITH b AS (SELECT vec_id, band_id, bucket FROM {_aux_rp('ann_buckets')}),
+sizes AS (SELECT band_id, bucket, count(*) AS n FROM b GROUP BY band_id, bucket),
+elig AS (SELECT band_id, bucket FROM sizes WHERE n > 1 AND n <= 2048),
+pruned AS (SELECT x.vec_id, x.band_id, x.bucket FROM b x JOIN elig USING (band_id, bucket)),
+cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+         FROM pruned l JOIN pruned r USING (band_id, bucket) WHERE l.vec_id < r.vec_id),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      generate_subscripts(embedding, 1) AS i FROM e),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM u GROUP BY vec_id),
+dots AS (SELECT c.id1, c.id2, sum(a.v * bb.v) AS dot
+         FROM cand c JOIN u a ON a.vec_id = c.id1
+                      JOIN u bb ON bb.vec_id = c.id2 AND bb.i = a.i
+         GROUP BY c.id1, c.id2),
+scored AS (SELECT d.id1, d.id2, d.dot / (n1.nv * n2.nv) AS c
+           FROM dots d JOIN nrm n1 ON n1.vec_id = d.id1
+                        JOIN nrm n2 ON n2.vec_id = d.id2),
+directed AS (SELECT id1 AS query_id, id2 AS neighbor_id, c FROM scored
+             UNION ALL SELECT id2, id1, c FROM scored),
+ranked AS (SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+           FROM directed)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+    "embedding_near_dups": f"""
+WITH b AS (SELECT vec_id, band_id, bucket FROM {_aux_rp('neardup_buckets')}),
+sizes AS (SELECT band_id, bucket, count(*) AS n FROM b GROUP BY band_id, bucket),
+elig AS (SELECT band_id, bucket FROM sizes WHERE n > 1 AND n <= 2048),
+pruned AS (SELECT x.vec_id, x.band_id, x.bucket FROM b x JOIN elig USING (band_id, bucket)),
+cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+         FROM pruned l JOIN pruned r USING (band_id, bucket) WHERE l.vec_id < r.vec_id),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      generate_subscripts(embedding, 1) AS i FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM u GROUP BY vec_id),
+dots AS (SELECT c.id1, c.id2, sum(a.v * bb.v) AS dot
+         FROM cand c JOIN u a ON a.vec_id = c.id1
+                      JOIN u bb ON bb.vec_id = c.id2 AND bb.i = a.i
+         GROUP BY c.id1, c.id2),
+scored AS (SELECT d.id1, d.id2, round(d.dot / (n1.nv * n2.nv), 6) AS cosine
+           FROM dots d JOIN nrm n1 ON n1.vec_id = d.id1
+                        JOIN nrm n2 ON n2.vec_id = d.id2)
+SELECT id1, id2, cosine FROM scored WHERE cosine >= {NEAR_DUP_THRESHOLD}
+""",
+})
+
 
 # ---------------------------------------------------------------------------
-# rows-only queries (UDF/hash-family/iterative -- no cross-engine SQL)
+# kernel-backed queries, SQL-checked via aux tables (see module docstring)
 # ---------------------------------------------------------------------------
 
 def _docs_as_corpus(spark, sf_dir) -> DataFrame:
@@ -479,55 +688,127 @@ def _docs_as_corpus(spark, sf_dir) -> DataFrame:
 
 
 def q_minhash_signatures(spark, sf_dir):
-    """O6: MinHash signatures over documents-as-corpus (rows-only)."""
-    from locality_sensitive_hashing_spark.operators.minhash import with_signatures
+    """O6: MinHash signatures, exploded to scalar (clip_id, pos, sig_value).
 
-    return with_signatures(_docs_as_corpus(spark, sf_dir), CFG).select(
-        "clip_id", "sig"
+    Aux: the distinct shingle-hash set per doc; the oracle recomputes the
+    whole universal-hash MinHash from it in SQL (the seed-pinned (a_j, b_j)
+    family is embedded as VALUES), so the signature arithmetic is checked
+    by an independent engine, not just the numpy parity suite.
+    """
+    from locality_sensitive_hashing_spark.operators.minhash import (
+        shingles_udf,
+        with_signatures,
+    )
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    sh = corpus.select(
+        "clip_id",
+        F.explode(shingles_udf(CFG)(TX.normalize_text("transcript"))).alias("shingle"),
+    )
+    _aux_write(sh, sf_dir, "minhash_shingles")
+    return with_signatures(corpus, CFG).select(
+        "clip_id", F.posexplode("sig").alias("pos", "sig_value")
     )
 
 
 def q_minhash_candidates(spark, sf_dir):
-    """O7-O10: banded-LSH candidate pairs over documents (rows-only)."""
+    """O7-O10: banded-LSH candidate pairs. Aux: the (clip_id, band_id,
+    band_hash) table; the oracle re-derives capped bucket pairs in SQL."""
     from locality_sensitive_hashing_spark.operators.candidates import pairs_from_blocks
     from locality_sensitive_hashing_spark.operators.minhash import (
         explode_bands,
         with_signatures,
     )
 
-    sigs = with_signatures(_docs_as_corpus(spark, sf_dir), CFG)
+    bands = explode_bands(with_signatures(_docs_as_corpus(spark, sf_dir), CFG))
+    _aux_write(bands, sf_dir, "minhash_bands")
     return pairs_from_blocks(
-        explode_bands(sigs), ["band_id", "band_hash"], CFG.bucket_cap, "minhash"
+        bands, ["band_id", "band_hash"], CFG.bucket_cap, "minhash"
     )
 
 
+def _token_hash_counts_udf():
+    """pandas UDF: raw text -> array<struct<th,cnt>> of distinct-token
+    hashes + frequencies (the SimHash kernel's input, hashing.hash_tokens)."""
+
+    @F.pandas_udf("array<struct<th: long, cnt: long>>")
+    def compute(text: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for t in text:
+            toks = H.normalize_text(t or "").split()
+            if not toks:
+                out.append([])
+                continue
+            uniq, counts = np.unique(np.array(toks, dtype=object), return_counts=True)
+            th = H.hash_tokens(list(uniq)).view(np.int64)
+            out.append(
+                [{"th": int(a), "cnt": int(c)} for a, c in zip(th, counts)]
+            )
+        return pd.Series(out)
+
+    return compute
+
+
 def q_simhash_fingerprints(spark, sf_dir):
+    """O12: SimHash fingerprints. Aux: per-token (hash, count); the oracle
+    rebuilds the 64 weighted bit sums and Charikar's sign rule in HUGEINT
+    SQL, checking the fingerprint construction cross-engine."""
     from locality_sensitive_hashing_spark.operators.simhash import with_fingerprint
 
-    return with_fingerprint(_docs_as_corpus(spark, sf_dir))
+    corpus = _docs_as_corpus(spark, sf_dir)
+    tok = _token_hash_counts_udf()
+    toks = corpus.select(
+        "clip_id", F.explode(tok(F.col("transcript"))).alias("_t")
+    ).select("clip_id", F.col("_t.th").alias("th"), F.col("_t.cnt").alias("cnt"))
+    _aux_write(toks, sf_dir, "simhash_tokens")
+    return with_fingerprint(corpus)
 
 
 def q_simhash_candidates(spark, sf_dir):
+    """O13-O14: pigeonhole blocking + Hamming verify. Aux: fingerprints;
+    the oracle re-derives chunks (HUGEINT bit math), capped pairs, and the
+    bit_count(xor) <= t verify."""
     from locality_sensitive_hashing_spark.operators.simhash import (
         simhash_candidates,
         with_fingerprint,
     )
 
-    return simhash_candidates(with_fingerprint(_docs_as_corpus(spark, sf_dir)), CFG)
+    fps = with_fingerprint(_docs_as_corpus(spark, sf_dir))
+    _aux_write(fps, sf_dir, "simhash_fps")
+    return simhash_candidates(fps, CFG)
 
 
 def q_sa_candidates(spark, sf_dir):
+    """O15: verified substring candidates (LCS >= sa_min_len). Aux: the
+    winnowing anchor table; the oracle re-derives capped anchor pairs and
+    verifies LCS >= L via its exact SQL equivalent (the pair shares an
+    L-gram of the normalized text)."""
     from locality_sensitive_hashing_spark.operators.minhash import with_signatures
-    from locality_sensitive_hashing_spark.operators.suffix_array import sa_candidates
+    from locality_sensitive_hashing_spark.operators.suffix_array import (
+        sa_candidates,
+        with_anchors,
+    )
 
     sigs = with_signatures(_docs_as_corpus(spark, sf_dir), CFG)
-    return sa_candidates(sigs, CFG)
+    _aux_write(
+        with_anchors(sigs.select("clip_id", "norm"), CFG), sf_dir, "sa_anchors"
+    )
+    return sa_candidates(sigs, CFG).select("id1", "id2", "detector")
 
 
 def q_full_pipeline_clusters(spark, sf_dir):
-    """Flagship: full audio+transcript dedup pipeline (rows-only; the
-    fixture-parity pytest suite is its bit-exact correctness gate)."""
-    return run_flagship(spark, sf_dir)
+    """Flagship: full audio+transcript dedup pipeline. Aux: the verified
+    dup edges + node universe; the oracle replays clustering as a DuckDB
+    recursive-CTE transitive closure, pinning O21/O22 over the REAL
+    pipeline output (the per-stage bit-exactness gate stays the numpy
+    fixture-parity pytest suite)."""
+    clusters, io, clips = _flagship(spark, sf_dir)
+    edges = io.read("verified").where("is_dup").select("id1", "id2")
+    _aux_write(edges, sf_dir, "pipeline_edges")
+    _aux_write(clips.select("clip_id"), sf_dir, "pipeline_nodes")
+    return clusters
 
 
 def q_ann_topk_per_query(spark, sf_dir):
@@ -540,39 +821,44 @@ def q_ann_topk_per_query(spark, sf_dir):
 
 
 def q_ann_lsh_topk(spark, sf_dir):
-    """Hyperplane-LSH approximate top-3 (rows-only: seeded hyperplanes
-    aren't SQL-reproducible; recall-vs-brute-force is pytest-gated)."""
-    from locality_sensitive_hashing_spark.operators.ann import lsh_ann_topk
+    """Hyperplane-LSH approximate top-3. Aux: the sign-bucket table; the
+    oracle re-derives capped co-bucket pairs, exact cosine, and the
+    per-query rank in SQL (recall-vs-brute-force stays pytest-gated)."""
+    from locality_sensitive_hashing_spark.operators.ann import (
+        lsh_ann_topk,
+        with_sign_buckets,
+    )
 
     emb = read_testdata(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
-    return lsh_ann_topk(emb, k=3, n_planes=16, bands=4, seed=CFG.seed)
+    blocks = with_sign_buckets(emb, n_planes=16, bands=4, seed=CFG.seed)
+    _aux_write(blocks, sf_dir, "ann_buckets")
+    return lsh_ann_topk(emb, k=3, bucket_cap=2048, blocks=blocks)
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    """Embedding-cosine near-duplicate pairs via LSH buckets (rows-only)."""
+    """Embedding-cosine near-duplicate pairs via LSH buckets. Aux: the
+    sign-bucket table; oracle = capped pairs + exact cosine >= threshold."""
     from locality_sensitive_hashing_spark.operators.ann import (
         embedding_near_dup_pairs,
+        with_sign_buckets,
     )
 
     emb = read_testdata(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, threshold=0.9, seed=CFG.seed)
+    blocks = with_sign_buckets(emb, n_planes=16, bands=4, seed=CFG.seed)
+    _aux_write(blocks, sf_dir, "neardup_buckets")
+    return embedding_near_dup_pairs(
+        emb, threshold=NEAR_DUP_THRESHOLD, bucket_cap=2048, blocks=blocks
+    )
 
 
 def q_audio_features(spark, sf_dir):
     """Real multimodal decode: per-clip audio features over clips derived
-    from the documents table (rows-only -- audio synthesis + WAV decode
-    are not SQL)."""
-    from locality_sensitive_hashing_spark.fixtures import clips_from_documents
+    from the documents table (the ONE remaining rows-only query -- WAV
+    decode is not SQL; the decode math is pytest-gated vs numpy)."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
     from locality_sensitive_hashing_spark.operators.multimodal import audio_features
-    from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA
 
-    docs = (
-        read_testdata(spark, sf_dir, "documents")
-        .select("doc_id", "text").limit(200).toPandas()
-    )
-    clips = spark.createDataFrame(
-        clips_from_documents(docs, seed=CFG.seed), schema=CLIPS_SCHEMA
-    )
+    clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
     return audio_features(clips)
 
 
@@ -594,9 +880,7 @@ QUERIES_SQL_CHECKED = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "sql_dedup_clusters": q_sql_dedup_clusters,
     "ann_topk_per_query": q_ann_topk_per_query,
-}
-
-QUERIES_ROWS_ONLY = {
+    # kernel-backed, SQL-checked via aux tables (module docstring)
     "minhash_signatures": q_minhash_signatures,
     "minhash_candidates": q_minhash_candidates,
     "simhash_fingerprints": q_simhash_fingerprints,
@@ -605,6 +889,9 @@ QUERIES_ROWS_ONLY = {
     "full_pipeline_clusters": q_full_pipeline_clusters,
     "ann_lsh_topk": q_ann_lsh_topk,
     "embedding_near_dups": q_embedding_near_dups,
+}
+
+QUERIES_ROWS_ONLY = {
     "audio_features": q_audio_features,
 }
 
@@ -617,19 +904,27 @@ def all_queries():
 # flagship entry
 # ---------------------------------------------------------------------------
 
-def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _flagship(spark: SparkSession, sf_dir: str):
     """Full dedup pipeline over clips synthesized from the driver's
     documents table (audio tones + transcripts, deterministic planted
-    variants), committed to a temp TableIO dir; returns cluster
-    assignments."""
-    from locality_sensitive_hashing_spark.fixtures import clips_from_documents
-    from locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
-    from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA, TableIO
+    variants), committed to a temp TableIO dir; returns
+    (clusters, io, clips) so callers can reach the committed stage tables.
 
-    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text").toPandas()
-    clips_pd = clips_from_documents(docs, seed=CFG.seed, plant_dups=True)
-    clips = spark.createDataFrame(clips_pd, schema=CLIPS_SCHEMA)
+    Clip synthesis runs distributed (mapInPandas, seeded per doc_id) --
+    no driver-side pandas materialization of the corpus."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
+    from locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
+    from locality_sensitive_hashing_spark.sources.tables import TableIO
+
+    clips = clips_from_documents_df(
+        spark, sf_dir, seed=CFG.seed, plant_dups=True
+    )
     tmp = tempfile.mkdtemp(prefix="lsh_flagship_")
     io = TableIO(spark, tmp)
     pipe = DedupPipeline(spark, CFG, io, run_id="flagship")
-    return pipe.run(clips)
+    return pipe.run(clips), io, clips
+
+
+def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver entry(): cluster assignments of the flagship pipeline."""
+    return _flagship(spark, sf_dir)[0]

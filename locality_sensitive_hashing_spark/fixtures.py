@@ -271,6 +271,56 @@ def bench_clips_df(spark, sf_dir: str, replicate: int = 20, seed: int = 42):
     return base.repartition(64, "doc_id", "rep").mapInPandas(synth, CLIPS_SCHEMA)
 
 
+def clips_from_documents_df(spark, sf_dir: str, seed: int = 42,
+                            plant_dups: bool = False, limit: int | None = None):
+    """Distributed clips synthesis from the driver's ``documents`` table.
+
+    Same corpus shape as :func:`clips_from_documents` (one clip per doc;
+    with ``plant_dups`` every 10th doc gains an exact copy 'x' and a
+    near-dup transcript variant 'n' sharing the audio), but audio
+    synthesis + variant generation run IN EXECUTORS via mapInPandas with a
+    per-doc seeded rng -- no driver-side pandas corpus, so the generator
+    itself scales with the cluster (the round-1 driver-loop version
+    bottlenecked any larger-sf use in driver pandas).
+    """
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.sources.tables import (
+        CLIPS_SCHEMA,
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    if limit is not None:
+        docs = docs.where(F.col("doc_id") < limit)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rng = np.random.default_rng([seed, doc_id])
+                sr, dur = 8000, 250
+                raw = A.encode_wav(A.synth_pcm(rng, sr, dur), sr, "pcm_s16le")
+                base = f"doc{doc_id:08d}r00"
+                text = str(text)
+                rows.append((base, raw, sr, dur, "pcm_s16le", text))
+                if plant_dups and doc_id % 10 == 0:
+                    rows.append((base + "x", raw, sr, dur, "pcm_s16le", text))
+                    toks = text.split()
+                    rows.append((
+                        base + "n", raw, sr, dur, "pcm_s16le",
+                        " ".join(_near_variant(rng, toks, 0.7, 1, 3)),
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                         "transcript"],
+            )
+
+    return docs.repartition(32, "doc_id").mapInPandas(synth, CLIPS_SCHEMA)
+
+
 def clips_from_documents(docs: pd.DataFrame, seed: int = 42,
                          replicate: int = 1,
                          plant_dups: bool = False) -> pd.DataFrame:

@@ -11,13 +11,22 @@ Two paths over an (id, array<float>) table:
   buckets -> top-k per query. The scale path: candidate generation is
   linear + per-bucket bounded, reusing pairs_from_blocks' caps.
 
-Hyperplanes are seeded numpy, embedded as literal JVM arrays -- no Python
-in the scoring path.
+Bucketing is ONE Arrow pandas UDF doing a single ``V @ P.T`` matmul per
+batch.  The hyperplane matrix is derived deterministically from
+(seed, dim) INSIDE the UDF (cached per executor), so the Catalyst plan
+size is independent of the embedding dimension -- at real dims
+(768-4096) x 16+ planes the previous literal-array form was a 10^4-10^5
+node expression tree re-evaluated per row, and learning the dim needed a
+driver-side ``.head()`` action.  Scoring of the (bounded) candidate set
+stays pure JVM.
 """
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -73,37 +82,81 @@ def brute_force_topk(
 
 
 def hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
-    """Seeded Gaussian hyperplanes (n_planes, dim) for sign-bit LSH."""
+    """Seeded Gaussian hyperplanes (n_planes, dim) for sign-bit LSH.
+
+    Pure function of (dim, n_planes, seed): the driver, every executor,
+    and the numpy parity tests derive the identical matrix.
+    """
     return np.random.default_rng(seed).standard_normal((n_planes, dim))
+
+
+@lru_cache(maxsize=32)
+def _cached_planes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    return hyperplanes(dim, n_planes, seed)
+
+
+def sign_buckets_udf(n_planes: int, bands: int, seed: int):
+    """pandas UDF: embedding vector -> array<long> of per-band bucket keys.
+
+    One ``V @ P.T`` matmul per Arrow batch; the plane matrix is built once
+    per executor from (seed, dim) via :func:`hyperplanes` (dim is read from
+    the data itself -- no schema metadata or driver action needed). Bucket
+    b folds its rows-per-band sign bits little-endian: sum_j bit[b*rb+j]*2^j.
+    """
+    assert n_planes % bands == 0
+    rb = n_planes // bands
+
+    @F.pandas_udf("array<long>")
+    def compute(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        planes = _cached_planes(V.shape[1], n_planes, seed)
+        bits = (V @ planes.T > 0).astype(np.int64)  # (n, n_planes)
+        weights = (np.int64(1) << np.arange(rb, dtype=np.int64))
+        buckets = bits.reshape(len(V), bands, rb) @ weights  # (n, bands)
+        return pd.Series(list(buckets))
+
+    return compute
 
 
 def with_sign_buckets(
     emb: DataFrame,
-    planes: np.ndarray,
+    n_planes: int,
     bands: int,
+    seed: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """(id, band_id, bucket) -- sign bits of hyperplane projections,
-    grouped into `bands` integer bucket keys. Pure JVM: each projection is
-    a zip_with/aggregate against a literal plane array."""
-    n_planes, _dim = planes.shape
-    assert n_planes % bands == 0
-    rb = n_planes // bands
-    v = F.col(vec_col).cast("array<double>")
-    bits = [
-        (_dot(v, F.array(*[F.lit(float(x)) for x in planes[i]])) > 0).cast("int")
-        for i in range(n_planes)
-    ]
-    buckets = F.array(
-        *[
-            sum(bits[b * rb + j] * F.lit(2**j) for j in range(rb)).alias(f"b{b}")
-            for b in range(bands)
-        ]
-    )
+    """(id, band_id, bucket) -- sign-bit LSH bucket keys per band."""
+    udf = sign_buckets_udf(n_planes, bands, seed)
     return emb.select(
-        F.col(id_col).alias("_id"), F.posexplode(buckets).alias("band_id", "bucket")
-    ).withColumnRenamed("_id", id_col)
+        F.col(id_col),
+        F.posexplode(udf(F.col(vec_col).cast("array<double>"))).alias(
+            "band_id", "bucket"
+        ),
+    )
+
+
+def _scored_candidates(
+    emb: DataFrame, blocks: DataFrame, bucket_cap: int,
+    id_col: str, vec_col: str,
+) -> DataFrame:
+    """(id1, id2, cosine) for capped co-bucketed pairs, exact JVM cosine."""
+    cand = pairs_from_blocks(
+        blocks, ["band_id", "bucket"], bucket_cap, "ann", id_col=id_col
+    ).drop("detector")
+    e1 = _prep(emb, id_col, vec_col).withColumnRenamed("_id", "id1")
+    e2 = (
+        _prep(emb, id_col, vec_col)
+        .withColumnRenamed("_id", "id2")
+        .withColumnRenamed("_v", "_w")
+    )
+    return (
+        cand.join(e1, "id1").join(e2, "id2")
+        .withColumn("cosine", cosine(F.col("_v"), F.col("_w")))
+        .select("id1", "id2", "cosine")
+    )
 
 
 def lsh_ann_topk(
@@ -115,32 +168,20 @@ def lsh_ann_topk(
     bucket_cap: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Approximate cosine top-k: hyperplane-LSH buckets -> exact cosine on
     co-bucketed candidates -> top-k per query.
 
     Recall knob: more bands (OR-amplification) raises candidate recall;
     rows-per-band (n_planes/bands) controls precision (angle ~ fraction of
-    differing sign bits, Charikar 2002).
+    differing sign bits, Charikar 2002). ``blocks`` lets callers reuse an
+    already-computed (id, band_id, bucket) table.
     """
-    dim = len(emb.select(vec_col).head()[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    blocks = with_sign_buckets(emb, planes, bands, id_col, vec_col)
-    cand = pairs_from_blocks(
-        blocks, ["band_id", "bucket"], bucket_cap, "ann", id_col=id_col
-    ).drop("detector")
+    if blocks is None:
+        blocks = with_sign_buckets(emb, n_planes, bands, seed, id_col, vec_col)
+    scored = _scored_candidates(emb, blocks, bucket_cap, id_col, vec_col)
     # candidates are unordered pairs; score once, emit both directions
-    e1 = _prep(emb, id_col, vec_col).withColumnRenamed("_id", "id1")
-    e2 = (
-        _prep(emb, id_col, vec_col)
-        .withColumnRenamed("_id", "id2")
-        .withColumnRenamed("_v", "_w")
-    )
-    scored = (
-        cand.join(e1, "id1").join(e2, "id2")
-        .withColumn("cosine", cosine(F.col("_v"), F.col("_w")))
-        .select("id1", "id2", "cosine")
-    )
     both = scored.select(
         F.col("id1").alias("query_id"), F.col("id2").alias("neighbor_id"), "cosine"
     ).unionByName(
@@ -165,25 +206,17 @@ def embedding_near_dup_pairs(
     bucket_cap: int = 2048,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    blocks: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id1, id2, cosine >= threshold)
     via the LSH candidate path -- the embedding leg of a multi-detector
-    dedup sweep."""
-    dim = len(emb.select(vec_col).head()[0])
-    planes = hyperplanes(dim, n_planes, seed)
-    blocks = with_sign_buckets(emb, planes, bands, id_col, vec_col)
-    cand = pairs_from_blocks(
-        blocks, ["band_id", "bucket"], bucket_cap, "ann", id_col=id_col
-    )
-    e1 = _prep(emb, id_col, vec_col).withColumnRenamed("_id", "id1")
-    e2 = (
-        _prep(emb, id_col, vec_col)
-        .withColumnRenamed("_id", "id2")
-        .withColumnRenamed("_v", "_w")
-    )
+    dedup sweep. The threshold compares the 6-dp-rounded cosine so
+    cross-engine float noise cannot flip a borderline pair."""
+    if blocks is None:
+        blocks = with_sign_buckets(emb, n_planes, bands, seed, id_col, vec_col)
     return (
-        cand.join(e1, "id1").join(e2, "id2")
-        .withColumn("cosine", F.round(cosine(F.col("_v"), F.col("_w")), 6))
+        _scored_candidates(emb, blocks, bucket_cap, id_col, vec_col)
+        .withColumn("cosine", F.round(F.col("cosine"), 6))
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
