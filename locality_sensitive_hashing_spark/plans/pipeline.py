@@ -1,33 +1,49 @@
 """The dedup stage DAG: orchestration, materialization, resume, metrics.
 
-Stage graph (each node = one committed table; SURVEY.md section 3.2,
-re-architected around content classes -- operators/textgroup.py):
+Stage graph (committed tables in CAPS below per DEFAULT_MATERIALIZE;
+lowercase stages are lazy passthroughs fused into their consumer's job;
+SURVEY.md section 3.2, re-architected around content classes --
+operators/textgroup.py):
 
-    clips -> keyed(text_key, audio_key)
-    keyed -> texts (distinct transcripts) -> signatures(O2-O7)
-                                           -> fingerprints(O12)
-    signatures -> cand_minhash(O8-O10)   [text pairs]
-    fingerprints -> cand_simhash(O13-O14)[text pairs]
-    signatures -> cand_sa(O15)           [text pairs]
-    cand_* -> candidates(O16) -> text_verified(O11, O20)
-    keyed -> audio_classes / chain edges
-    text_verified + classes -> verified(O17-O18, clip-level edges)
-    verified -> clusters(O21-O22)
+    clips -> KEYED(text_key, audio_key)
+    KEYED -> texts (distinct transcripts) -> SIGNATURES(O2-O7)
+                                           -> FINGERPRINTS(O12)
+    SIGNATURES -> cand_minhash(O8-O10)   [text pairs]
+    FINGERPRINTS -> cand_simhash(O13-O14)[text pairs]
+    SIGNATURES -> cand_sa(O15)           [text pairs]
+    cand_* -> CANDIDATES(O16) -> text_metrics -> TEXT_VERIFIED(O11, O20)
+    KEYED -> AUDIO_CLASSES / chain_edges
+    TEXT_VERIFIED + classes -> VERIFIED(O17-O18, clip-level edges)
+    VERIFIED -> CLUSTERS(O21-O22)
 
 The reference ran its dataflow as GAE MapReduce phases materialized
 through the datastore (REF?mapreduce.yaml, UNVERIFIED -- empty mount);
-here every stage commits to TableIO (Iceberg or parquet+manifest):
+here materialization is a PER-STAGE POLICY (``materialize``): only
+resume-valuable boundaries commit to TableIO (Iceberg or
+parquet+manifest); the rest stay lazy and fuse into the next committed
+stage's job.
 
 - **Resume** (O26, BASELINE.json "resumable from the last committed
-  snapshot/checkpoint"): a stage whose (table, config_id) snapshot is
-  committed is skipped and read back instead of recomputed.
+  snapshot/checkpoint"): a committed stage whose (table, config_id)
+  snapshot exists is skipped and read back; a passthrough stage simply
+  rebuilds from its (committed) inputs -- same results either way.
 - **Lineage/metrics** (O23): per-partition row counts + wall-clock per
-  stage append to the ``metrics`` table; capped-out buckets/groups land in
-  ``dropped_buckets`` / ``dropped_groups`` -- bounded explosion is loud,
-  never silent (O25).
-- **Plan hygiene at scale**: each stage's shuffle lineage ends at a
-  materialization point, so a 10^12-row run never re-executes upstream
-  shuffles on failure and AQE re-plans each stage with fresh statistics.
+  committed stage append to the ``metrics`` table; capped-out
+  buckets/groups land in ``dropped_buckets`` / ``dropped_groups`` --
+  bounded explosion is loud, never silent (O25).
+- **Why not commit everything** (round-1 lesson): 14 serial stage
+  commits each pay write + read-back + scheduler round-trips that do NOT
+  shrink with parallelism -- that fixed floor capped 8->32 scaling
+  efficiency at 0.44 (BENCH/SCALING notes). The default policy commits 8
+  boundaries; cheap derivations (``texts``, ``chain_edges``) and the
+  three detector pair-sets fuse into their consumer's job, where Spark's
+  DAG scheduler runs the independent detector subtrees concurrently
+  WITHIN the one ``candidates`` job -- thread-level concurrency is only
+  needed across the audio/text branches.
+- **Plan hygiene at scale**: every shuffle-heavy lineage still ends at a
+  materialization point (signatures, candidates, verified), so a
+  10^12-row run never re-executes upstream shuffles on failure and AQE
+  re-plans each committed stage with fresh statistics.
 
 Scale accounting (10^12 clips): every stage is linear in its input except
 the three blocked self-joins, whose per-key fan-out is bounded by
@@ -78,8 +94,26 @@ from locality_sensitive_hashing_spark.operators.verify import (
 from locality_sensitive_hashing_spark.sources.tables import TableIO
 
 
+# resume-valuable commit boundaries (see module docstring for why the
+# other six stages pass through lazily by default)
+DEFAULT_MATERIALIZE = frozenset({
+    "keyed", "audio_classes", "signatures", "fingerprints",
+    "candidates", "text_verified", "verified", "clusters",
+})
+
+ALL_STAGES = frozenset(DEFAULT_MATERIALIZE | {
+    "texts", "chain_edges", "cand_minhash", "cand_simhash", "cand_sa",
+    "text_metrics",
+})
+
+
 class DedupPipeline:
-    """Runs the full near-duplicate pipeline over a clips DataFrame."""
+    """Runs the full near-duplicate pipeline over a clips DataFrame.
+
+    ``materialize``: stage names to commit to TableIO ("all" for every
+    stage -- the round-1 behavior, useful for stage-level debugging);
+    non-listed stages stay lazy and fuse into downstream jobs.
+    """
 
     def __init__(
         self,
@@ -88,20 +122,32 @@ class DedupPipeline:
         io: TableIO,
         run_id: str | None = None,
         detectors: tuple[str, ...] = ("minhash", "simhash", "sa"),
+        materialize: frozenset[str] | str | None = None,
     ):
         self.spark = spark
         self.cfg = cfg
         self.io = io
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.detectors = detectors
+        if materialize is None:
+            materialize = DEFAULT_MATERIALIZE
+        elif materialize == "all":
+            materialize = ALL_STAGES
+        self.materialize = frozenset(materialize)
         self.executed_stages: list[str] = []
         self.skipped_stages: list[str] = []
+        self.passthrough_stages: list[str] = []
         self._metrics_futures: list = []
         self._metrics_pool = None
 
     # -- stage runner -------------------------------------------------------
     def _stage(self, name: str, build) -> DataFrame:
         cid = self.cfg.config_id
+        if name not in self.materialize:
+            # passthrough: no commit, no job -- the plan fuses into the
+            # next materialized downstream stage
+            self.passthrough_stages.append(name)
+            return build()
         if self.io.committed(name, cid):
             self.skipped_stages.append(name)
             return self.io.read(name)
@@ -167,9 +213,6 @@ class DedupPipeline:
         with ThreadPoolExecutor(max_workers=4) as pool:
             # audio branch in parallel with the whole text branch
             f_classes = pool.submit(self._stage, "audio_classes", build_classes)
-            f_chains = pool.submit(
-                self._stage, "chain_edges", lambda: chain_edges(keyed)
-            )
 
             texts = self._stage("texts", lambda: distinct_texts(keyed))
             f_sigs = pool.submit(
@@ -201,6 +244,11 @@ class DedupPipeline:
                     "minhash", id_col="text_key",
                 )
 
+            # detector pair-sets: passthrough by default, so these return
+            # lazy plans that all execute INSIDE the one `candidates`
+            # commit, where the DAG scheduler runs the three independent
+            # subtrees concurrently. (pool.submit still parallelizes the
+            # materialize="all" debugging mode.)
             futures = []
             if "minhash" in self.detectors:
                 futures.append(pool.submit(self._stage, "cand_minhash", build_minhash))
@@ -224,19 +272,27 @@ class DedupPipeline:
                 )
             cand_parts = [f.result() for f in futures]
             classes = f_classes.result()
-            chains = f_chains.result()
 
+        chains = self._stage("chain_edges", lambda: chain_edges(keyed))
         candidates = self._stage(
             "candidates", lambda: union_candidates(*cand_parts)
         )
+        # text_metrics: when passthrough, persist so the two consumers
+        # inside verify_text_pairs (lazy-LCS subset + main branch) compute
+        # the Jaccard fold ONCE without paying a full commit boundary
         text_metrics = self._stage(
             "text_metrics",
             lambda: text_pair_metrics(candidates, signatures, fingerprints),
         )
+        tm_cached = "text_metrics" not in self.materialize
+        if tm_cached:
+            text_metrics = text_metrics.persist()
         text_verified = self._stage(
             "text_verified",
             lambda: verify_text_pairs(text_metrics, signatures, cfg),
         )
+        if tm_cached:
+            text_metrics.unpersist()
         verified = self._stage(
             "verified",
             lambda: expand_and_verify(text_verified, classes, chains, clips, cfg),

@@ -13,6 +13,35 @@ from locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
 from locality_sensitive_hashing_spark.sources.tables import TableIO
 
 
+def test_default_policy_commits_eight_stages(pipeline_run):
+    """Materialization is a per-stage policy: only resume-valuable
+    boundaries commit; the rest fuse into downstream jobs (the round-1
+    14-commit serial floor is gone)."""
+    from locality_sensitive_hashing_spark.plans.pipeline import DEFAULT_MATERIALIZE
+
+    _io, pipe, _ = pipeline_run
+    assert set(pipe.executed_stages) == set(DEFAULT_MATERIALIZE)
+    assert len(DEFAULT_MATERIALIZE) == 8
+    assert {"texts", "chain_edges", "text_metrics"} <= set(pipe.passthrough_stages)
+
+
+def test_materialize_all_same_clusters(spark, cfg, clips_df, pipeline_run):
+    """The debugging policy (commit every stage) is result-identical."""
+    tmp = tempfile.mkdtemp(prefix="lsh_matall_")
+    try:
+        io = TableIO(spark, tmp)
+        pipe = DedupPipeline(spark, cfg, io, run_id="matall", materialize="all")
+        clusters = pipe.run(clips_df)
+        assert "cand_minhash" in pipe.executed_stages
+        assert pipe.passthrough_stages == []
+        _, _, clusters1 = pipeline_run
+        a = clusters1.toPandas().sort_values("clip_id").reset_index(drop=True)
+        b = clusters.toPandas().sort_values("clip_id").reset_index(drop=True)
+        assert a.equals(b)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def test_second_run_skips_everything(spark, cfg, clips_df, pipeline_run):
     io, first, clusters1 = pipeline_run
     pipe2 = DedupPipeline(spark, cfg, io, run_id="test-run-2")

@@ -148,8 +148,8 @@ def test_metrics_lineage_written(pipeline_run, cfg):
     io, pipe, _ = pipeline_run
     m = io.read("metrics").toPandas()
     stages = set(m.stage)
-    for s in ("keyed", "texts", "signatures", "candidates", "text_verified",
-              "audio_classes", "verified", "clusters"):
+    for s in ("keyed", "signatures", "fingerprints", "candidates",
+              "text_verified", "audio_classes", "verified", "clusters"):
         assert s in stages
     sig_total = m[(m.stage == "signatures") & (m.partition_id == -1)].rows.iloc[0]
     assert sig_total == io.read("signatures").count()
