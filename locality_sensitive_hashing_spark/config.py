@@ -35,7 +35,10 @@ class Config:
     and the fixture generator agree bit-for-bit.
     """
 
-    # shingling (MMDS section 3.2): character k-grams over normalized text
+    # shingling (MMDS section 3.2) over normalized text: the reference
+    # exposed shingle type as a user param (SURVEY.md section 2 O3) --
+    # "char" = character k-grams, "word" = k-token grams
+    shingle_type: str = "char"
     shingle_k: int = 5
     # MinHash (MMDS section 3.3.5): H = bands * rows_per_band
     num_hashes: int = 128
@@ -57,9 +60,19 @@ class Config:
     snr_db: float = 30.0
     # connected components
     cc_max_iters: int = 25
+    # cluster-mode CC hardening: reliable checkpoint() (survives executor
+    # loss; needs a fault-tolerant checkpoint dir) instead of
+    # localCheckpoint() (executor-local blocks -- fine in local mode)
+    cc_reliable_checkpoint: bool = False
     # partitioning knobs (sized for local[32] tests; scale-up notes in
     # plans/pipeline.py docstrings)
     shuffle_partitions: int = 32
+
+    # knobs that tune EXECUTION but cannot change any result row; excluded
+    # from config_id so flipping them never invalidates committed stages,
+    # golden fixtures, or resume manifests
+    _EXECUTION_ONLY = ("shuffle_partitions", "cc_max_iters",
+                       "cc_reliable_checkpoint")
 
     def __post_init__(self) -> None:
         if self.num_hashes != self.bands * self.rows_per_band:
@@ -67,11 +80,16 @@ class Config:
                 f"num_hashes ({self.num_hashes}) must equal "
                 f"bands*rows_per_band ({self.bands}*{self.rows_per_band})"
             )
+        if self.shingle_type not in ("char", "word"):
+            raise ValueError(f"shingle_type must be char|word, got {self.shingle_type!r}")
 
     @property
     def config_id(self) -> str:
-        """Stable hash of all parameters; keys fixtures, manifests, metrics."""
-        blob = json.dumps(asdict(self), sort_keys=True).encode()
+        """Stable hash of the SEMANTIC parameters; keys fixtures,
+        manifests, metrics (execution-only knobs excluded, see above)."""
+        d = {k: v for k, v in asdict(self).items()
+             if k not in self._EXECUTION_ONLY}
+        blob = json.dumps(d, sort_keys=True).encode()
         return hashlib.sha256(blob).hexdigest()[:16]
 
     def to_dict(self) -> dict:

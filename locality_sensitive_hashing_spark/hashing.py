@@ -81,16 +81,40 @@ def hash_kgrams(text: str, k: int) -> np.ndarray:
     return h
 
 
-def shingle_set(text: str, k: int) -> np.ndarray:
+def shingle_set(text: str, k: int, shingle_type: str = "char") -> np.ndarray:
     """Sorted distinct uint64 shingle hashes of normalized ``text``.
 
-    Jaccard is over *sets* (MMDS section 3.1.1), hence the dedup. Documents
-    shorter than k shingle to the single sentinel {0} so every row still
-    gets a well-defined signature.
+    ``shingle_type`` mirrors the reference's user-tunable shingle switch
+    (SURVEY.md section 2 O3): "char" hashes character k-grams, "word"
+    hashes k-token grams of the whitespace tokenization.  Jaccard is over
+    *sets* (MMDS section 3.1.1), hence the dedup. Documents shorter than
+    k (chars or tokens) shingle to the single sentinel {0} so every row
+    still gets a well-defined signature.
     """
+    if shingle_type == "word":
+        return word_shingle_set(text, k)
     h = hash_kgrams(text, k)
     if h.size == 0:
         return np.zeros(1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def word_shingle_set(text: str, n: int) -> np.ndarray:
+    """Sorted distinct uint64 hashes of the n-token grams of ``text``.
+
+    Grams are space-joined token windows hashed with the FNV token kernel
+    (:func:`hash_tokens`) plus the same avalanche as :func:`hash_kgrams`,
+    so word and char shingles draw from equally-mixed uint64 universes.
+    """
+    toks = text.split()
+    if len(toks) < n:
+        return np.zeros(1, dtype=np.uint64)
+    grams = [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+    h = hash_tokens(grams)
+    with np.errstate(over="ignore"):
+        h ^= h >> np.uint64(33)
+        h *= _GOLD
+        h ^= h >> np.uint64(29)
     return np.unique(h)
 
 
@@ -143,7 +167,8 @@ def signature_and_bands(
 ) -> tuple[np.ndarray, np.ndarray]:
     """Normalize -> shingle -> minhash -> band hashes for one document."""
     sig = minhash_signature(
-        shingle_set(normalize_text(text), cfg.shingle_k), a, b, cfg.modulo_prime
+        shingle_set(normalize_text(text), cfg.shingle_k, cfg.shingle_type),
+        a, b, cfg.modulo_prime,
     )
     return sig, band_hashes(sig, cfg.bands, cfg.rows_per_band)
 

@@ -16,17 +16,36 @@ component -- exactly the oracle's union-find cluster_id convention
 (min-id, SURVEY.md Appendix B item 6).
 
 Scale notes: each round is one join + one partial-agg groupBy on the SAME
-key (clip_id), so the shuffle partitioning is reused; `localCheckpoint``
+key (clip_id), so the shuffle partitioning is reused; checkpointing
 truncates the growing lineage each round (SURVEY.md section 4.2); the
 convergence check is a driver-side count of changed labels only.
+
+Checkpoint mode: ``localCheckpoint`` (default) stores blocks on executors
+-- cheapest, but a lost executor on a real cluster loses blocks and fails
+the job.  ``cfg.cc_reliable_checkpoint=True`` switches every round to
+reliable ``checkpoint()`` into the SparkContext checkpoint dir (set it to
+HDFS/S3 on a cluster; a temp dir is provisioned automatically in local
+mode).  Execution-only knob: results are identical (pinned by test).
 """
 
 from __future__ import annotations
+
+import tempfile
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from locality_sensitive_hashing_spark.config import Config
+
+
+def _checkpointer(df: DataFrame, cfg: Config):
+    if not cfg.cc_reliable_checkpoint:
+        return df.localCheckpoint()
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isEmpty():
+        # local-mode convenience only; clusters must set a durable dir
+        sc.setCheckpointDir(tempfile.mkdtemp(prefix="lsh_cc_ckpt_"))
+    return df.checkpoint()
 
 
 def connected_components(
@@ -37,17 +56,17 @@ def connected_components(
     ``edges``: (id1, id2) verified dup pairs; ``nodes``: (clip_id) the full
     clip universe (singletons label themselves).
     """
-    sym = (
+    sym = _checkpointer(
         edges.select(F.col("id1").alias("src"), F.col("id2").alias("dst"))
         .unionByName(
             edges.select(F.col("id2").alias("src"), F.col("id1").alias("dst"))
         )
-        .distinct()
-        .localCheckpoint()
+        .distinct(),
+        cfg,
     )
-    labels = nodes.select(
-        "clip_id", F.col("clip_id").alias("cluster_id")
-    ).localCheckpoint()
+    labels = _checkpointer(
+        nodes.select("clip_id", F.col("clip_id").alias("cluster_id")), cfg
+    )
 
     for _ in range(cfg.cc_max_iters):
         # neighbor label messages: dst receives src's current label
@@ -55,11 +74,11 @@ def connected_components(
             sym.join(labels, sym.src == labels.clip_id)
             .select(F.col("dst").alias("clip_id"), "cluster_id")
         )
-        new_labels = (
+        new_labels = _checkpointer(
             labels.unionByName(msgs)
             .groupBy("clip_id")
-            .agg(F.min("cluster_id").alias("cluster_id"))
-            .localCheckpoint()
+            .agg(F.min("cluster_id").alias("cluster_id")),
+            cfg,
         )
         changed = (
             new_labels.alias("n")

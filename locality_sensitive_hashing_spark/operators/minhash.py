@@ -36,14 +36,14 @@ def signature_udf(cfg: Config):
     BASELINE.json "identical shingle-size/num-hashes/band-row config").
     """
     a, b = H.hash_family(cfg)
-    k, p = cfg.shingle_k, cfg.modulo_prime
+    k, p, stype = cfg.shingle_k, cfg.modulo_prime, cfg.shingle_type
     bands, rows = cfg.bands, cfg.rows_per_band
 
     @F.pandas_udf("sig array<long>, band_hashes array<long>")
     def compute(norm: pd.Series) -> pd.DataFrame:
         sigs, bhs = [], []
         for text in norm:
-            ss = H.shingle_set(text or "", k)
+            ss = H.shingle_set(text or "", k, stype)
             sig = H.minhash_signature(ss, a, b, p)
             sigs.append(sig.tolist())
             bhs.append(H.band_hashes(sig, bands, rows).tolist())
@@ -59,14 +59,14 @@ def shingles_udf(cfg: Config):
     computes shingles inside :func:`signature_udf` without materializing
     them.
     """
-    k = cfg.shingle_k
+    k, stype = cfg.shingle_k, cfg.shingle_type
 
     @F.pandas_udf("array<long>")
     def compute(norm: pd.Series) -> pd.Series:
         import numpy as np
 
         return pd.Series(
-            [H.shingle_set(t or "", k).view(np.int64).tolist() for t in norm]
+            [H.shingle_set(t or "", k, stype).view(np.int64).tolist() for t in norm]
         )
 
     return compute

@@ -104,7 +104,7 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
     sigs: dict[str, np.ndarray] = {}
     fps: dict[str, int] = {}
     for tk, norm in norm_of.items():
-        ss = H.shingle_set(norm, cfg.shingle_k)
+        ss = H.shingle_set(norm, cfg.shingle_k, cfg.shingle_type)
         sig = H.minhash_signature(ss, a, b, cfg.modulo_prime)
         bh = H.band_hashes(sig, cfg.bands, cfg.rows_per_band)
         fp = H.simhash64(norm)

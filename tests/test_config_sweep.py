@@ -65,6 +65,51 @@ def test_alt_config_clusters(alt_run):
     assert (got.cluster_id.values == exp.cluster_id.values).all()
 
 
+WORD = Config(shingle_type="word", shingle_k=3)
+
+
+@pytest.fixture(scope="module")
+def word_run(spark):
+    """Full pipeline WORD-shingled (the reference's shingle_type switch)."""
+    clips_pd, _ = make_clips(80, seed=13)
+    oracle = run_oracle(clips_pd, WORD)
+    tmp = tempfile.mkdtemp(prefix="lsh_word_")
+    io = TableIO(spark, tmp)
+    clusters = DedupPipeline(
+        spark, WORD, io, run_id="word"
+    ).run(spark.createDataFrame(clips_pd, schema=CLIPS_SCHEMA))
+    yield io, clusters, oracle
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_word_shingle_signatures_match_oracle(word_run):
+    io, _, oracle = word_run
+    got = io.read("signatures").toPandas().sort_values("text_key").reset_index(drop=True)
+    exp = oracle.signatures.sort_values("text_key").reset_index(drop=True)
+    assert list(got.text_key) == list(exp.text_key)
+    for g, e in zip(got.sig, exp.sig):
+        assert list(g) == list(e)
+
+
+def test_word_shingle_clusters_match_oracle(word_run):
+    _, clusters, oracle = word_run
+    got = clusters.toPandas().sort_values("clip_id").reset_index(drop=True)
+    exp = oracle.clusters.sort_values("clip_id").reset_index(drop=True)
+    assert (got.cluster_id.values == exp.cluster_id.values).all()
+
+
+def test_word_shingles_differ_from_char():
+    from locality_sensitive_hashing_spark import hashing as H
+
+    t = "the quick brown fox jumps over the lazy dog"
+    w = H.shingle_set(t, 3, "word")
+    c = H.shingle_set(t, 3, "char")
+    assert len(w) == 7  # 9 tokens -> 7 distinct trigrams
+    assert set(w.tolist()).isdisjoint(set(c.tolist()))
+    # shorter than n tokens -> sentinel {0}
+    assert H.shingle_set("one two", 3, "word").tolist() == [0]
+
+
 def test_alt_config_distinct_from_default(alt_run):
     """Different config -> different config_id -> separate snapshots."""
     from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG

@@ -42,6 +42,29 @@ def test_star_graph(spark, cfg):
     assert set(got.values()) == {"a"}
 
 
+def test_reliable_checkpoint_identical(spark, cfg):
+    """cc_reliable_checkpoint is execution-only: same labels, same
+    config_id (so flipping it never invalidates committed stages)."""
+    from dataclasses import replace
+
+    from locality_sensitive_hashing_spark.config import Config
+
+    rel = replace(cfg, cc_reliable_checkpoint=True)
+    assert rel.config_id == cfg.config_id
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], "id1 string, id2 string"
+    )
+    nodes = spark.createDataFrame(
+        [(n,) for n in "abcxyz"], "clip_id string"
+    )
+    got = connected_components(edges, nodes, rel).toPandas()
+    exp = connected_components(edges, nodes, cfg).toPandas()
+    g = got.sort_values("clip_id").reset_index(drop=True)
+    e = exp.sort_values("clip_id").reset_index(drop=True)
+    assert g.equals(e)
+    assert dict(zip(g.clip_id, g.cluster_id))["c"] == "a"
+
+
 def test_long_path_converges(spark, cfg):
     """Path of 12 nodes: needs several propagation rounds (doubling via
     min-relabel still converges under the iteration cap)."""
