@@ -6,9 +6,10 @@ array over 10^12 transcripts is neither buildable nor needed):
 1. **Anchor blocking** (linear, pure DataFrame): winnowing fingerprints
    (Schleimer et al. 2003) of each normalized transcript via an Arrow UDF,
    exploded to (clip_id, anchor) rows, then the generic blocked self-join.
-   With gram_len = sa_min_len/2 and window = sa_min_len - gram_len + 1 the
-   guarantee is lossless: any pair sharing a substring >= sa_min_len shares
-   an anchor.
+   With gram_len = max(4, 3*sa_min_len//4) and window = sa_min_len -
+   gram_len + 1 (hashing.sa_params: the longest gram the lossless bound
+   gram_len + window - 1 <= sa_min_len allows, for selectivity), any pair
+   sharing a substring >= sa_min_len shares an anchor.
 2. **Exact verification** (per candidate pair): suffix array via prefix
    doubling (Manber-Myers 1990) + Kasai LCP over t1#t2, inside a grouped
    Arrow UDF -- confirms longest-common-substring >= sa_min_len exactly.

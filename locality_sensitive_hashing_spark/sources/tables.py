@@ -92,11 +92,25 @@ class TableIO:
             os.rename(tmp, self._manifest_path)
 
     def committed(self, table: str, config_id: str) -> bool:
-        """True iff a snapshot of `table` at `config_id` is committed."""
-        return any(
-            s["table"] == table and s["config_id"] == config_id
-            for s in self._load_manifest()["snapshots"]
-        ) and os.path.exists(self._path(table))
+        """True iff the LATEST committed snapshot of `table` is at
+        `config_id`.
+
+        Only the newest overwrite entry counts: ``write()`` replaces the
+        single per-table directory, so any older entry for another config
+        describes data that no longer exists -- matching on *any*
+        historical entry would let a resume under config A silently read
+        config B's bytes after a workdir was reused (ADVICE round 1).
+        Append-only tables (metrics) never gate resume and are skipped.
+        """
+        snaps = [
+            s for s in self._load_manifest()["snapshots"]
+            if s["table"] == table and not s.get("append")
+        ]
+        return (
+            bool(snaps)
+            and snaps[-1]["config_id"] == config_id
+            and os.path.exists(self._path(table))
+        )
 
     def snapshots(self) -> list[dict]:
         return self._load_manifest()["snapshots"]

@@ -11,10 +11,14 @@ can be re-run against the grown tables at any snapshot.
 
 Two jobs:
 
-- :func:`incremental_signatures` -- readStream over a clips parquet
-  directory -> content keys + per-NEW-distinct-text signatures +
-  fingerprints -> foreachBatch append (exactly-once per micro-batch id via
-  the manifest).
+- :class:`BatchIngestor` / :func:`incremental_signatures` -- readStream
+  over a clips parquet directory -> content keys + per-NEW-distinct-text
+  signatures + fingerprints -> foreachBatch. Effectively-once per
+  micro-batch: each batch writes its own ``b<batch_id>/`` subdirectory
+  with mode=overwrite (a replay after a mid-batch crash overwrites the
+  same paths, so partial output cannot duplicate) and then drops a
+  ``_batches/<id>`` marker; a replay of a fully-committed batch no-ops on
+  the marker.
 - :func:`streaming_event_counts` -- watermark + tumbling-window counts
   over the driver's `events` schema (the generic late-data/windowed-agg
   surface, kept for operator coverage).
@@ -33,6 +37,82 @@ from locality_sensitive_hashing_spark.operators.simhash import with_fingerprint
 from locality_sensitive_hashing_spark.operators.textgroup import with_content_keys
 from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA
 
+STORE_TABLES = ("keyed", "signatures", "fingerprints")
+
+
+def read_store(spark: SparkSession, output_dir: str, table: str) -> DataFrame:
+    """Read one intake store table across all committed batch subdirs."""
+    return (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(os.path.join(output_dir, table))
+    )
+
+
+class BatchIngestor:
+    """Idempotent micro-batch processor behind incremental_signatures.
+
+    Commit protocol per batch_id:
+      1. skip if ``_batches/<id>`` marker exists (fully-committed replay);
+      2. write keyed/signature/fingerprint rows to ``<table>/b<id>/`` with
+         mode=overwrite -- a crash-replay rewrites the same directories,
+         so partial output from the failed attempt cannot duplicate;
+      3. create the marker (the commit point).
+
+    The signature store stays one-row-per-distinct-text: a batch computes
+    signatures only for text_keys absent from OTHER batches' subdirs (its
+    own possibly-partial subdir is excluded from the anti-join input, else
+    a crash-replay would see its own half-written keys and emit nothing).
+    """
+
+    def __init__(self, spark: SparkSession, output_dir: str, cfg: Config):
+        self.spark = spark
+        self.output_dir = output_dir
+        self.cfg = cfg
+        self._markers = os.path.join(output_dir, "_batches")
+        os.makedirs(self._markers, exist_ok=True)
+
+    def _marker(self, batch_id: int) -> str:
+        return os.path.join(self._markers, str(int(batch_id)))
+
+    def _other_subdirs(self, table: str, sub: str) -> list[str]:
+        root = os.path.join(self.output_dir, table)
+        if not os.path.isdir(root):
+            return []
+        return sorted(
+            os.path.join(root, d)
+            for d in os.listdir(root)
+            if d.startswith("b") and d != sub
+        )
+
+    def process(self, batch_df: DataFrame, batch_id: int) -> None:
+        if os.path.exists(self._marker(batch_id)):
+            return  # replay of a fully-committed batch: no-op
+        sub = f"b{int(batch_id)}"
+
+        def out(table: str) -> str:
+            return os.path.join(self.output_dir, table, sub)
+
+        keyed = with_content_keys(batch_df).cache()
+        keyed.select("clip_id", "text_key", "audio_key").write.mode(
+            "overwrite"
+        ).parquet(out("keyed"))
+        texts = keyed.groupBy("text_key").agg(F.min("norm").alias("norm"))
+        # incremental dedup vs every OTHER committed batch (signatures are
+        # immutable per config, so append-only subdirs stay consistent)
+        prior = self._other_subdirs("signatures", sub)
+        if prior:
+            existing = self.spark.read.parquet(*prior).select("text_key")
+            texts = texts.join(existing, "text_key", "left_anti")
+        with_signatures(
+            texts, self.cfg, text_col="norm", id_col="text_key",
+            pre_normalized=True,
+        ).write.mode("overwrite").parquet(out("signatures"))
+        with_fingerprint(
+            texts, text_col="norm", id_col="text_key"
+        ).write.mode("overwrite").parquet(out("fingerprints"))
+        keyed.unpersist()
+        open(self._marker(batch_id), "w").close()  # commit point
+
 
 def incremental_signatures(
     spark: SparkSession,
@@ -41,16 +121,15 @@ def incremental_signatures(
     cfg: Config,
     checkpoint_dir: str | None = None,
 ):
-    """Streaming query: clips parquet dir -> appended keyed/signature rows.
+    """Streaming query: clips parquet dir -> committed intake store.
 
     Returns the started StreamingQuery; callers drive it with
     ``processAllAvailable()`` (tests) or let it run with a trigger.
-    Output layout under ``output_dir``: ``keyed/`` (clip_id, text_key,
-    audio_key), ``signatures/`` (text_key, norm, sig, band_hashes),
-    ``fingerprints/`` (text_key, fingerprint).  Per-batch dedup keeps the
-    signature store one-row-per-distinct-text: a micro-batch only computes
-    signatures for text_keys not yet in the store (signatures are
-    immutable per config, so append-only is consistent).
+    Output layout under ``output_dir`` (read via :func:`read_store`):
+    ``keyed/b<id>/`` (clip_id, text_key, audio_key), ``signatures/b<id>/``
+    (text_key, norm, sig, band_hashes), ``fingerprints/b<id>/``
+    (text_key, fingerprint), plus ``_batches/<id>`` commit markers --
+    replay semantics per :class:`BatchIngestor`.
     """
     os.makedirs(output_dir, exist_ok=True)
     stream = (
@@ -58,32 +137,10 @@ def incremental_signatures(
         .option("maxFilesPerTrigger", 4)
         .parquet(input_dir)
     )
-
-    sig_path = os.path.join(output_dir, "signatures")
-    fp_path = os.path.join(output_dir, "fingerprints")
-    keyed_path = os.path.join(output_dir, "keyed")
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        keyed = with_content_keys(batch_df).cache()
-        keyed.select("clip_id", "text_key", "audio_key").write.mode(
-            "append"
-        ).parquet(keyed_path)
-        texts = keyed.groupBy("text_key").agg(F.min("norm").alias("norm"))
-        # incremental dedup vs the committed signature store
-        if os.path.exists(sig_path):
-            existing = spark.read.parquet(sig_path).select("text_key")
-            texts = texts.join(existing, "text_key", "left_anti")
-        new_sigs = with_signatures(
-            texts, cfg, text_col="norm", id_col="text_key", pre_normalized=True
-        )
-        new_sigs.write.mode("append").parquet(sig_path)
-        with_fingerprint(texts, text_col="norm", id_col="text_key").write.mode(
-            "append"
-        ).parquet(fp_path)
-        keyed.unpersist()
+    ingestor = BatchIngestor(spark, output_dir, cfg)
 
     writer = (
-        stream.writeStream.foreachBatch(process_batch)
+        stream.writeStream.foreachBatch(ingestor.process)
         .outputMode("append")
         .trigger(availableNow=True)
     )

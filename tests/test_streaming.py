@@ -12,7 +12,9 @@ import pyarrow.parquet as pq
 from locality_sensitive_hashing_spark import hashing as H
 from locality_sensitive_hashing_spark.fixtures import make_clips
 from locality_sensitive_hashing_spark.streaming.incremental import (
+    BatchIngestor,
     incremental_signatures,
+    read_store,
     streaming_event_counts,
 )
 
@@ -45,7 +47,7 @@ def test_incremental_signatures(spark, cfg):
     q = incremental_signatures(spark, in_dir, out_dir, cfg, checkpoint_dir=ckpt)
     q.awaitTermination(120)
 
-    sigs1 = spark.read.parquet(os.path.join(out_dir, "signatures")).toPandas()
+    sigs1 = read_store(spark, out_dir, "signatures").toPandas()
     n_first = len(sigs1)
     assert n_first > 0
 
@@ -56,11 +58,11 @@ def test_incremental_signatures(spark, cfg):
     q2 = incremental_signatures(spark, in_dir, out_dir, cfg, checkpoint_dir=ckpt)
     q2.awaitTermination(120)
 
-    sigs2 = spark.read.parquet(os.path.join(out_dir, "signatures")).toPandas()
+    sigs2 = read_store(spark, out_dir, "signatures").toPandas()
     # one row per distinct text overall; no duplicate text_keys
     assert sigs2.text_key.is_unique
     assert len(sigs2) >= n_first
-    keyed = spark.read.parquet(os.path.join(out_dir, "keyed")).toPandas()
+    keyed = read_store(spark, out_dir, "keyed").toPandas()
     assert len(keyed) == half + len(second)  # one row per ingested file row
     # all distinct texts of the corpus are covered exactly once
     assert set(keyed.text_key) == set(sigs2.text_key)
@@ -72,6 +74,42 @@ def test_incremental_signatures(spark, cfg):
         H.shingle_set(row["norm"], cfg.shingle_k), a, b, cfg.modulo_prime
     )
     assert list(row["sig"]) == expect.tolist()
+
+
+def test_batch_replay_is_idempotent(spark, cfg):
+    """A replayed micro-batch (same batch_id) must not duplicate rows --
+    neither after a clean commit nor after a simulated mid-batch crash
+    that left partial output (ADVICE round 1)."""
+    out_dir = tempfile.mkdtemp(prefix="lsh_replay_")
+    clips, _ = make_clips(30, seed=3)
+    df = spark.createDataFrame(clips)
+    ing = BatchIngestor(spark, out_dir, cfg)
+
+    ing.process(df, 0)
+    keyed0 = read_store(spark, out_dir, "keyed").toPandas()
+    sigs0 = read_store(spark, out_dir, "signatures").toPandas()
+
+    ing.process(df, 0)  # clean replay: marker no-op
+    assert read_store(spark, out_dir, "keyed").count() == len(keyed0)
+
+    # simulated crash replay of batch 1: partial subdir written (keyed +
+    # signatures), NO marker -> reprocess must overwrite, not duplicate,
+    # and must still emit batch-1 signatures (its own partial subdir must
+    # not suppress them via the anti-join)
+    clips2, _ = make_clips(20, seed=4)
+    df2 = spark.createDataFrame(clips2)
+    marker = ing._marker(1)
+    ing.process(df2, 1)
+    assert os.path.exists(marker)
+    os.remove(marker)  # pretend the crash hit before the commit point
+    ing.process(df2, 1)
+    keyed = read_store(spark, out_dir, "keyed").toPandas()
+    sigs = read_store(spark, out_dir, "signatures").toPandas()
+    assert len(keyed) == len(keyed0) + len(clips2)
+    assert sigs.text_key.is_unique
+    assert set(sigs.text_key) == set(keyed.text_key)
+    assert len(sigs) > len(sigs0)
+    shutil.rmtree(out_dir, ignore_errors=True)
 
 
 def test_streaming_event_counts(spark):

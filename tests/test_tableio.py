@@ -30,6 +30,48 @@ def test_write_read_committed(spark, io):
     assert io.read("t1").count() == 5
 
 
+def test_overwrite_invalidates_other_configs(spark, io):
+    """Only the LATEST snapshot per table is authoritative: reusing a
+    workdir with config B then resuming config A must NOT read B's bytes
+    as A's committed stage (ADVICE round 1)."""
+    io.write(_df(spark, 5), "t1", "cfgA")
+    io.write(_df(spark, 9), "t1", "cfgB")  # same table dir, new config
+    assert io.committed("t1", "cfgB")
+    assert not io.committed("t1", "cfgA")  # stale entry must not match
+    io.write(_df(spark, 5), "t1", "cfgA")
+    assert io.committed("t1", "cfgA")
+    assert not io.committed("t1", "cfgB")
+
+
+def test_pyfiles_zip_fresh(tmp_path):
+    """The committed spark-submit --py-files artifact must ship the exact
+    executor code of the current package sources (ADVICE round 1)."""
+    import zipfile
+
+    import jobs.make_pyfiles as MP
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    zip_path = os.path.join(root, "lshdedup.zip")
+    assert os.path.exists(zip_path), "run jobs/make_pyfiles.py"
+    with zipfile.ZipFile(zip_path) as z:
+        names = set(z.namelist())
+        src_files = {}
+        pkg_root = os.path.join(root, MP.PKG)
+        for dirpath, _d, filenames in os.walk(pkg_root):
+            if "__pycache__" in dirpath:
+                continue
+            for fn in filenames:
+                if fn.endswith(".py"):
+                    full = os.path.join(dirpath, fn)
+                    src_files[os.path.relpath(full, root)] = full
+        assert names == set(src_files), (
+            f"zip/package file sets differ: {names ^ set(src_files)}"
+        )
+        for rel, full in src_files.items():
+            with open(full, "rb") as f:
+                assert z.read(rel) == f.read(), f"stale zip entry: {rel}"
+
+
 def test_orphan_dir_without_manifest_not_committed(spark, io):
     """Crash between data write and manifest append: dir exists, no
     snapshot entry -> stage reruns (manifest is the source of truth)."""
