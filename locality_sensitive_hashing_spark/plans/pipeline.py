@@ -285,8 +285,12 @@ class DedupPipeline:
             lambda: text_pair_metrics(candidates, signatures, fingerprints),
         )
         tm_cached = "text_metrics" not in self.materialize
-        if tm_cached:
+        if tm_cached and not self.io.committed("text_verified", cfg.config_id):
             text_metrics = text_metrics.persist()
+            # materialize the cache BEFORE the dual-consumer job: its two
+            # branches (lazy-LCS subset + main) are independent stages that
+            # would otherwise race and each compute the full metrics plan
+            text_metrics.count()
         text_verified = self._stage(
             "text_verified",
             lambda: verify_text_pairs(text_metrics, signatures, cfg),

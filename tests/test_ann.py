@@ -73,6 +73,36 @@ def test_lsh_ann_recall_vs_bruteforce(emb_df):
     assert hits / len(bf) >= 0.9, f"ANN top-1 recall {hits / len(bf)}"
 
 
+def test_lsh_plan_independent_of_dim_and_works_at_1024(spark):
+    """Round-1 fix: sign-bucketing is one Arrow matmul UDF, so the
+    Catalyst plan must not grow with embedding dim (the literal-hyperplane
+    form was n_planes x dim expression nodes), and the operator must work
+    at realistic dims."""
+    from locality_sensitive_hashing_spark.operators.ann import with_sign_buckets
+
+    def clustered(dim, n_centers=8, per=4):
+        rng = np.random.default_rng(5)
+        rows, vid = [], 0
+        for c in rng.standard_normal((n_centers, dim)) * 4:
+            for _ in range(per):
+                rows.append((vid, [float(x) for x in c + rng.standard_normal(dim) * 0.05]))
+                vid += 1
+        return spark.createDataFrame(pd.DataFrame(rows, columns=["vec_id", "embedding"]))
+
+    small, big = clustered(16), clustered(1024)
+    plan_small = with_sign_buckets(small, 16, 4, 42)._jdf.queryExecution().optimizedPlan().toString()
+    plan_big = with_sign_buckets(big, 16, 4, 42)._jdf.queryExecution().optimizedPlan().toString()
+    assert len(plan_big) <= len(plan_small) + 64  # no per-component literals
+
+    bf = brute_force_topk(big, k=1).toPandas().set_index("query_id")
+    ann = lsh_ann_topk(big, k=1, n_planes=16, bands=4, seed=42).toPandas().set_index("query_id")
+    hits = sum(
+        1 for q in bf.index
+        if q in ann.index and ann.loc[q].neighbor_id == bf.loc[q].neighbor_id
+    )
+    assert hits / len(bf) >= 0.9, f"dim-1024 ANN top-1 recall {hits / len(bf)}"
+
+
 def test_embedding_near_dup_pairs(emb_df):
     pairs = embedding_near_dup_pairs(emb_df, threshold=0.99).toPandas()
     assert len(pairs) > 0
