@@ -17,6 +17,7 @@ that materialization boundary.
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import shutil
@@ -25,6 +26,16 @@ import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
+
+# stage tables whose committed layout is BUCKETED (hash-clustered + sorted
+# by the id column, one file per bucket): every downstream join on that id
+# (pair-metric joins s1/s2, norm joins n1/n2) then scans co-partitioned,
+# pre-sorted buckets instead of re-shuffling the table per join --
+# SURVEY.md section 4.3. Keys: table -> (bucket column, n buckets).
+DEFAULT_BUCKET_SPEC: dict[str, tuple[str, int]] = {
+    "signatures": ("text_key", 32),
+    "fingerprints": ("text_key", 32),
+}
 
 CLIPS_SCHEMA = (
     "clip_id string, bytes binary, sr_hz int, dur_ms int, "
@@ -63,9 +74,17 @@ class TableIO:
     dirs are ignored and re-written).
     """
 
-    def __init__(self, spark: SparkSession, root: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        bucket_spec: dict[str, tuple[str, int]] | None = None,
+    ):
         self.spark = spark
         self.root = root
+        self.bucket_spec = (
+            DEFAULT_BUCKET_SPEC if bucket_spec is None else bucket_spec
+        )
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
         # pipeline stages commit from concurrent threads (plans/pipeline.py
@@ -119,9 +138,39 @@ class TableIO:
     def _path(self, table: str) -> str:
         return os.path.join(self.root, table)
 
+    def _ident(self, table: str) -> str:
+        """Catalog identifier for a bucketed table, unique per workdir."""
+        h = hashlib.sha1(self.root.encode()).hexdigest()[:10]
+        return f"lsh_{h}_{table}"
+
+    def _register_bucketed(self, table: str) -> None:
+        """(Re)create the catalog entry for a bucketed table's files.
+
+        Bucket layout lives in the catalog, not in parquet files, so a
+        fresh session resuming a workdir re-issues the DDL; the bucket ids
+        encoded in the committed file names make this sound.
+        """
+        col, n = self.bucket_spec[table]
+        path = self._path(table)
+        sch = self.spark.read.parquet(path).schema
+        cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields)
+        ident = self._ident(table)
+        self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
+        self.spark.sql(
+            f"CREATE TABLE {ident} ({cols}) USING PARQUET "
+            f"CLUSTERED BY (`{col}`) SORTED BY (`{col}`) INTO {n} BUCKETS "
+            f"LOCATION '{path}'"
+        )
+
     def write(self, df: DataFrame, table: str, config_id: str,
               mode: str = "overwrite") -> None:
         """Atomically (re)place `table` with `df`.
+
+        Tables in ``bucket_spec`` commit hash-bucketed + per-bucket sorted
+        (repartitioned to one file per bucket so scans report sorted
+        output): the same write-to-tmp / rename / register protocol keeps
+        the commit atomic -- the temp CATALOG entry from saveAsTable is
+        dropped and the final one re-created against the renamed path.
 
         Row counts are NOT recomputed here -- the metrics stage (O23)
         already aggregates per-partition counts over the written output;
@@ -129,10 +178,26 @@ class TableIO:
         """
         final = self._path(table)
         tmp = f"{final}.__tmp_{int(time.time() * 1000)}"
-        df.write.mode("overwrite").parquet(tmp)
+        if table in self.bucket_spec:
+            col, n = self.bucket_spec[table]
+            tmp_ident = self._ident(table) + "_tmp"
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_ident}")
+            (
+                df.repartition(n, col)
+                .write.mode("overwrite")
+                .bucketBy(n, col)
+                .sortBy(col)
+                .option("path", tmp)
+                .saveAsTable(tmp_ident)
+            )
+            self.spark.sql(f"DROP TABLE IF EXISTS {tmp_ident}")  # keeps files
+        else:
+            df.write.mode("overwrite").parquet(tmp)
         if os.path.exists(final):
             shutil.rmtree(final)
         os.rename(tmp, final)
+        if table in self.bucket_spec:
+            self._register_bucketed(table)
         self._append_snapshot(
             {
                 "table": table,
@@ -159,6 +224,11 @@ class TableIO:
         )
 
     def read(self, table: str) -> DataFrame:
+        if table in self.bucket_spec:
+            ident = self._ident(table)
+            if not self.spark.catalog.tableExists(ident):
+                self._register_bucketed(table)  # fresh-session resume
+            return self.spark.table(ident)
         return self.spark.read.parquet(self._path(table))
 
     def exists(self, table: str) -> bool:

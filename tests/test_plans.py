@@ -51,6 +51,29 @@ def test_filter_pushdown_to_scan(spark, clips_parquet):
     assert "PushedFilters: [IsNotNull(sr_hz), EqualTo(sr_hz,16000)]" in plan, plan
 
 
+def test_bucketed_signatures_join_without_exchange(spark, pipeline_run, cfg):
+    """SURVEY section 4.3: the committed signatures table is bucketed +
+    sorted by text_key, so the signatures side of the pair-metric joins
+    scans co-partitioned buckets with NO shuffle exchange (forced to SMJ
+    by disabling broadcast for the check)."""
+    io, _, _ = pipeline_run
+    sigs = io.read("signatures")
+    pairs = io.read("candidates").select(F.col("id1").alias("text_key"))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(pairs.join(sigs, "text_key"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+
+    assert "SortMergeJoin" in plan, plan
+    # exactly ONE exchange: the pairs side; the bucketed signatures scan
+    # feeds the join directly (its Sort has no child Exchange)
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "_signatures" in plan, plan  # catalog (bucketed) scan, not path scan
+
+
 def test_content_keys_single_scan_projection(spark, clips_parquet):
     """keyed stage reads exactly (clip_id, transcript, bytes)."""
     df = with_content_keys(spark.read.parquet(clips_parquet))

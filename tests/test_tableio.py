@@ -43,6 +43,20 @@ def test_overwrite_invalidates_other_configs(spark, io):
     assert not io.committed("t1", "cfgB")
 
 
+def test_bucketed_write_read_overwrite_reregister(spark, io):
+    """Bucketed tables: committed via the same atomic tmp+rename protocol,
+    readable after a catalog wipe (fresh-session resume re-issues DDL),
+    and overwrite-able."""
+    io.bucket_spec = {"tb": ("x", 4)}
+    io.write(_df(spark, 20), "tb", "cfgA")
+    assert io.read("tb").count() == 20
+    spark.sql(f"DROP TABLE IF EXISTS {io._ident('tb')}")  # simulate new session
+    assert io.read("tb").count() == 20  # re-registered from committed files
+    io.write(_df(spark, 7), "tb", "cfgB")
+    assert io.read("tb").count() == 7
+    assert io.committed("tb", "cfgB") and not io.committed("tb", "cfgA")
+
+
 def test_pyfiles_zip_fresh(tmp_path):
     """The committed spark-submit --py-files artifact must ship the exact
     executor code of the current package sources (ADVICE round 1)."""
