@@ -29,6 +29,9 @@ def main() -> int:
     ap.add_argument("--master", default=None,
                     help="override spark master (default: env/cluster manager)")
     ap.add_argument("--detectors", default="minhash,simhash,sa")
+    ap.add_argument("--materialize", default=None,
+                    help='"all" or comma list of stages to commit '
+                         "(default: the 8 resume-valuable boundaries)")
     ap.add_argument("--config-json", default=None,
                     help='JSON dict of Config overrides, e.g. {"bands": 16, "rows_per_band": 8}')
     ap.add_argument("--run-id", default=None)
@@ -43,9 +46,13 @@ def main() -> int:
     spark = get_spark(args.master, app_name="lsh-dedup-job")
     clips = spark.read.parquet(args.input)
     io = TableIO(spark, args.workdir)
+    mat = args.materialize
+    if mat and mat != "all":
+        mat = frozenset(mat.split(","))
     pipe = DedupPipeline(
         spark, cfg, io, run_id=args.run_id,
         detectors=tuple(args.detectors.split(",")),
+        materialize=mat,
     )
     clusters = pipe.run(clips)
     n = clusters.count()
