@@ -53,6 +53,8 @@ def main() -> None:
         os.rename(tmp, clips_path)
     clips = spark.read.parquet(clips_path)
     n_clips = clips.count()
+    with open("/proc/loadavg") as f:
+        load_before = float(f.read().split()[0])
 
     # ---- timed runs (fresh TableIO dir each -> no resume short-circuit) --
     walls: list[float] = []
@@ -75,6 +77,8 @@ def main() -> None:
 
     walls.sort()
     wall = walls[len(walls) // 2]
+    with open("/proc/loadavg") as f:
+        load_after = float(f.read().split()[0])
     result = {
         "metric": "dedup_pipeline_wall",
         "value": round(wall, 2),
@@ -87,6 +91,10 @@ def main() -> None:
         "cpus": cpus,
         "runs": runs,
         "config_id": CFG.config_id,
+        # noisy-VM honesty: 1-min system load sampled around the timed
+        # runs (neighbor tenants routinely push this box to load 10-25,
+        # which contaminates high-parallelism levels far more than low)
+        "loadavg": [load_before, load_after],
     }
     print(json.dumps(result))
     spark.stop()

@@ -93,10 +93,10 @@ instruction -- no real cluster in this sandbox.
 
 Machine: {nproc} cores, {mem_kb // 1024 // 1024} GiB RAM.
 
-| parallelism | median wall (s) | clips/sec | per-stage (s) |
-|---|---|---|---|
-| local[{args.low}] (N) | {lo['value']} | {lo['clips_per_sec']} | {json.dumps(lo['queries'])} |
-| local[{args.high}] (4N) | {hi['value']} | {hi['clips_per_sec']} | {json.dumps(hi['queries'])} |
+| parallelism | median wall (s) | clips/sec | sys loadavg around runs | per-stage (s) |
+|---|---|---|---|---|
+| local[{args.low}] (N) | {lo['value']} | {lo['clips_per_sec']} | {lo.get('loadavg')} | {json.dumps(lo['queries'])} |
+| local[{args.high}] (4N) | {hi['value']} | {hi['clips_per_sec']} | {hi.get('loadavg')} | {json.dumps(hi['queries'])} |
 
 **Scaling efficiency = (tput_4N / tput_N) / {ratio:.0f} = {eff:.3f}**
 (target >= 0.8, BASELINE.json)
