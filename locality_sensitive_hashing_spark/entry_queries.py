@@ -627,6 +627,29 @@ reach(node, lbl) AS (
 )
 SELECT node AS clip_id, min(lbl) AS cluster_id FROM reach GROUP BY node
 """,
+    "ann_ivf_topk": f"""
+WITH idx AS (SELECT vec_id AS neighbor_id, cell FROM {_aux_rp('ivf_index')}),
+probes AS (SELECT vec_id AS query_id, cell FROM {_aux_rp('ivf_probes')}),
+cand AS (SELECT DISTINCT p.query_id, i.neighbor_id
+         FROM probes p JOIN idx i USING (cell)
+         WHERE p.query_id <> i.neighbor_id),
+e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      generate_subscripts(embedding, 1) AS i FROM e),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM u GROUP BY vec_id),
+dots AS (SELECT c.query_id, c.neighbor_id, sum(a.v * bb.v) AS dot
+         FROM cand c JOIN u a ON a.vec_id = c.query_id
+                      JOIN u bb ON bb.vec_id = c.neighbor_id AND bb.i = a.i
+         GROUP BY c.query_id, c.neighbor_id),
+scored AS (SELECT d.query_id, d.neighbor_id, d.dot / (n1.nv * n2.nv) AS c
+           FROM dots d JOIN nrm n1 ON n1.vec_id = d.query_id
+                        JOIN nrm n2 ON n2.vec_id = d.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, c,
+           row_number() OVER (PARTITION BY query_id ORDER BY c DESC, neighbor_id) AS rank
+           FROM scored)
+SELECT query_id, neighbor_id, round(c, 6) AS cosine, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
     "ann_lsh_topk": f"""
 WITH b AS (SELECT vec_id, band_id, bucket FROM {_aux_rp('ann_buckets')}),
 sizes AS (SELECT band_id, bucket, count(*) AS n FROM b GROUP BY band_id, bucket),
@@ -835,6 +858,25 @@ def q_ann_lsh_topk(spark, sf_dir):
     return lsh_ann_topk(emb, k=3, bucket_cap=2048, blocks=blocks)
 
 
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-3 (second ANN scale path next to
+    hyperplane LSH). Aux: the cell index + the per-query probe lists; the
+    oracle re-derives probed candidates, exact cosine, and rank in SQL."""
+    from locality_sensitive_hashing_spark.operators.ann import (
+        ivf_centroids,
+        ivf_topk,
+        with_ivf_cells,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    C = ivf_centroids(emb, n_cells=16)
+    index_cells = with_ivf_cells(emb, C, 1)
+    probe_cells = with_ivf_cells(emb, C, 2)
+    _aux_write(index_cells, sf_dir, "ivf_index")
+    _aux_write(probe_cells, sf_dir, "ivf_probes")
+    return ivf_topk(emb, k=3, index_cells=index_cells, probe_cells=probe_cells)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs via LSH buckets. Aux: the
     sign-bucket table; oracle = capped pairs + exact cosine >= threshold."""
@@ -888,6 +930,7 @@ QUERIES_SQL_CHECKED = {
     "sa_substring_candidates": q_sa_candidates,
     "full_pipeline_clusters": q_full_pipeline_clusters,
     "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
 }
 

@@ -197,6 +197,104 @@ def lsh_ann_topk(
     )
 
 
+def ivf_centroids(
+    emb: DataFrame, n_cells: int, id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """L2-normalized centroid matrix (n_cells, dim) for IVF-flat.
+
+    Training sample = the n_cells lowest-id vectors (deterministic, no
+    iteration) -- a production deployment would k-means here; everything
+    downstream (broadcast centroids -> cell assignment -> probed search)
+    is identical, which is the part that has to scale. The collect is the
+    model-training step: n_cells x dim floats on the driver, same shape
+    as any broadcast ANN codebook.
+    """
+    rows = (
+        emb.orderBy(id_col).limit(n_cells)
+        .select(F.col(vec_col).cast("array<double>")).collect()
+    )
+    C = np.array([r[0] for r in rows], dtype=np.float64)
+    return C / np.linalg.norm(C, axis=1, keepdims=True)
+
+
+def ivf_cells_udf(centroids: np.ndarray, nprobe: int):
+    """pandas UDF: vector -> array<int> of its nprobe nearest cells
+    (cosine against the broadcast centroid matrix, one matmul/batch)."""
+    C = centroids  # (k, dim), already normalized
+
+    @F.pandas_udf("array<int>")
+    def compute(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        V = V / np.maximum(np.linalg.norm(V, axis=1, keepdims=True), 1e-12)
+        sims = V @ C.T  # (n, k)
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series([row.astype(int).tolist() for row in order])
+
+    return compute
+
+
+def with_ivf_cells(
+    emb: DataFrame, centroids: np.ndarray, nprobe: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell) rows: each vector's nprobe nearest centroid ids."""
+    udf = ivf_cells_udf(centroids, nprobe)
+    return emb.select(
+        F.col(id_col), F.explode(udf(F.col(vec_col).cast("array<double>"))).alias("cell")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    k: int,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cells: DataFrame | None = None,
+    probe_cells: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-flat approximate top-k: coarse-quantize vectors into cells
+    (nearest centroid), probe each query's nprobe nearest cells, exact
+    cosine only within probed cells. The second ANN scale path next to
+    hyperplane LSH: candidate count ~ N * nprobe / n_cells per query
+    instead of N, and the per-cell lists shard naturally across executors.
+    """
+    if index_cells is None or probe_cells is None:
+        C = ivf_centroids(emb, n_cells, id_col, vec_col)
+        if index_cells is None:
+            index_cells = with_ivf_cells(emb, C, 1, id_col, vec_col)
+        if probe_cells is None:
+            probe_cells = with_ivf_cells(emb, C, nprobe, id_col, vec_col)
+    q = probe_cells.select(F.col(id_col).alias("query_id"), "cell")
+    n = index_cells.select(F.col(id_col).alias("neighbor_id"), "cell")
+    cand = (
+        q.join(n, "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    e1 = _prep(emb, id_col, vec_col).withColumnRenamed("_id", "query_id")
+    e2 = (
+        _prep(emb, id_col, vec_col)
+        .withColumnRenamed("_id", "neighbor_id")
+        .withColumnRenamed("_v", "_w")
+    )
+    scored = (
+        cand.join(e1, "query_id").join(e2, "neighbor_id")
+        .withColumn("cosine", cosine(F.col("_v"), F.col("_w")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", F.round("cosine", 6).alias("cosine"), "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     emb: DataFrame,
     threshold: float = 0.95,

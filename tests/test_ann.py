@@ -11,6 +11,7 @@ from locality_sensitive_hashing_spark.operators.ann import (
     brute_force_topk,
     cosine,
     embedding_near_dup_pairs,
+    ivf_topk,
     lsh_ann_topk,
 )
 
@@ -71,6 +72,22 @@ def test_lsh_ann_recall_vs_bruteforce(emb_df):
         if q in ann.index and ann.loc[q].neighbor_id == bf.loc[q].neighbor_id
     )
     assert hits / len(bf) >= 0.9, f"ANN top-1 recall {hits / len(bf)}"
+
+
+def test_ivf_topk_recall_vs_bruteforce(emb_df):
+    """IVF-flat (probe 2 of 12 cells) must find the true nearest neighbor
+    for nearly every query on the clustered corpus."""
+    bf = brute_force_topk(emb_df, k=1).toPandas().set_index("query_id")
+    ivf = ivf_topk(emb_df, k=1, n_cells=12, nprobe=2).toPandas().set_index("query_id")
+    hits = sum(
+        1 for q in bf.index
+        if q in ivf.index and ivf.loc[q].neighbor_id == bf.loc[q].neighbor_id
+    )
+    assert hits / len(bf) >= 0.9, f"IVF top-1 recall {hits / len(bf)}"
+    # probed search must actually prune: candidate set << all-pairs
+    full = ivf_topk(emb_df, k=60, n_cells=12, nprobe=2).toPandas()
+    n = emb_df.count()
+    assert len(full) < n * (n - 1)
 
 
 def test_lsh_plan_independent_of_dim_and_works_at_1024(spark):
