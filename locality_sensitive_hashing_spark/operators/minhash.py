@@ -39,13 +39,22 @@ def signature_udf(cfg: Config):
     k, p, stype = cfg.shingle_k, cfg.modulo_prime, cfg.shingle_type
     bands, rows = cfg.bands, cfg.rows_per_band
 
-    @F.pandas_udf("sig array<long>, band_hashes array<long>")
+    # sig components are < modulo_prime, so with the default Mersenne-31
+    # prime they store EXACTLY in int32: array<int> halves the widest
+    # payload the pipeline shuffles (both signature arrays ride every
+    # pair-metric join). A wider prime falls back to int64.
+    narrow = p <= (1 << 31) - 1
+    sig_type = "array<int>" if narrow else "array<long>"
+
+    @F.pandas_udf(f"sig {sig_type}, band_hashes array<long>")
     def compute(norm: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
         sigs, bhs = [], []
         for text in norm:
             ss = H.shingle_set(text or "", k, stype)
             sig = H.minhash_signature(ss, a, b, p)
-            sigs.append(sig.tolist())
+            sigs.append((sig.astype(np.int32) if narrow else sig).tolist())
             bhs.append(H.band_hashes(sig, bands, rows).tolist())
         return pd.DataFrame({"sig": sigs, "band_hashes": bhs})
 
