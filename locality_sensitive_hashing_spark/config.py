@@ -82,6 +82,8 @@ class Config:
             )
         if self.shingle_type not in ("char", "word"):
             raise ValueError(f"shingle_type must be char|word, got {self.shingle_type!r}")
+        if self.sa_min_len < 1:
+            raise ValueError(f"sa_min_len must be >= 1, got {self.sa_min_len}")
 
     @property
     def config_id(self) -> str:

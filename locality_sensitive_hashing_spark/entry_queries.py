@@ -553,7 +553,7 @@ x AS (SELECT clip_id,
       CAST({_UVIEW.format(c='shingle')} % {CFG.modulo_prime} AS BIGINT) AS x
       FROM sh)
 SELECT x.clip_id, CAST(f.pos AS INT) AS pos,
-       min((f.a * x.x + f.b) % {CFG.modulo_prime}) AS sig_value
+       CAST(min((f.a * x.x + f.b) % {CFG.modulo_prime}) AS INT) AS sig_value
 FROM x CROSS JOIN fam f GROUP BY x.clip_id, f.pos
 """,
     "minhash_candidates": f"""
@@ -827,10 +827,12 @@ def q_full_pipeline_clusters(spark, sf_dir):
     recursive-CTE transitive closure, pinning O21/O22 over the REAL
     pipeline output (the per-stage bit-exactness gate stays the numpy
     fixture-parity pytest suite)."""
-    clusters, io, clips = _flagship(spark, sf_dir)
+    clusters, io, _clips = _flagship(spark, sf_dir)
     edges = io.read("verified").where("is_dup").select("id1", "id2")
     _aux_write(edges, sf_dir, "pipeline_edges")
-    _aux_write(clips.select("clip_id"), sf_dir, "pipeline_nodes")
+    # node universe from the committed keyed stage -- re-selecting from the
+    # lazy clips plan would re-run the whole distributed audio synthesis
+    _aux_write(io.read("keyed").select("clip_id"), sf_dir, "pipeline_nodes")
     return clusters
 
 

@@ -235,8 +235,9 @@ def winnow_anchors(text: str, gram_len: int, window: int) -> np.ndarray:
     slide a window of ``window`` consecutive gram hashes, keep each
     window's minimum. Guarantee: two texts sharing a common substring of
     length >= gram_len + window - 1 share at least one anchor, so with
-    gram_len = sa_min_len // 2 and window = sa_min_len - gram_len + 1 the
-    blocking stage is lossless for the sa_min_len detector (O15).
+    (gram_len, window) from :func:`sa_params` (gram_len + window - 1 ==
+    sa_min_len by construction) the blocking stage is lossless for the
+    sa_min_len detector (O15).
     """
     h = hash_kgrams(text, gram_len)
     if h.size == 0:
@@ -254,8 +255,11 @@ def sa_params(cfg: Config) -> tuple[int, int]:
     al. 2003 guarantee); within that constraint a LONGER gram is far more
     selective (fewer spurious cross-document anchor collisions -> fewer
     LCS verifications), at the cost of ~2n/window anchors per doc.
+    The clamp to sa_min_len keeps window >= 1 for tiny thresholds
+    (sa_min_len < 6), where the preferred 4-char floor would otherwise
+    exceed the threshold itself.
     """
-    gram_len = max(4, (3 * cfg.sa_min_len) // 4)
+    gram_len = min(cfg.sa_min_len, max(4, (3 * cfg.sa_min_len) // 4))
     window = cfg.sa_min_len - gram_len + 1
     return gram_len, window
 

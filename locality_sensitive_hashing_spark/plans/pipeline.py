@@ -134,6 +134,13 @@ class DedupPipeline:
         elif materialize == "all":
             materialize = ALL_STAGES
         self.materialize = frozenset(materialize)
+        unknown = self.materialize - ALL_STAGES
+        if unknown:
+            # a typo here would silently disable the resume point
+            raise ValueError(
+                f"unknown materialize stage(s) {sorted(unknown)}; "
+                f"valid: {sorted(ALL_STAGES)}"
+            )
         self.executed_stages: list[str] = []
         self.skipped_stages: list[str] = []
         self.passthrough_stages: list[str] = []
@@ -233,12 +240,19 @@ class DedupPipeline:
 
             def build_minhash():
                 buckets = explode_bands(signatures, id_col="text_key")
-                # bounded-bucket caps: overflow counted, never silent (O25)
-                self.io.write(
-                    dropped_blocks(buckets, ["band_id", "band_hash"], cfg.bucket_cap),
-                    "dropped_buckets",
-                    cfg.config_id,
-                )
+                # bounded-bucket caps: overflow counted, never silent (O25).
+                # Skipped when `candidates` is already committed: this
+                # builder runs even on a fully-resumed pipeline (it's a
+                # passthrough stage), and re-counting would pay a full
+                # signatures scan on an otherwise no-op resume.
+                if not self.io.committed("candidates", cfg.config_id):
+                    self.io.write(
+                        dropped_blocks(
+                            buckets, ["band_id", "band_hash"], cfg.bucket_cap
+                        ),
+                        "dropped_buckets",
+                        cfg.config_id,
+                    )
                 return pairs_from_blocks(
                     buckets, ["band_id", "band_hash"], cfg.bucket_cap,
                     "minhash", id_col="text_key",
@@ -284,7 +298,13 @@ class DedupPipeline:
             "text_metrics",
             lambda: text_pair_metrics(candidates, signatures, fingerprints),
         )
-        tm_cached = "text_metrics" not in self.materialize
+        # cache only when the text_verified commit will actually consume
+        # the plan twice in one job (passthrough text_metrics, and
+        # text_verified neither committed already nor itself passthrough)
+        tm_cached = (
+            "text_metrics" not in self.materialize
+            and "text_verified" in self.materialize
+        )
         if tm_cached and not self.io.committed("text_verified", cfg.config_id):
             text_metrics = text_metrics.persist()
             # materialize the cache BEFORE the dual-consumer job: its two

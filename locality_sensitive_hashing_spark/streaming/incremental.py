@@ -41,11 +41,26 @@ STORE_TABLES = ("keyed", "signatures", "fingerprints")
 
 
 def read_store(spark: SparkSession, output_dir: str, table: str) -> DataFrame:
-    """Read one intake store table across all committed batch subdirs."""
-    return (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(os.path.join(output_dir, table))
+    """Read one intake store table across COMMITTED batch subdirs only.
+
+    Only ``b<id>`` directories whose ``_batches/<id>`` marker exists are
+    read -- a crashed batch's partial output is invisible until its replay
+    commits (no phantom reads, and no FileNotFound race against a
+    concurrent replay's overwrite of the uncommitted subdir).
+    """
+    root = os.path.join(output_dir, table)
+    markers = os.path.join(output_dir, "_batches")
+    committed = (
+        set(os.listdir(markers)) if os.path.isdir(markers) else set()
     )
+    dirs = sorted(
+        os.path.join(root, d)
+        for d in (os.listdir(root) if os.path.isdir(root) else [])
+        if d.startswith("b") and d[1:] in committed
+    )
+    if not dirs:
+        raise FileNotFoundError(f"no committed batches under {root}")
+    return spark.read.parquet(*dirs)
 
 
 class BatchIngestor:
@@ -75,13 +90,17 @@ class BatchIngestor:
         return os.path.join(self._markers, str(int(batch_id)))
 
     def _other_subdirs(self, table: str, sub: str) -> list[str]:
+        """COMMITTED batch subdirs other than this batch's own (an
+        uncommitted predecessor's partial rows must not feed the
+        anti-join; its replay will re-commit them deterministically)."""
         root = os.path.join(self.output_dir, table)
         if not os.path.isdir(root):
             return []
+        committed = set(os.listdir(self._markers))
         return sorted(
             os.path.join(root, d)
             for d in os.listdir(root)
-            if d.startswith("b") and d != sub
+            if d.startswith("b") and d != sub and d[1:] in committed
         )
 
     def process(self, batch_df: DataFrame, batch_id: int) -> None:

@@ -141,6 +141,21 @@ def test_winnowing_guarantee():
         assert np.intersect1d(a1, a2).size > 0, f"trial {trial}"
 
 
+def test_sa_params_valid_for_tiny_thresholds():
+    """window must stay >= 1 and gram_len <= sa_min_len for every legal
+    sa_min_len (the 4-char gram floor used to overshoot thresholds < 6
+    and crash sliding_window_view with window <= 0)."""
+    for L in range(1, 65):
+        cfg = Config(sa_min_len=L)
+        g, w = H.sa_params(cfg)
+        assert 1 <= g <= L and w >= 1 and g + w - 1 == L, (L, g, w)
+        # winnowing actually runs at the extreme (empty is correct when
+        # the text is shorter than one gram)
+        text = "abcdefghij" * 4
+        a = H.winnow_anchors(text, g, w)
+        assert a.size > 0 or len(text) < g
+
+
 def test_lcs_vs_bruteforce():
     rng = np.random.default_rng(5)
     alphabet = list("abc")

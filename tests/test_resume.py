@@ -42,12 +42,24 @@ def test_materialize_all_same_clusters(spark, cfg, clips_df, pipeline_run):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_unknown_materialize_stage_rejected(spark, cfg, clips_df):
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown materialize stage"):
+        DedupPipeline(spark, cfg, TableIO(spark, tempfile.mkdtemp()),
+                      materialize=frozenset({"signatures", "cluster"}))
+
+
 def test_second_run_skips_everything(spark, cfg, clips_df, pipeline_run):
     io, first, clusters1 = pipeline_run
+    n_snaps_before = len(io.snapshots())
     pipe2 = DedupPipeline(spark, cfg, io, run_id="test-run-2")
     clusters2 = pipe2.run(clips_df)
     assert pipe2.executed_stages == []
     assert set(pipe2.skipped_stages) == set(first.executed_stages)
+    # a no-op resume must not re-write ANY table (incl. the dropped_buckets
+    # side output of the passthrough minhash builder)
+    assert len(io.snapshots()) == n_snaps_before
     a = clusters1.toPandas().sort_values("clip_id").reset_index(drop=True)
     b = clusters2.toPandas().sort_values("clip_id").reset_index(drop=True)
     assert a.equals(b)
