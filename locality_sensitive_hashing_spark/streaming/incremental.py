@@ -168,6 +168,69 @@ def incremental_signatures(
     return writer.start()
 
 
+def streaming_dup_counts(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str | None = None,
+    max_files_per_trigger: int = 1,
+):
+    """Custom STATEFUL streaming operator: per-text_key running dup counts.
+
+    ``applyInPandasWithState`` keeps (n_seen, first_clip_id) state per
+    distinct transcript across micro-batches and emits an update row per
+    touched key per batch -- the streaming analog of exact dedup: the
+    first arrival of a text is original, every later arrival is an exact
+    duplicate, regardless of which micro-batch it landed in. Updates
+    append to ``output_dir/dup_counts`` (the latest row per key is the
+    current state; per-key latest = groupBy max(n_seen) since counts are
+    monotone).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    os.makedirs(output_dir, exist_ok=True)
+    out_path = os.path.join(output_dir, "dup_counts")
+    stream = (
+        spark.readStream.schema(CLIPS_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(input_dir)
+    )
+    keyed = with_content_keys(stream).select("clip_id", "text_key")
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd_  # executor-side
+
+        n, first = state.get if state.exists else (0, None)
+        for pdf in pdfs:
+            n += len(pdf)
+            batch_min = pdf["clip_id"].min()
+            first = batch_min if first is None else min(first, batch_min)
+        state.update((int(n), first))
+        yield pd_.DataFrame(
+            [{"text_key": key[0], "n_seen": int(n), "first_clip_id": first}]
+        )
+
+    updates = keyed.groupBy("text_key").applyInPandasWithState(
+        update,
+        outputStructType="text_key string, n_seen long, first_clip_id string",
+        stateStructType="n_seen long, first_clip_id string",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_path)
+
+    writer = (
+        updates.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .trigger(availableNow=True)
+    )
+    if checkpoint_dir:
+        writer = writer.option("checkpointLocation", checkpoint_dir)
+    return writer.start()
+
+
 def streaming_event_counts(
     spark: SparkSession,
     events_path: str,

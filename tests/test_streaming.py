@@ -15,6 +15,7 @@ from locality_sensitive_hashing_spark.streaming.incremental import (
     BatchIngestor,
     incremental_signatures,
     read_store,
+    streaming_dup_counts,
     streaming_event_counts,
 )
 
@@ -110,6 +111,45 @@ def test_batch_replay_is_idempotent(spark, cfg):
     assert set(sigs.text_key) == set(keyed.text_key)
     assert len(sigs) > len(sigs0)
     shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_streaming_dup_counts_stateful(spark, cfg):
+    """applyInPandasWithState keeps per-text_key counts ACROSS
+    micro-batches: a transcript seen in batch 0 and again in batch 1 must
+    report n_seen=2 with the batch-0 clip as first_clip_id."""
+    root = tempfile.mkdtemp(prefix="lsh_state_")
+    in_dir, out_dir = os.path.join(root, "in"), os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(in_dir)
+
+    import pandas as pd
+
+    def clip(cid, text):
+        return {"clip_id": cid, "bytes": b"\x00" * 8, "sr_hz": 8000,
+                "dur_ms": 10, "codec": "pcm_s16le", "transcript": text}
+
+    # batch file 0: a, b; batch file 1: a again (exact dup) + c
+    _write_batch(pd.DataFrame([clip("c0", "alpha beta"), clip("c1", "gamma")]),
+                 os.path.join(in_dir, "f0.parquet"))
+    _write_batch(pd.DataFrame([clip("c2", "alpha beta"), clip("c3", "delta")]),
+                 os.path.join(in_dir, "f1.parquet"))
+
+    q = streaming_dup_counts(spark, in_dir, out_dir, checkpoint_dir=ckpt,
+                             max_files_per_trigger=1)
+    q.awaitTermination(120)
+
+    upd = spark.read.parquet(os.path.join(out_dir, "dup_counts")).toPandas()
+    latest = upd.groupby("text_key").n_seen.max()
+    from locality_sensitive_hashing_spark import hashing as H
+    import hashlib
+
+    tk = hashlib.sha256(H.normalize_text("alpha beta").encode()).hexdigest()[:32]
+    assert latest[tk] == 2  # state crossed the micro-batch boundary
+    assert (upd[(upd.text_key == tk) & (upd.n_seen == 2)]
+            .first_clip_id == "c0").all()
+    assert set(latest.index) == set(upd.text_key)
+    assert sorted(latest) == [1, 1, 2]
+    shutil.rmtree(root, ignore_errors=True)
 
 
 def test_streaming_event_counts(spark):
