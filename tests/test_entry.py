@@ -66,6 +66,27 @@ def test_sql_checked_query_matches_duckdb(spark, duck, name):
     assert len(got) == len(exp), f"{name}: rows {len(got)} != {len(exp)}"
     assert sorted(got.columns) == sorted(exp.columns), f"{name}: columns differ"
     assert _canon(got) == _canon(exp), f"{name}: value hash mismatch"
+    _check_aux_snapshot_fresh(name)
+
+
+def _check_aux_snapshot_fresh(name: str) -> None:
+    """The committed aux snapshot (seeded into /tmp at import so oracles
+    work in any evaluation order) must match what the query just wrote --
+    regenerate via jobs/make_aux_snapshot.py on deliberate kernel change."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        AUX_ROOT,
+        AUX_TABLES_BY_QUERY,
+    )
+
+    for table in AUX_TABLES_BY_QUERY.get(name, []):
+        snap_dir = os.path.join(os.path.dirname(__file__), "aux_snapshot",
+                                "sf0.01", table)
+        assert os.path.isdir(snap_dir), f"snapshot missing for {table}"
+        live = pd.read_parquet(os.path.join(AUX_ROOT, "sf0.01", table))
+        snap = pd.read_parquet(snap_dir)
+        assert _canon(live) == _canon(snap), (
+            f"aux snapshot stale for {table}: rerun jobs/make_aux_snapshot.py"
+        )
 
 
 @pytest.mark.parametrize("name", ROWS_ONLY)
