@@ -589,6 +589,18 @@ SELECT node AS doc_key, min(lbl) AS cluster_key FROM reach GROUP BY node
 # and transitive-closure clustering.
 
 ORACLE_SQL.update({
+    "content_keys": f"""
+SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS clip_id,
+       substring(sha256({NORM_SQL}), 1, 32) AS text_key
+FROM documents
+""",
+    "streaming_dedup_state": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+k AS (SELECT doc_id, substring(sha256(norm), 1, 32) AS text_key FROM n)
+SELECT text_key, 2 * count(*) AS n_seen,
+       'a' || lpad(CAST(min(doc_id) AS VARCHAR), 8, '0') AS first_clip_id
+FROM k GROUP BY text_key
+""",
     "minhash_signatures": f"""
 WITH sh AS (SELECT clip_id, shingle FROM {_aux_rp('minhash_shingles')}),
 fam(pos, a, b) AS (VALUES {_UHASH_VALUES}),
@@ -750,6 +762,65 @@ def _docs_as_corpus(spark, sf_dir) -> DataFrame:
     return read_testdata(spark, sf_dir, "documents").select(
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("clip_id"),
         F.col("text").alias("transcript"),
+    )
+
+
+def q_content_keys(spark, sf_dir):
+    """O19 content keying: the 128-bit sha256 text_key every downstream
+    stage joins on, cross-checked against DuckDB's sha256."""
+    from locality_sensitive_hashing_spark.operators.textgroup import (
+        with_content_keys,
+    )
+
+    clips = _docs_as_corpus(spark, sf_dir).select(
+        "clip_id", F.lit(b"").alias("bytes"), "transcript"
+    )
+    return with_content_keys(clips).select("clip_id", "text_key")
+
+
+def q_streaming_dedup_state(spark, sf_dir):
+    """Stateful streaming dup counter end-to-end: two micro-batches of
+    documents-as-clips (the corpus ingested twice with distinct clip ids)
+    through applyInPandasWithState; final state = (text_key, n_seen,
+    first_clip_id). Batching cannot change the final state (counts are
+    monotone), so the DuckDB oracle recomputes it relationally: every
+    text seen exactly twice, first_clip_id = the batch-a id."""
+    import tempfile as _tf
+
+    from locality_sensitive_hashing_spark.streaming.incremental import (
+        streaming_dup_counts,
+    )
+
+    root = _tf.mkdtemp(prefix="lsh_qstream_")
+    in_dir = os.path.join(root, "in")
+    docs = read_testdata(spark, sf_dir, "documents")
+    for tag in ("a", "b"):
+        batch = docs.select(
+            F.concat(F.lit(tag), F.lpad(F.col("doc_id").cast("string"), 8, "0")
+                     ).alias("clip_id"),
+            F.lit(b"").alias("bytes"), F.lit(8000).alias("sr_hz"),
+            F.lit(10).alias("dur_ms"), F.lit("pcm_s16le").alias("codec"),
+            F.col("text").alias("transcript"),
+        )
+        batch.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(in_dir, f"batch_{tag}")
+        )
+        # flatten: the file source streams files, not nested dirs
+        import glob as _glob
+        import shutil as _sh
+
+        for f in _glob.glob(os.path.join(in_dir, f"batch_{tag}", "*.parquet")):
+            _sh.move(f, os.path.join(in_dir, f"{tag}.parquet"))
+        _sh.rmtree(os.path.join(in_dir, f"batch_{tag}"))
+    q = streaming_dup_counts(
+        spark, in_dir, os.path.join(root, "out"),
+        checkpoint_dir=os.path.join(root, "ckpt"),
+    )
+    q.awaitTermination(300)
+    upd = spark.read.parquet(os.path.join(root, "out", "dup_counts"))
+    return upd.groupBy("text_key").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.min("first_clip_id").alias("first_clip_id"),
     )
 
 
@@ -967,6 +1038,8 @@ QUERIES_SQL_CHECKED = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "sql_dedup_clusters": q_sql_dedup_clusters,
     "ann_topk_per_query": q_ann_topk_per_query,
+    "content_keys": q_content_keys,
+    "streaming_dedup_state": q_streaming_dedup_state,
     # kernel-backed, SQL-checked via aux tables (module docstring)
     "minhash_signatures": q_minhash_signatures,
     "minhash_candidates": q_minhash_candidates,
