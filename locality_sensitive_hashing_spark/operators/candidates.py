@@ -48,24 +48,34 @@ def pairs_from_blocks(
     cap: int,
     detector: str,
     id_col: str = "clip_id",
+    dedup: bool = True,
 ) -> DataFrame:
-    """Unordered candidate pairs (id1 < id2, distinct) from shared blocks.
+    """Unordered candidate pairs (id1 < id2) from shared blocks.
 
     Blocks with 1 member produce nothing; blocks with > cap members are
     excluded here and surfaced by :func:`dropped_blocks`.
+
+    ``dedup=True`` (default) removes the same pair emitted by multiple
+    blocks -- one hash-aggregate shuffle. Callers that feed
+    :func:`union_candidates` pass ``dedup=False``: its groupBy(id1, id2)
+    dedups anyway (map-side partial aggregation collapses the duplicates
+    BEFORE they ship), so the per-detector distinct exchanges are pure
+    overhead -- one shuffle for the whole candidate union instead of one
+    per detector plus one.
     """
     sizes = block_sizes(blocks, key_cols)
     eligible = sizes.where((F.col("n") > 1) & (F.col("n") <= cap)).select(*key_cols)
     pruned = blocks.join(eligible, key_cols)
     left = pruned.select(*key_cols, F.col(id_col).alias("id1"))
     right = pruned.select(*key_cols, F.col(id_col).alias("id2"))
-    return (
+    pairs = (
         left.join(right, key_cols)
         .where(F.col("id1") < F.col("id2"))
         .select("id1", "id2")
-        .distinct()
-        .withColumn("detector", F.lit(detector))
     )
+    if dedup:
+        pairs = pairs.distinct()
+    return pairs.withColumn("detector", F.lit(detector))
 
 
 def union_candidates(*pair_dfs: DataFrame) -> DataFrame:

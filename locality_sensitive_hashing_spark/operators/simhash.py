@@ -65,15 +65,22 @@ def explode_chunks(
 
 
 def simhash_candidates(
-    fingerprints: DataFrame, cfg: Config, id_col: str = "clip_id"
+    fingerprints: DataFrame, cfg: Config, id_col: str = "clip_id",
+    dedup: bool = True,
 ) -> DataFrame:
-    """Pairs with Hamming(f1, f2) <= t: chunk-join then bit_count verify."""
+    """Pairs with Hamming(f1, f2) <= t: chunk-join then bit_count verify.
+
+    ``dedup=False`` lets a downstream union dedup instead (the Hamming
+    verify then runs on up-to-(t+1)x duplicated pairs, which is cheaper
+    than a dedicated distinct shuffle -- it's one JVM bit_count per row).
+    """
     pairs = pairs_from_blocks(
         explode_chunks(fingerprints, cfg, id_col),
         ["chunk_id", "chunk_val"],
         cfg.bucket_cap,
         "simhash",
         id_col=id_col,
+        dedup=dedup,
     )
     fp1 = fingerprints.select(
         F.col(id_col).alias("id1"), F.col("fingerprint").alias("f1")

@@ -80,6 +80,7 @@ def sa_anchor_pairs(
     cfg: Config,
     norm_col: str = "norm",
     id_col: str = "clip_id",
+    dedup: bool = True,
 ) -> DataFrame:
     """UNVERIFIED substring candidates: pairs sharing a winnowing anchor.
 
@@ -95,7 +96,7 @@ def sa_anchor_pairs(
         signatures.select(id_col, norm_col), cfg, norm_col, id_col
     )
     return pairs_from_blocks(
-        anchors, ["anchor"], cfg.bucket_cap, "sa", id_col=id_col
+        anchors, ["anchor"], cfg.bucket_cap, "sa", id_col=id_col, dedup=dedup
     )
 
 

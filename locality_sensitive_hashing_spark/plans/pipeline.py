@@ -253,9 +253,12 @@ class DedupPipeline:
                         "dropped_buckets",
                         cfg.config_id,
                     )
+                # dedup=False: union_candidates' groupBy dedups with one
+                # shuffle for all detectors (map-side combine collapses
+                # the per-bucket duplicates before they ship)
                 return pairs_from_blocks(
                     buckets, ["band_id", "band_hash"], cfg.bucket_cap,
-                    "minhash", id_col="text_key",
+                    "minhash", id_col="text_key", dedup=False,
                 )
 
             # detector pair-sets: passthrough by default, so these return
@@ -272,7 +275,7 @@ class DedupPipeline:
                         self._stage,
                         "cand_simhash",
                         lambda: simhash_candidates(
-                            fingerprints, cfg, id_col="text_key"
+                            fingerprints, cfg, id_col="text_key", dedup=False
                         ),
                     )
                 )
@@ -281,7 +284,9 @@ class DedupPipeline:
                     pool.submit(
                         self._stage,
                         "cand_sa",
-                        lambda: sa_anchor_pairs(signatures, cfg, id_col="text_key"),
+                        lambda: sa_anchor_pairs(
+                            signatures, cfg, id_col="text_key", dedup=False
+                        ),
                     )
                 )
             cand_parts = [f.result() for f in futures]
