@@ -79,11 +79,24 @@ class TableIO:
         spark: SparkSession,
         root: str,
         bucket_spec: dict[str, tuple[str, int]] | None = None,
+        iceberg_catalog: str | None = None,
     ):
+        """``iceberg_catalog``: name of a configured Iceberg catalog
+        (e.g. ``spark.sql.catalog.ice=...SparkCatalog``). When given AND
+        the Iceberg runtime is on the classpath, stage tables commit as
+        Iceberg tables (snapshot isolation from Iceberg itself); the
+        manifest stays the resume log either way so ``committed()``
+        semantics are identical. Falls back silently to the parquet
+        protocol when the jar is absent (this sandbox)."""
         self.spark = spark
         self.root = root
         self.bucket_spec = (
             DEFAULT_BUCKET_SPEC if bucket_spec is None else bucket_spec
+        )
+        self.iceberg_catalog = (
+            iceberg_catalog
+            if iceberg_catalog and _iceberg_available(spark)
+            else None
         )
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
@@ -125,11 +138,11 @@ class TableIO:
             s for s in self._load_manifest()["snapshots"]
             if s["table"] == table and not s.get("append")
         ]
-        return (
-            bool(snaps)
-            and snaps[-1]["config_id"] == config_id
-            and os.path.exists(self._path(table))
-        )
+        if not snaps or snaps[-1]["config_id"] != config_id:
+            return False
+        if self.iceberg_catalog:
+            return self.spark.catalog.tableExists(self._iceberg_ident(table))
+        return os.path.exists(self._path(table))
 
     def snapshots(self) -> list[dict]:
         return self._load_manifest()["snapshots"]
@@ -142,6 +155,10 @@ class TableIO:
         """Catalog identifier for a bucketed table, unique per workdir."""
         h = hashlib.sha1(self.root.encode()).hexdigest()[:10]
         return f"lsh_{h}_{table}"
+
+    def _iceberg_ident(self, table: str) -> str:
+        h = hashlib.sha1(self.root.encode()).hexdigest()[:10]
+        return f"{self.iceberg_catalog}.lsh_{h}.{table}"
 
     def _register_bucketed(self, table: str) -> None:
         """(Re)create the catalog entry for a bucketed table's files.
@@ -176,6 +193,20 @@ class TableIO:
         already aggregates per-partition counts over the written output;
         one scan instead of two.
         """
+        if self.iceberg_catalog:
+            ident = self._iceberg_ident(table)
+            w = df.writeTo(ident).using("iceberg")
+            if table in self.bucket_spec:
+                from pyspark.sql.functions import bucket as F_bucket
+
+                col, n = self.bucket_spec[table]
+                w = w.partitionedBy(F_bucket(n, col))
+            w.createOrReplace()  # atomic Iceberg snapshot swap
+            self._append_snapshot({
+                "table": table, "config_id": config_id, "ts": time.time(),
+                "schema": df.schema.simpleString(), "iceberg": ident,
+            })
+            return
         final = self._path(table)
         tmp = f"{final}.__tmp_{int(time.time() * 1000)}"
         if table in self.bucket_spec:
@@ -216,7 +247,14 @@ class TableIO:
         distinct tables don't contend -- separate directories.)
         """
         with self._append_lock:
-            df.write.mode("append").parquet(self._path(table))
+            if self.iceberg_catalog:
+                ident = self._iceberg_ident(table)
+                if self.spark.catalog.tableExists(ident):
+                    df.writeTo(ident).append()
+                else:
+                    df.writeTo(ident).using("iceberg").create()
+            else:
+                df.write.mode("append").parquet(self._path(table))
         self._append_snapshot(
             {"table": table, "config_id": config_id, "rows": -1,
              "ts": time.time(), "append": True,
@@ -224,6 +262,8 @@ class TableIO:
         )
 
     def read(self, table: str) -> DataFrame:
+        if self.iceberg_catalog:
+            return self.spark.table(self._iceberg_ident(table))
         if table in self.bucket_spec:
             ident = self._ident(table)
             if not self.spark.catalog.tableExists(ident):

@@ -43,6 +43,23 @@ def test_overwrite_invalidates_other_configs(spark, io):
     assert not io.committed("t1", "cfgB")
 
 
+def test_iceberg_gating(spark, io):
+    """No Iceberg runtime jar in this sandbox: requesting a catalog must
+    fall back to the parquet protocol, not crash or half-commit."""
+    from locality_sensitive_hashing_spark.sources.tables import _iceberg_available
+
+    assert not _iceberg_available(spark)
+    d = tempfile.mkdtemp(prefix="lsh_ice_")
+    try:
+        ice = TableIO(spark, d, iceberg_catalog="ice")
+        assert ice.iceberg_catalog is None  # gated off
+        ice.write(_df(spark), "t1", "cfgA")
+        assert ice.committed("t1", "cfgA")
+        assert ice.read("t1").count() == 5
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_bucketed_write_read_overwrite_reregister(spark, io):
     """Bucketed tables: committed via the same atomic tmp+rename protocol,
     readable after a catalog wipe (fresh-session resume re-issues DDL),
