@@ -32,6 +32,10 @@ def main() -> int:
     ap.add_argument("--materialize", default=None,
                     help='"all" or comma list of stages to commit '
                          "(default: the 8 resume-valuable boundaries)")
+    ap.add_argument("--iceberg-catalog", default=None,
+                    help="configured Iceberg catalog name; stage tables "
+                         "commit as Iceberg snapshots when the runtime "
+                         "jar is present (parquet fallback otherwise)")
     ap.add_argument("--config-json", default=None,
                     help='JSON dict of Config overrides, e.g. {"bands": 16, "rows_per_band": 8}')
     ap.add_argument("--run-id", default=None)
@@ -45,7 +49,7 @@ def main() -> int:
     cfg = Config(**json.loads(args.config_json)) if args.config_json else Config()
     spark = get_spark(args.master, app_name="lsh-dedup-job")
     clips = spark.read.parquet(args.input)
-    io = TableIO(spark, args.workdir)
+    io = TableIO(spark, args.workdir, iceberg_catalog=args.iceberg_catalog)
     mat = args.materialize
     if mat and mat != "all":
         mat = frozenset(mat.split(","))
