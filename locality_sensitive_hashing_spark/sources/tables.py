@@ -98,6 +98,11 @@ class TableIO:
             if iceberg_catalog and _iceberg_available(spark)
             else None
         )
+        if self.iceberg_catalog:
+            h = hashlib.sha1(root.encode()).hexdigest()[:10]
+            spark.sql(
+                f"CREATE NAMESPACE IF NOT EXISTS {self.iceberg_catalog}.lsh_{h}"
+            )
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "_manifest.json")
         # pipeline stages commit from concurrent threads (plans/pipeline.py
