@@ -275,13 +275,13 @@ def clips_from_documents_df(spark, sf_dir: str, seed: int = 42,
                             plant_dups: bool = False, limit: int | None = None):
     """Distributed clips synthesis from the driver's ``documents`` table.
 
-    Same corpus shape as :func:`clips_from_documents` (one clip per doc;
-    with ``plant_dups`` every 10th doc gains an exact copy 'x' and a
-    near-dup transcript variant 'n' sharing the audio), but audio
-    synthesis + variant generation run IN EXECUTORS via mapInPandas with a
-    per-doc seeded rng -- no driver-side pandas corpus, so the generator
-    itself scales with the cluster (the round-1 driver-loop version
-    bottlenecked any larger-sf use in driver pandas).
+    One clip per doc; with ``plant_dups`` every 10th doc gains an exact
+    copy 'x' and a near-dup transcript variant 'n' sharing the audio.
+    Audio synthesis + variant generation run IN EXECUTORS via mapInPandas
+    with a per-doc seeded rng -- no driver-side pandas corpus, so the
+    generator itself scales with the cluster (the round-1 driver-loop
+    version bottlenecked any larger-sf use in driver pandas and was
+    removed).
     """
     from pyspark.sql import functions as F
 
@@ -319,41 +319,3 @@ def clips_from_documents_df(spark, sf_dir: str, seed: int = 42,
             )
 
     return docs.repartition(32, "doc_id").mapInPandas(synth, CLIPS_SCHEMA)
-
-
-def clips_from_documents(docs: pd.DataFrame, seed: int = 42,
-                         replicate: int = 1,
-                         plant_dups: bool = False) -> pd.DataFrame:
-    """Derive a clips table from the driver's ``documents`` table.
-
-    Used by the driver-facing queries()/bench paths (TESTDATA.md): each
-    document text becomes a transcript; audio is a short deterministic tone
-    per row (cheap -- bench measures pipeline throughput, FIXTURES.md
-    section 1 "clips_bench ... replicating sf0.1 documents").
-
-    ``plant_dups``: for every 10th document add an exact copy and a
-    near-dup transcript variant sharing the audio, so the flagship
-    pipeline's clusters are non-trivial while staying fully derived from
-    the driver's parquet (no external data).
-    """
-    rng = np.random.default_rng(seed)
-    rows = []
-
-    def add(cid: str, text: str, raw: bytes, sr: int, dur: int) -> None:
-        rows.append({
-            "clip_id": cid, "bytes": raw, "sr_hz": sr, "dur_ms": dur,
-            "codec": "pcm_s16le", "transcript": text,
-        })
-
-    for rep in range(replicate):
-        for doc_id, text in zip(docs["doc_id"], docs["text"]):
-            sr, dur = 8000, 250
-            raw = A.encode_wav(A.synth_pcm(rng, sr, dur), sr, "pcm_s16le")
-            base = f"doc{int(doc_id):08d}r{rep:02d}"
-            add(base, text, raw, sr, dur)
-            if plant_dups and int(doc_id) % 10 == 0:
-                add(base + "x", text, raw, sr, dur)  # exact dup
-                toks = text.split()
-                add(base + "n", " ".join(_near_variant(rng, toks, 0.7, 1, 3)),
-                    raw, sr, dur)  # near-dup transcript, same audio
-    return pd.DataFrame(rows)
