@@ -41,7 +41,7 @@ def main() -> None:
     if os.path.exists(dst_root):
         shutil.rmtree(dst_root)
     for table in sorted(
-        t for q in EQ.AUX_TABLES_BY_QUERY.values() for t in q
+        {t for q in EQ.AUX_TABLES_BY_QUERY.values() for t in q}
     ):
         os.makedirs(os.path.join(dst_root, table))
         for f in sorted(glob.glob(os.path.join(src_root, table, "*.parquet"))):

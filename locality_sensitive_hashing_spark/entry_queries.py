@@ -87,6 +87,9 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "simhash_candidates": ["simhash_fps"],
     "sa_substring_candidates": ["sa_anchors"],
     "full_pipeline_clusters": ["pipeline_edges", "pipeline_nodes"],
+    "dedup_keep_list": ["pipeline_edges", "pipeline_nodes"],
+    "eval_planted_recall": ["pipeline_edges", "pipeline_nodes"],
+    "cluster_size_hist": ["pipeline_edges", "pipeline_nodes"],
     "ann_lsh_topk": ["ann_buckets"],
     "ann_ivf_topk": ["ivf_index", "ivf_probes"],
     "embedding_near_dups": ["neardup_buckets"],
@@ -671,17 +674,6 @@ pos AS (SELECT id1, id2, t1, t2,
 SELECT DISTINCT id1, id2, 'sa' AS detector
 FROM pos WHERE strpos(t2, substring(t1, i, {CFG.sa_min_len})) > 0
 """,
-    "full_pipeline_clusters": f"""
-WITH RECURSIVE e AS (SELECT id1, id2 FROM {_aux_rp('pipeline_edges')}),
-nodes AS (SELECT clip_id FROM {_aux_rp('pipeline_nodes')}),
-sym AS (SELECT id1 AS src, id2 AS dst FROM e UNION SELECT id2, id1 FROM e),
-reach(node, lbl) AS (
-    SELECT clip_id, clip_id FROM nodes
-    UNION
-    SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
-)
-SELECT node AS clip_id, min(lbl) AS cluster_id FROM reach GROUP BY node
-""",
     "ann_ivf_topk": f"""
 WITH idx AS (SELECT vec_id AS neighbor_id, cell FROM {_aux_rp('ivf_index')}),
 probes AS (SELECT vec_id AS query_id, cell FROM {_aux_rp('ivf_probes')}),
@@ -749,6 +741,56 @@ scored AS (SELECT d.id1, d.id2, round(d.dot / (n1.nv * n2.nv), 6) AS cosine
            FROM dots d JOIN nrm n1 ON n1.vec_id = d.id1
                         JOIN nrm n2 ON n2.vec_id = d.id2)
 SELECT id1, id2, cosine FROM scored WHERE cosine >= {NEAR_DUP_THRESHOLD}
+""",
+})
+
+# shared closure over the flagship pipeline's committed output: min-label
+# connected components as a recursive-CTE transitive closure (independent
+# re-derivation of O21's clustering semantics); the four cluster-consuming
+# oracles below all build on `cl`
+_PIPE_CLOSURE = f"""e AS (SELECT id1, id2 FROM {_aux_rp('pipeline_edges')}),
+nodes AS (SELECT clip_id FROM {_aux_rp('pipeline_nodes')}),
+sym AS (SELECT id1 AS src, id2 AS dst FROM e UNION SELECT id2, id1 FROM e),
+reach(node, lbl) AS (
+    SELECT clip_id, clip_id FROM nodes
+    UNION
+    SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+),
+cl AS (SELECT node AS clip_id, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+ORACLE_SQL.update({
+    "full_pipeline_clusters": f"""
+WITH RECURSIVE {_PIPE_CLOSURE}
+SELECT clip_id, cluster_id FROM cl
+""",
+    "dedup_keep_list": f"""
+WITH RECURSIVE {_PIPE_CLOSURE},
+s AS (SELECT cluster_id, count(*) AS n, min(clip_id) AS keeper
+      FROM cl GROUP BY cluster_id)
+SELECT cl.clip_id, cl.cluster_id, CAST(s.n AS INT) AS cluster_size,
+       cl.clip_id = s.keeper AS keep
+FROM cl JOIN s USING (cluster_id)
+""",
+    "eval_planted_recall": f"""
+WITH RECURSIVE {_PIPE_CLOSURE},
+p AS (SELECT substring(clip_id, 1, length(clip_id) - 1) AS src_id,
+             CASE WHEN clip_id LIKE '%x' THEN 'exact' ELSE 'near' END AS dup_class,
+             cluster_id AS c1
+      FROM cl WHERE clip_id LIKE '%x' OR clip_id LIKE '%n'),
+j AS (SELECT p.dup_class, p.c1, c.cluster_id AS c2
+      FROM p JOIN cl c ON c.clip_id = p.src_id),
+agg AS (SELECT dup_class, count(*) AS n_truth,
+               CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM j GROUP BY dup_class)
+SELECT dup_class, n_truth, n_hit,
+       round(n_hit * 1.0 / n_truth, 6) AS recall
+FROM agg
+""",
+    "cluster_size_hist": f"""
+WITH RECURSIVE {_PIPE_CLOSURE},
+s AS (SELECT cluster_id, CAST(count(*) AS INT) AS cluster_size
+      FROM cl GROUP BY cluster_id)
+SELECT cluster_size, count(*) AS n_clusters FROM s GROUP BY cluster_size
 """,
 })
 
@@ -941,13 +983,63 @@ def q_full_pipeline_clusters(spark, sf_dir):
     recursive-CTE transitive closure, pinning O21/O22 over the REAL
     pipeline output (the per-stage bit-exactness gate stays the numpy
     fixture-parity pytest suite)."""
-    clusters, io, _clips = _flagship(spark, sf_dir)
-    edges = io.read("verified").where("is_dup").select("id1", "id2")
-    _aux_write(edges, sf_dir, "pipeline_edges")
-    # node universe from the committed keyed stage -- re-selecting from the
-    # lazy clips plan would re-run the whole distributed audio synthesis
-    _aux_write(io.read("keyed").select("clip_id"), sf_dir, "pipeline_nodes")
-    return clusters
+    return _pipeline_aux(spark, sf_dir)[0]
+
+
+def q_dedup_keep_list(spark, sf_dir):
+    """The training-data dedup DECISION (O22 sink semantics): one keeper
+    per cluster (min clip_id -- deterministic, matches the cluster-label
+    convention), everything else dropped. This is the table a 100 TB
+    pipeline would anti-join against its corpus; the oracle re-derives it
+    from the closure."""
+    clusters, _io, _clips = _pipeline_aux(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("cluster_size"),
+        F.min("clip_id").alias("_keeper"),
+    )
+    return clusters.join(sizes, "cluster_id").select(
+        "clip_id", "cluster_id", "cluster_size",
+        (F.col("clip_id") == F.col("_keeper")).alias("keep"),
+    )
+
+
+def q_eval_planted_recall(spark, sf_dir):
+    """O27 in the driver channel: dup-pair recall on the PLANTED truth
+    (every 10th doc gains an exact copy 'x' and a near-variant 'n' --
+    fixtures.clips_from_documents_df), per dup class. The truth is a pure
+    string function of the clip ids, so the oracle re-derives both the
+    truth AND the clustering (closure over the aux edges) independently.
+    BASELINE.json's headline metric is dup-pair recall >= 0.99; this row
+    makes that number a hash-checked driver artifact, not just a pytest."""
+    clusters, _io, _clips = _pipeline_aux(spark, sf_dir)
+    planted = clusters.where(F.col("clip_id").rlike("[xn]$")).select(
+        F.expr("substring(clip_id, 1, length(clip_id)-1)").alias("src_id"),
+        F.when(F.col("clip_id").endswith("x"), F.lit("exact"))
+        .otherwise(F.lit("near")).alias("dup_class"),
+        F.col("cluster_id").alias("c1"),
+    )
+    src = clusters.select(
+        F.col("clip_id").alias("src_id"), F.col("cluster_id").alias("c2")
+    )
+    agg = planted.join(src, "src_id").groupBy("dup_class").agg(
+        F.count("*").alias("n_truth"),
+        F.sum((F.col("c1") == F.col("c2")).cast("long")).alias("n_hit"),
+    )
+    return agg.select(
+        "dup_class", "n_truth", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
+def q_cluster_size_hist(spark, sf_dir):
+    """O28 report view: cluster-size histogram of the flagship output."""
+    clusters, _io, _clips = _pipeline_aux(spark, sf_dir)
+    return (
+        clusters.groupBy("cluster_id")
+        .agg(F.count("*").cast("int").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+    )
 
 
 def q_ann_topk_per_query(spark, sf_dir):
@@ -1047,6 +1139,9 @@ QUERIES_SQL_CHECKED = {
     "simhash_candidates": q_simhash_candidates,
     "sa_substring_candidates": q_sa_candidates,
     "full_pipeline_clusters": q_full_pipeline_clusters,
+    "dedup_keep_list": q_dedup_keep_list,
+    "eval_planted_recall": q_eval_planted_recall,
+    "cluster_size_hist": q_cluster_size_hist,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
@@ -1065,25 +1160,75 @@ def all_queries():
 # flagship entry
 # ---------------------------------------------------------------------------
 
+def _code_digest() -> str:
+    """Short hash of the package's .py sources: keys the flagship resume
+    dir so a code change can never resume against a stale committed run
+    (config_id covers algorithm knobs, not code)."""
+    import hashlib
+
+    pkg = os.path.dirname(os.path.abspath(__file__))
+    h = hashlib.sha256()
+    for dirpath, _dirs, files in sorted(os.walk(pkg)):
+        for fn in sorted(files):
+            if fn.endswith(".py"):
+                h.update(fn.encode())
+                with open(os.path.join(dirpath, fn), "rb") as f:
+                    h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+_CODE_DIGEST = _code_digest()
+_FLAGSHIP_MEMO: dict[str, tuple] = {}
+_PIPELINE_AUX_DONE: set[str] = set()
+
+
 def _flagship(spark: SparkSession, sf_dir: str):
     """Full dedup pipeline over clips synthesized from the driver's
     documents table (audio tones + transcripts, deterministic planted
-    variants), committed to a temp TableIO dir; returns
-    (clusters, io, clips) so callers can reach the committed stage tables.
+    variants); returns (clusters, io, clips) so callers can reach the
+    committed stage tables.
 
     Clip synthesis runs distributed (mapInPandas, seeded per doc_id) --
-    no driver-side pandas materialization of the corpus."""
+    no driver-side pandas materialization of the corpus. The TableIO
+    workdir is DETERMINISTIC per (sf, config_id, code digest) and the
+    result is memoized per process: the four cluster-consuming queries
+    (full_pipeline_clusters, dedup_keep_list, eval_planted_recall,
+    cluster_size_hist) share one pipeline execution -- repeat calls
+    resume from the committed stages instead of recomputing."""
     from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
     from locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
     from locality_sensitive_hashing_spark.sources.tables import TableIO
 
+    key = os.path.basename(sf_dir.rstrip("/"))
+    if key in _FLAGSHIP_MEMO:
+        return _FLAGSHIP_MEMO[key]
     clips = clips_from_documents_df(
         spark, sf_dir, seed=CFG.seed, plant_dups=True
     )
-    tmp = tempfile.mkdtemp(prefix="lsh_flagship_")
-    io = TableIO(spark, tmp)
+    workdir = os.path.join(
+        tempfile.gettempdir(), "lsh_flagship_cache",
+        f"{key}_{CFG.config_id}_{_CODE_DIGEST}",
+    )
+    os.makedirs(workdir, exist_ok=True)
+    io = TableIO(spark, workdir)
     pipe = DedupPipeline(spark, CFG, io, run_id="flagship")
-    return pipe.run(clips), io, clips
+    out = (pipe.run(clips), io, clips)
+    _FLAGSHIP_MEMO[key] = out
+    return out
+
+
+def _pipeline_aux(spark: SparkSession, sf_dir: str):
+    """Flagship run + the (pipeline_edges, pipeline_nodes) aux tables the
+    cluster oracles replay (written once per process per sf)."""
+    clusters, io, clips = _flagship(spark, sf_dir)
+    if sf_dir not in _PIPELINE_AUX_DONE:
+        edges = io.read("verified").where("is_dup").select("id1", "id2")
+        _aux_write(edges, sf_dir, "pipeline_edges")
+        # node universe from the committed keyed stage -- re-selecting from
+        # the lazy clips plan would re-run the distributed audio synthesis
+        _aux_write(io.read("keyed").select("clip_id"), sf_dir, "pipeline_nodes")
+        _PIPELINE_AUX_DONE.add(sf_dir)
+    return clusters, io, clips
 
 
 def run_flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
