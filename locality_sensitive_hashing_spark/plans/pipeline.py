@@ -244,15 +244,27 @@ class DedupPipeline:
                 # Skipped when `candidates` is already committed: this
                 # builder runs even on a fully-resumed pipeline (it's a
                 # passthrough stage), and re-counting would pay a full
-                # signatures scan on an otherwise no-op resume.
+                # signatures scan on an otherwise no-op resume. The write
+                # is ADVISORY logging (like stage metrics), so it runs on
+                # the async metrics pool -- overlapping the candidates job
+                # instead of serializing a full banding pass in front of
+                # it; run() drains the future before returning.
                 if not self.io.committed("candidates", cfg.config_id):
-                    self.io.write(
-                        dropped_blocks(
-                            buckets, ["band_id", "band_hash"], cfg.bucket_cap
-                        ),
-                        "dropped_buckets",
-                        cfg.config_id,
-                    )
+                    def emit_dropped():
+                        self.io.write(
+                            dropped_blocks(
+                                buckets, ["band_id", "band_hash"], cfg.bucket_cap
+                            ),
+                            "dropped_buckets",
+                            cfg.config_id,
+                        )
+
+                    if self._metrics_pool is not None:
+                        self._metrics_futures.append(
+                            self._metrics_pool.submit(emit_dropped)
+                        )
+                    else:
+                        emit_dropped()
                 # dedup=False: union_candidates' groupBy dedups with one
                 # shuffle for all detectors (map-side combine collapses
                 # the per-bucket duplicates before they ship)
