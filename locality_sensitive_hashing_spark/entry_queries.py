@@ -363,7 +363,7 @@ def q_top_docs_per_lang(spark, sf_dir):
     )
 
 
-def _sql_edges_subquery() -> str:
+def _sql_edges_subquery(cap: int = BLOCK_CAP) -> str:
     """Shared SQL: candidate pairs with token-Jaccard >= threshold."""
     return f"""
 norm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
@@ -372,7 +372,7 @@ tcnt AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
 words AS (SELECT doc_id, norm, unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {WORD_N - 1}, 0))) AS i FROM norm),
 blocks AS (SELECT DISTINCT doc_id, array_to_string(list_slice(string_split(norm, ' '), i, i + {WORD_N - 1}), ' ') AS wshingle FROM words),
 sizes AS (SELECT wshingle, count(*) AS n FROM blocks GROUP BY wshingle),
-elig AS (SELECT wshingle FROM sizes WHERE n > 1 AND n <= {BLOCK_CAP}),
+elig AS (SELECT wshingle FROM sizes WHERE n > 1 AND n <= {cap}),
 pruned AS (SELECT b.doc_id, b.wshingle FROM blocks b JOIN elig e USING (wshingle)),
 cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
          FROM pruned l JOIN pruned r USING (wshingle) WHERE l.doc_id < r.doc_id),
@@ -425,6 +425,88 @@ def q_sql_dedup_clusters(spark, sf_dir):
     )
     out = connected_components(edges, nodes, CFG)
     return out.select(
+        F.col("clip_id").alias("doc_key"), F.col("cluster_id").alias("cluster_key")
+    )
+
+
+INCR_SPLIT = 250  # doc_id < split = the "committed corpus", rest = the batch
+_NOCAP = 1 << 30  # uncapped blocking: makes incremental == full exact (below)
+
+
+def q_incremental_dedup_clusters(spark, sf_dir):
+    """Incremental dedup == batch dedup, hash-checked in the driver
+    channel: the corpus splits into a committed half and an intake batch;
+    the committed half clusters from its own verified edges, then the
+    batch folds in via incremental_pairs_from_blocks (pairs only from
+    buckets the batch touches) + merge_clusters (CC on the contracted
+    label graph). The ORACLE is the from-scratch full-corpus closure --
+    same shape as sql_dedup_clusters -- so a hash match proves the
+    incremental path reproduces the batch pipeline's clustering exactly.
+
+    Blocking is uncapped here (cap = 2^30): with caps, a bucket can be
+    under-cap in the committed half but over-cap in the union, making
+    append-only emission (earlier pairs stand) legitimately diverge from
+    a from-scratch run -- the equality being certified needs the cap-free
+    semantics; emission-time cap behavior is pinned by
+    tests/test_incremental.py instead."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+        pairs_from_blocks,
+    )
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        connected_components,
+        merge_clusters,
+    )
+
+    docs = _docs_norm(spark, sf_dir).select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        "norm",
+    )
+    toks = docs.select("key", F.explode(F.split("norm", " ")).alias("tok")).distinct()
+    cnt = toks.groupBy("key").agg(F.count("*").alias("n_tok"))
+    blocks = docs.select(
+        "doc_id", "key", F.explode(TX.word_shingles("norm", WORD_N)).alias("wshingle")
+    ).distinct()
+    old_blocks = blocks.where(F.col("doc_id") < INCR_SPLIT).select("key", "wshingle")
+    new_blocks = blocks.where(F.col("doc_id") >= INCR_SPLIT).select("key", "wshingle")
+
+    def verify(pairs: DataFrame) -> DataFrame:
+        t1 = toks.select(F.col("key").alias("id1"), "tok")
+        t2 = toks.select(F.col("key").alias("id2"), "tok")
+        shared = (
+            pairs.select("id1", "id2")
+            .join(t1, "id1").join(t2, ["id2", "tok"])
+            .groupBy("id1", "id2").agg(F.count("*").alias("shared"))
+        )
+        c1 = cnt.select(F.col("key").alias("id1"), F.col("n_tok").alias("n1"))
+        c2 = cnt.select(F.col("key").alias("id2"), F.col("n_tok").alias("n2"))
+        return (
+            shared.join(c1, "id1").join(c2, "id2")
+            .where(
+                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+                >= CFG.jaccard_threshold
+            )
+            .select("id1", "id2")
+        )
+
+    old_nodes = docs.where(F.col("doc_id") < INCR_SPLIT).select(
+        F.col("key").alias("clip_id")
+    )
+    new_nodes = docs.where(F.col("doc_id") >= INCR_SPLIT).select(
+        F.col("key").alias("clip_id")
+    )
+    prev = connected_components(
+        verify(pairs_from_blocks(old_blocks, ["wshingle"], _NOCAP, "word", id_col="key")),
+        old_nodes, CFG,
+    )
+    inc_edges = verify(
+        incremental_pairs_from_blocks(
+            new_blocks, old_blocks, ["wshingle"], _NOCAP, "word", id_col="key"
+        )
+    )
+    merged = merge_clusters(prev, inc_edges, new_nodes, CFG)
+    return merged.select(
         F.col("clip_id").alias("doc_key"), F.col("cluster_id").alias("cluster_key")
     )
 
@@ -568,6 +650,22 @@ ranked AS (SELECT query_id, neighbor_id, round(c, 6) AS cosine,
            FROM scored)
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
+""",
+    # from-scratch full-corpus closure with UNCAPPED blocking: the target
+    # the incremental (split-batch) Spark path must reproduce exactly
+    "incremental_dedup_clusters": f"""
+WITH RECURSIVE {_sql_edges_subquery(cap=_NOCAP).lstrip()},
+keyed AS (SELECT lpad(CAST(id1 AS VARCHAR), 8, '0') AS id1,
+                 lpad(CAST(id2 AS VARCHAR), 8, '0') AS id2 FROM edges),
+sym AS (SELECT id1 AS src, id2 AS dst FROM keyed
+        UNION SELECT id2, id1 FROM keyed),
+nodes AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS node FROM documents),
+reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc_key, min(lbl) AS cluster_key FROM reach GROUP BY node
 """,
     "sql_dedup_clusters": f"""
 WITH RECURSIVE {_sql_edges_subquery().lstrip()},
@@ -1129,6 +1227,7 @@ QUERIES_SQL_CHECKED = {
     "events_type_agg": q_events_type_agg,
     "top_docs_per_lang": q_top_docs_per_lang,
     "sql_dedup_clusters": q_sql_dedup_clusters,
+    "incremental_dedup_clusters": q_incremental_dedup_clusters,
     "ann_topk_per_query": q_ann_topk_per_query,
     "content_keys": q_content_keys,
     "streaming_dedup_state": q_streaming_dedup_state,

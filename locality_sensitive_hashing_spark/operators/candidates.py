@@ -78,6 +78,70 @@ def pairs_from_blocks(
     return pairs.withColumn("detector", F.lit(detector))
 
 
+def incremental_pairs_from_blocks(
+    new_blocks: DataFrame,
+    old_blocks: DataFrame,
+    key_cols: list[str],
+    cap: int,
+    detector: str,
+    id_col: str = "clip_id",
+) -> DataFrame:
+    """Candidate pairs INVOLVING a new intake batch: new x new + new x old.
+
+    The incremental companion to :func:`pairs_from_blocks` for the
+    streaming intake path (streaming/incremental.py): per micro-batch the
+    full corpus must NOT be re-paired, and only buckets that gained a new
+    member can produce new pairs. ``old_blocks`` (the committed corpus'
+    blocking table) is therefore first SEMI-JOINED onto the batch's bucket
+    keys -- per-batch work scales with the buckets the batch touches, not
+    with corpus size (at 10^12 rows the key set of one batch is broadcast
+    against the bucketed corpus table).
+
+    Caps apply to the bucket's size AT EMISSION TIME (old members of
+    touched buckets + new members): a bucket that crosses the cap stops
+    producing pairs from then on, while pairs emitted by earlier batches
+    under the then-smaller bucket stand -- standard append-only semantics;
+    the overflow is still loudly countable via :func:`dropped_blocks` over
+    the unioned blocking table (O25).
+
+    New and old id sets must be disjoint (the intake store's left-anti
+    text_key dedup guarantees this).
+    """
+    new_keys = new_blocks.select(*key_cols).distinct()
+    # every old member of every touched bucket (and nothing else)
+    old_hits = old_blocks.join(new_keys, key_cols)
+    sizes = (
+        new_blocks.select(*key_cols)
+        .unionAll(old_hits.select(*key_cols))
+        .groupBy(*key_cols)
+        .agg(F.count("*").alias("n"))
+    )
+    elig = sizes.where((F.col("n") > 1) & (F.col("n") <= cap)).select(*key_cols)
+    newp = new_blocks.join(elig, key_cols)
+    oldp = old_hits.join(elig, key_cols)
+    ln = newp.select(*key_cols, F.col(id_col).alias("id1"))
+    rn = newp.select(*key_cols, F.col(id_col).alias("id2"))
+    new_new = (
+        ln.join(rn, key_cols)
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+    )
+    ro = oldp.select(*key_cols, F.col(id_col).alias("_old"))
+    new_old = (
+        ln.join(ro, key_cols)
+        .where(F.col("id1") != F.col("_old"))
+        .select(
+            F.least(F.col("id1"), F.col("_old")).alias("id1"),
+            F.greatest(F.col("id1"), F.col("_old")).alias("id2"),
+        )
+    )
+    return (
+        new_new.unionByName(new_old)
+        .distinct()
+        .withColumn("detector", F.lit(detector))
+    )
+
+
 def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
     """Union detector candidate sets with provenance (O16):
     (id1, id2, detectors array<string> sorted)."""

@@ -92,3 +92,59 @@ def connected_components(
     raise RuntimeError(
         f"connected components did not converge in {cfg.cc_max_iters} iters"
     )
+
+
+def merge_clusters(
+    prev: DataFrame, new_edges: DataFrame, new_nodes: DataFrame, cfg: Config
+) -> DataFrame:
+    """Incremental CC: fold NEW verified edges + NEW nodes into an existing
+    (clip_id, cluster_id) assignment WITHOUT re-clustering the corpus.
+
+    Previous components are CONTRACTED to their labels: each new edge's
+    endpoints map to their previous cluster_id (or to themselves when the
+    endpoint is a new node), :func:`connected_components` runs on that
+    contracted graph -- whose size scales with the batch, not the corpus --
+    and old assignments relabel through the resulting old-label -> new-label
+    mapping with one join (broadcast-sized: at most one row per touched
+    component). Because a previous label IS the min clip_id of its
+    component, the min label of a merged contracted component equals the
+    min clip_id of the merged component, so the result is IDENTICAL to
+    full CC over the union of all edges and nodes (pinned by test).
+
+    Requirements: ``new_nodes`` is disjoint from ``prev`` ids (the intake
+    store's per-batch dedup guarantees this), and every ``new_edges``
+    endpoint appears in ``prev`` or ``new_nodes``.
+    """
+    l1 = prev.select(F.col("clip_id").alias("id1"), F.col("cluster_id").alias("_l1"))
+    l2 = prev.select(F.col("clip_id").alias("id2"), F.col("cluster_id").alias("_l2"))
+    contracted = (
+        new_edges.join(l1, "id1", "left")
+        .join(l2, "id2", "left")
+        .select(
+            F.coalesce("_l1", F.col("id1")).alias("id1"),
+            F.coalesce("_l2", F.col("id2")).alias("id2"),
+        )
+        .where(F.col("id1") != F.col("id2"))
+    )
+    cnodes = (
+        contracted.select(F.col("id1").alias("clip_id"))
+        .unionByName(contracted.select(F.col("id2").alias("clip_id")))
+        .unionByName(new_nodes.select("clip_id"))
+        .distinct()
+    )
+    mapping = connected_components(contracted, cnodes, cfg).select(
+        F.col("clip_id").alias("_from"), F.col("cluster_id").alias("_to")
+    )
+    updated_prev = (
+        prev.join(mapping, prev.cluster_id == mapping._from, "left")
+        .select(
+            "clip_id",
+            F.coalesce("_to", F.col("cluster_id")).alias("cluster_id"),
+        )
+    )
+    new_assign = (
+        new_nodes.select("clip_id")
+        .join(mapping, new_nodes.clip_id == mapping._from, "left")
+        .select("clip_id", F.coalesce("_to", F.col("clip_id")).alias("cluster_id"))
+    )
+    return updated_prev.unionByName(new_assign)

@@ -1,0 +1,119 @@
+"""Incremental intake operators: per-batch candidate pairs and cluster
+merge must equal the batch pipeline re-run from scratch.
+
+merge_clusters' contraction argument (operators/connected_components.py
+docstring) is pinned here against full CC on random graphs; the
+incremental pair generator is pinned against pairs_from_blocks over the
+unioned blocking table, including the emission-time cap semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
+from locality_sensitive_hashing_spark.operators.candidates import (
+    incremental_pairs_from_blocks,
+    pairs_from_blocks,
+)
+from locality_sensitive_hashing_spark.operators.connected_components import (
+    connected_components,
+    merge_clusters,
+)
+
+
+def _assign(df) -> dict:
+    return {r.clip_id: r.cluster_id for r in df.collect()}
+
+
+def _pairs(df) -> set:
+    return {(r.id1, r.id2) for r in df.collect()}
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_merge_clusters_equals_full_cc(spark, seed):
+    rng = np.random.default_rng(seed)
+    ids = [f"{i:04d}" for i in range(60)]
+    old_ids, new_ids = ids[:40], ids[40:]
+    old_edges = [
+        (old_ids[a], old_ids[b])
+        for a, b in rng.integers(0, 40, size=(25, 2))
+        if a != b
+    ]
+    # new edges touch any node: new-new, new-old, and old-old (a batch's
+    # verified pairs can merge two previously-separate old components)
+    new_edges = [
+        (ids[a], ids[b]) for a, b in rng.integers(0, 60, size=(20, 2)) if a != b
+    ]
+    e_old = spark.createDataFrame(old_edges or [("0000", "0001")], "id1 string, id2 string")
+    e_new = spark.createDataFrame(new_edges or [("0000", "0041")], "id1 string, id2 string")
+    n_old = spark.createDataFrame([(i,) for i in old_ids], "clip_id string")
+    n_new = spark.createDataFrame([(i,) for i in new_ids], "clip_id string")
+
+    prev = connected_components(e_old, n_old, CFG)
+    merged = merge_clusters(prev, e_new, n_new, CFG)
+    full = connected_components(
+        e_old.unionByName(e_new), n_old.unionByName(n_new), CFG
+    )
+    assert _assign(merged) == _assign(full)
+    assert len(_assign(merged)) == 60
+
+
+def test_merge_clusters_no_new_edges(spark):
+    prev = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], "clip_id string, cluster_id string"
+    )
+    e_new = spark.createDataFrame([], "id1 string, id2 string")
+    n_new = spark.createDataFrame([("d",), ("e",)], "clip_id string")
+    merged = merge_clusters(prev, e_new, n_new, CFG)
+    assert _assign(merged) == {"a": "a", "b": "a", "c": "c", "d": "d", "e": "e"}
+
+
+def test_incremental_pairs_match_full_rerun(spark):
+    # buckets: k1 old-only pair, k2 mixed, k3 new-only, k4 singleton
+    old = spark.createDataFrame(
+        [("o1", "k1"), ("o2", "k1"), ("o3", "k2"), ("o4", "k4")],
+        "clip_id string, key string",
+    )
+    new = spark.createDataFrame(
+        [("n1", "k2"), ("n2", "k3"), ("n3", "k3")], "clip_id string, key string"
+    )
+    cap = 10
+    inc = incremental_pairs_from_blocks(new, old, ["key"], cap, "d")
+    full = pairs_from_blocks(old.unionByName(new), ["key"], cap, "d")
+    prior = pairs_from_blocks(old, ["key"], cap, "d")
+    assert _pairs(inc) == _pairs(full) - _pairs(prior)
+    assert _pairs(inc) | _pairs(prior) == _pairs(full)
+    # no old-only pairs sneak in
+    assert all("n" in a or "n" in b for a, b in _pairs(inc))
+
+
+def test_incremental_pairs_cap_at_emission_time(spark):
+    # bucket holds 2 old members (paired in an earlier batch) and gains 2
+    # new ones, crossing cap=3: the batch emits NOTHING from it
+    old = spark.createDataFrame(
+        [("o1", "k"), ("o2", "k")], "clip_id string, key string"
+    )
+    new = spark.createDataFrame(
+        [("n1", "k"), ("n2", "k")], "clip_id string, key string"
+    )
+    inc = incremental_pairs_from_blocks(new, old, ["key"], 3, "d")
+    assert inc.count() == 0
+    # under a sufficient cap the same batch yields all 5 new pairs
+    inc2 = incremental_pairs_from_blocks(new, old, ["key"], 4, "d")
+    assert _pairs(inc2) == {
+        ("n1", "n2"), ("n1", "o1"), ("n1", "o2"), ("n2", "o1"), ("n2", "o2")
+    }
+
+
+def test_incremental_pairs_untouched_buckets_not_scanned(spark):
+    """Plan shape: the old side is filtered to the batch's bucket keys
+    BEFORE any self-join (the semi-join that bounds per-batch work)."""
+    old = spark.createDataFrame(
+        [("o1", "k1"), ("o2", "k1")], "clip_id string, key string"
+    )
+    new = spark.createDataFrame([("n1", "k9")], "clip_id string, key string")
+    inc = incremental_pairs_from_blocks(new, old, ["key"], 8, "d")
+    assert inc.count() == 0  # k1 untouched; k9 has one member
