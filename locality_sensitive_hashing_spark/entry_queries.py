@@ -387,6 +387,31 @@ edges AS (SELECT s.id1, s.id2
 """
 
 
+def _jaccard_edges(pairs: DataFrame, toks: DataFrame, cnt: DataFrame,
+                   id_col: str) -> DataFrame:
+    """(id1, id2) candidate pairs whose exact token-set Jaccard passes
+    CFG.jaccard_threshold. ``toks``: (id_col, tok) distinct; ``cnt``:
+    (id_col, n_tok). Shared by the batch and incremental dedup queries so
+    the verification predicate lives in exactly one place."""
+    t1 = toks.select(F.col(id_col).alias("id1"), "tok")
+    t2 = toks.select(F.col(id_col).alias("id2"), "tok")
+    shared = (
+        pairs.select("id1", "id2")
+        .join(t1, "id1").join(t2, ["id2", "tok"])
+        .groupBy("id1", "id2").agg(F.count("*").alias("shared"))
+    )
+    c1 = cnt.select(F.col(id_col).alias("id1"), F.col("n_tok").alias("n1"))
+    c2 = cnt.select(F.col(id_col).alias("id2"), F.col("n_tok").alias("n2"))
+    return (
+        shared.join(c1, "id1").join(c2, "id2")
+        .where(
+            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+            >= CFG.jaccard_threshold
+        )
+        .select("id1", "id2")
+    )
+
+
 def q_sql_dedup_clusters(spark, sf_dir):
     """Mini dedup end-to-end in pure relational form: word-3gram blocking
     -> capped candidate join -> exact token-Jaccard verify -> Spark
@@ -401,24 +426,9 @@ def q_sql_dedup_clusters(spark, sf_dir):
     toks = docs.select("doc_id", F.explode(F.split("norm", " ")).alias("tok")).distinct()
     cnt = toks.groupBy("doc_id").agg(F.count("*").alias("n_tok"))
     pairs = _candidate_pairs(spark, sf_dir)
-    t1 = toks.select(F.col("doc_id").alias("id1"), "tok")
-    t2 = toks.select(F.col("doc_id").alias("id2"), "tok")
-    shared = (
-        pairs.join(t1, "id1").join(t2, ["id2", "tok"])
-        .groupBy("id1", "id2").agg(F.count("*").alias("shared"))
-    )
-    c1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_tok").alias("n1"))
-    c2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_tok").alias("n2"))
-    edges = (
-        shared.join(c1, "id1").join(c2, "id2")
-        .where(
-            F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
-            >= CFG.jaccard_threshold
-        )
-        .select(
-            F.lpad(F.col("id1").cast("string"), 8, "0").alias("id1"),
-            F.lpad(F.col("id2").cast("string"), 8, "0").alias("id2"),
-        )
+    edges = _jaccard_edges(pairs, toks, cnt, "doc_id").select(
+        F.lpad(F.col("id1").cast("string"), 8, "0").alias("id1"),
+        F.lpad(F.col("id2").cast("string"), 8, "0").alias("id2"),
     )
     nodes = docs.select(
         F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("clip_id")
@@ -471,25 +481,6 @@ def q_incremental_dedup_clusters(spark, sf_dir):
     old_blocks = blocks.where(F.col("doc_id") < INCR_SPLIT).select("key", "wshingle")
     new_blocks = blocks.where(F.col("doc_id") >= INCR_SPLIT).select("key", "wshingle")
 
-    def verify(pairs: DataFrame) -> DataFrame:
-        t1 = toks.select(F.col("key").alias("id1"), "tok")
-        t2 = toks.select(F.col("key").alias("id2"), "tok")
-        shared = (
-            pairs.select("id1", "id2")
-            .join(t1, "id1").join(t2, ["id2", "tok"])
-            .groupBy("id1", "id2").agg(F.count("*").alias("shared"))
-        )
-        c1 = cnt.select(F.col("key").alias("id1"), F.col("n_tok").alias("n1"))
-        c2 = cnt.select(F.col("key").alias("id2"), F.col("n_tok").alias("n2"))
-        return (
-            shared.join(c1, "id1").join(c2, "id2")
-            .where(
-                F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
-                >= CFG.jaccard_threshold
-            )
-            .select("id1", "id2")
-        )
-
     old_nodes = docs.where(F.col("doc_id") < INCR_SPLIT).select(
         F.col("key").alias("clip_id")
     )
@@ -497,13 +488,17 @@ def q_incremental_dedup_clusters(spark, sf_dir):
         F.col("key").alias("clip_id")
     )
     prev = connected_components(
-        verify(pairs_from_blocks(old_blocks, ["wshingle"], _NOCAP, "word", id_col="key")),
+        _jaccard_edges(
+            pairs_from_blocks(old_blocks, ["wshingle"], _NOCAP, "word", id_col="key"),
+            toks, cnt, "key",
+        ),
         old_nodes, CFG,
     )
-    inc_edges = verify(
+    inc_edges = _jaccard_edges(
         incremental_pairs_from_blocks(
             new_blocks, old_blocks, ["wshingle"], _NOCAP, "word", id_col="key"
-        )
+        ),
+        toks, cnt, "key",
     )
     merged = merge_clusters(prev, inc_edges, new_nodes, CFG)
     return merged.select(
@@ -1262,17 +1257,62 @@ def all_queries():
 def _code_digest() -> str:
     """Short hash of the package's .py sources: keys the flagship resume
     dir so a code change can never resume against a stale committed run
-    (config_id covers algorithm knobs, not code)."""
+    (config_id covers algorithm knobs, not code).
+
+    Imported from a --py-files zip, ``os.walk`` sees nothing inside the
+    archive, so the digest falls back to hashing the archive bytes; if
+    even that is unlocatable, a per-process random token is returned --
+    unknown code provenance must never REUSE a cached run (fail fresh,
+    not stale)."""
     import hashlib
 
     pkg = os.path.dirname(os.path.abspath(__file__))
     h = hashlib.sha256()
+    found = False
     for dirpath, _dirs, files in sorted(os.walk(pkg)):
         for fn in sorted(files):
             if fn.endswith(".py"):
+                found = True
                 h.update(fn.encode())
                 with open(os.path.join(dirpath, fn), "rb") as f:
                     h.update(f.read())
+    if not found:
+        arch = pkg
+        while arch and not os.path.isfile(arch):
+            parent = os.path.dirname(arch)
+            if parent == arch:
+                arch = ""
+            else:
+                arch = parent
+        if not (arch and os.path.isfile(arch)):
+            import uuid
+
+            return uuid.uuid4().hex[:12]
+        with open(arch, "rb") as f:
+            h.update(f.read())
+    return h.hexdigest()[:12]
+
+
+def _data_digest(sf_dir: str) -> str:
+    """Content hash of the corpus input (documents.parquet bytes): keys
+    the flagship cache so regenerated testdata at the SAME path can never
+    resume against a run built on the old corpus (the aux-table oracles
+    replay committed outputs, so a stale resume would otherwise
+    hash-match wrong results)."""
+    import hashlib
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    parts = (
+        [p] if os.path.isfile(p)
+        else sorted(
+            os.path.join(p, f) for f in os.listdir(p)
+        ) if os.path.isdir(p) else []
+    )
+    h = hashlib.sha256()
+    for fp in parts:
+        if os.path.isfile(fp):
+            with open(fp, "rb") as f:
+                h.update(f.read())
     return h.hexdigest()[:12]
 
 
@@ -1298,7 +1338,9 @@ def _flagship(spark: SparkSession, sf_dir: str):
     from locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
     from locality_sensitive_hashing_spark.sources.tables import TableIO
 
-    key = os.path.basename(sf_dir.rstrip("/"))
+    import fcntl
+
+    key = os.path.normpath(os.path.abspath(sf_dir))
     if key in _FLAGSHIP_MEMO:
         return _FLAGSHIP_MEMO[key]
     clips = clips_from_documents_df(
@@ -1306,12 +1348,23 @@ def _flagship(spark: SparkSession, sf_dir: str):
     )
     workdir = os.path.join(
         tempfile.gettempdir(), "lsh_flagship_cache",
-        f"{key}_{CFG.config_id}_{_CODE_DIGEST}",
+        f"{os.path.basename(key)}_{_data_digest(sf_dir)}"
+        f"_{CFG.config_id}_{_CODE_DIGEST}",
     )
     os.makedirs(workdir, exist_ok=True)
-    io = TableIO(spark, workdir)
-    pipe = DedupPipeline(spark, CFG, io, run_id="flagship")
-    out = (pipe.run(clips), io, clips)
+    # TableIO's manifest lock is in-process; two PROCESSES computing the
+    # same workdir (pytest + driver harness) must not interleave stage
+    # overwrites -- flock serializes them, and the second entrant then
+    # resumes from the first one's committed stages.
+    lockf = open(os.path.join(workdir, ".lock"), "w")
+    fcntl.flock(lockf, fcntl.LOCK_EX)
+    try:
+        io = TableIO(spark, workdir)
+        pipe = DedupPipeline(spark, CFG, io, run_id="flagship")
+        out = (pipe.run(clips), io, clips)
+    finally:
+        fcntl.flock(lockf, fcntl.LOCK_UN)
+        lockf.close()
     _FLAGSHIP_MEMO[key] = out
     return out
 
@@ -1320,13 +1373,14 @@ def _pipeline_aux(spark: SparkSession, sf_dir: str):
     """Flagship run + the (pipeline_edges, pipeline_nodes) aux tables the
     cluster oracles replay (written once per process per sf)."""
     clusters, io, clips = _flagship(spark, sf_dir)
-    if sf_dir not in _PIPELINE_AUX_DONE:
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    if key not in _PIPELINE_AUX_DONE:
         edges = io.read("verified").where("is_dup").select("id1", "id2")
         _aux_write(edges, sf_dir, "pipeline_edges")
         # node universe from the committed keyed stage -- re-selecting from
         # the lazy clips plan would re-run the distributed audio synthesis
         _aux_write(io.read("keyed").select("clip_id"), sf_dir, "pipeline_nodes")
-        _PIPELINE_AUX_DONE.add(sf_dir)
+        _PIPELINE_AUX_DONE.add(key)
     return clusters, io, clips
 
 

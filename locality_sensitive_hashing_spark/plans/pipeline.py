@@ -241,15 +241,16 @@ class DedupPipeline:
             def build_minhash():
                 buckets = explode_bands(signatures, id_col="text_key")
                 # bounded-bucket caps: overflow counted, never silent (O25).
-                # Skipped when `candidates` is already committed: this
-                # builder runs even on a fully-resumed pipeline (it's a
-                # passthrough stage), and re-counting would pay a full
-                # signatures scan on an otherwise no-op resume. The write
-                # is ADVISORY logging (like stage metrics), so it runs on
-                # the async metrics pool -- overlapping the candidates job
-                # instead of serializing a full banding pass in front of
-                # it; run() drains the future before returning.
-                if not self.io.committed("candidates", cfg.config_id):
+                # Keyed on dropped_buckets' OWN commit status (not the
+                # candidates stage's): a crash between the candidates
+                # commit and this write must re-emit the log on resume,
+                # while a fully-resumed pipeline skips the full signatures
+                # re-scan. The write is ADVISORY logging (like stage
+                # metrics), so it runs on the async metrics pool --
+                # overlapping the candidates job instead of serializing a
+                # full banding pass in front of it; run() drains the
+                # future before returning.
+                if not self.io.committed("dropped_buckets", cfg.config_id):
                     def emit_dropped():
                         self.io.write(
                             dropped_blocks(
