@@ -61,15 +61,28 @@ def text_pair_metrics(
     LCS stage below re-reads this table instead of re-deriving the plan
     (a left-join back onto the same un-materialized subplan would execute
     the Jaccard fold twice).
+
+    Join shape: signatures and fingerprints are pre-joined into ONE
+    per-text feature table first -- both commit bucketed+sorted by
+    text_key (TableIO DEFAULT_BUCKET_SPEC), so that join is exchange-free
+    -- and the pair table then joins it once per side. The naive
+    4-join form (s1, s2, f1, f2) shuffled the growing pair rows four
+    times, twice while already carrying the signature arrays; this form
+    shuffles them twice total.
     """
-    s1 = signatures.select(F.col("text_key").alias("id1"), F.col("sig").alias("sig1"))
-    s2 = signatures.select(F.col("text_key").alias("id2"), F.col("sig").alias("sig2"))
-    f1 = fingerprints.select(F.col("text_key").alias("id1"), F.col("fingerprint").alias("f1"))
-    f2 = fingerprints.select(F.col("text_key").alias("id2"), F.col("fingerprint").alias("f2"))
+    feats = signatures.select("text_key", "sig").join(
+        fingerprints.select("text_key", "fingerprint"), "text_key"
+    )
+    f1 = feats.select(
+        F.col("text_key").alias("id1"), F.col("sig").alias("sig1"),
+        F.col("fingerprint").alias("f1"),
+    )
+    f2 = feats.select(
+        F.col("text_key").alias("id2"), F.col("sig").alias("sig2"),
+        F.col("fingerprint").alias("f2"),
+    )
     return (
-        candidates.join(s1, "id1")
-        .join(s2, "id2")
-        .join(f1, "id1")
+        candidates.join(f1, "id1")
         .join(f2, "id2")
         .withColumn("est_jaccard", estimated_jaccard(F.col("sig1"), F.col("sig2")))
         .withColumn("hamming", hamming_distance(F.col("f1"), F.col("f2")).cast("int"))
