@@ -74,6 +74,26 @@ def test_bucketed_signatures_join_without_exchange(spark, pipeline_run, cfg):
     assert "_signatures" in plan, plan  # catalog (bucketed) scan, not path scan
 
 
+def test_bucketed_feature_prejoin_no_exchange(spark, pipeline_run, cfg):
+    """text_pair_metrics pre-joins signatures+fingerprints into one
+    per-text feature table; both commit bucketed+sorted by text_key with
+    the same bucket count, so that join is a co-partitioned SMJ with ZERO
+    exchanges (forced to SMJ by disabling broadcast for the check)."""
+    io, _, _ = pipeline_run
+    sigs = io.read("signatures").select("text_key", "sig")
+    fps = io.read("fingerprints").select("text_key", "fingerprint")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(sigs.join(fps, "text_key"))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    import re
+
+    assert "SortMergeJoin" in plan, plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
 def test_content_keys_single_scan_projection(spark, clips_parquet):
     """keyed stage reads exactly (clip_id, transcript, bytes)."""
     df = with_content_keys(spark.read.parquet(clips_parquet))
