@@ -108,6 +108,68 @@ def test_incremental_pairs_cap_at_emission_time(spark):
     }
 
 
+def test_streaming_store_feeds_incremental_dedup(spark, cfg):
+    """End-to-end incremental story: the streaming intake store's
+    per-batch committed signature subdirs feed the incremental operators
+    directly -- batch b0 as the committed corpus, b1 (new-texts-only by
+    the intake's anti-join) as the increment -- and candidate pairs +
+    merged clusters reproduce a from-scratch recompute over everything
+    ingested. Guards schema drift between the streaming store and the
+    batch operators."""
+    import os
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.fixtures import make_clips
+    from locality_sensitive_hashing_spark.operators.minhash import explode_bands
+    from locality_sensitive_hashing_spark.streaming.incremental import (
+        incremental_signatures,
+    )
+
+    schema = pa.schema([
+        ("clip_id", pa.string()), ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()), ("dur_ms", pa.int32()),
+        ("codec", pa.string()), ("transcript", pa.string()),
+    ])
+    root = tempfile.mkdtemp(prefix="lsh_stream_incr_")
+    in_dir = os.path.join(root, "in")
+    out_dir = os.path.join(root, "out")
+    ckpt = os.path.join(root, "ckpt")
+    os.makedirs(in_dir)
+    clips, _ = make_clips(80, seed=13)
+    for i, part in enumerate((clips.iloc[:40], clips.iloc[40:])):
+        pq.write_table(
+            pa.Table.from_pandas(part, schema=schema, preserve_index=False),
+            os.path.join(in_dir, f"batch{i}.parquet"),
+        )
+        q = incremental_signatures(spark, in_dir, out_dir, cfg, checkpoint_dir=ckpt)
+        q.awaitTermination(120)
+
+    old_sigs = spark.read.parquet(os.path.join(out_dir, "signatures", "b0"))
+    new_sigs = spark.read.parquet(os.path.join(out_dir, "signatures", "b1"))
+    keys = ["band_id", "band_hash"]
+    old_b = explode_bands(old_sigs, id_col="text_key")
+    new_b = explode_bands(new_sigs, id_col="text_key")
+    cap = 1 << 20
+    full = pairs_from_blocks(old_b.unionByName(new_b), keys, cap, "mh", id_col="text_key")
+    prior = pairs_from_blocks(old_b, keys, cap, "mh", id_col="text_key")
+    inc = incremental_pairs_from_blocks(new_b, old_b, keys, cap, "mh", id_col="text_key")
+    assert _pairs(inc) == _pairs(full) - _pairs(prior)
+    assert len(_pairs(full)) > 0  # planted dup texts actually collide
+
+    n_old = old_sigs.select(F.col("text_key").alias("clip_id"))
+    n_new = new_sigs.select(F.col("text_key").alias("clip_id"))
+    prev = connected_components(prior.select("id1", "id2"), n_old, CFG)
+    merged = merge_clusters(prev, inc.select("id1", "id2"), n_new, CFG)
+    fullcc = connected_components(
+        full.select("id1", "id2"), n_old.unionByName(n_new), CFG
+    )
+    assert _assign(merged) == _assign(fullcc)
+
+
 def test_incremental_pairs_untouched_buckets_not_scanned(spark):
     """Plan shape: the old side is filtered to the batch's bucket keys
     BEFORE any self-join (the semi-join that bounds per-batch work)."""
