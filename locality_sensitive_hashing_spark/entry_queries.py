@@ -42,8 +42,10 @@ now reproduces that sort).
 
 from __future__ import annotations
 
+import functools
 import os
 import tempfile
+import threading
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -1254,6 +1256,7 @@ def all_queries():
 # flagship entry
 # ---------------------------------------------------------------------------
 
+@functools.lru_cache(maxsize=1)
 def _code_digest() -> str:
     """Short hash of the package's .py sources: keys the flagship resume
     dir so a code change can never resume against a stale committed run
@@ -1293,6 +1296,7 @@ def _code_digest() -> str:
     return h.hexdigest()[:12]
 
 
+@functools.lru_cache(maxsize=8)
 def _data_digest(sf_dir: str) -> str:
     """Content hash of the corpus input (documents.parquet bytes): keys
     the flagship cache so regenerated testdata at the SAME path can never
@@ -1316,9 +1320,40 @@ def _data_digest(sf_dir: str) -> str:
     return h.hexdigest()[:12]
 
 
-_CODE_DIGEST = _code_digest()
+def _cache_base() -> str:
+    """User-private flagship-cache root (ADVICE r2, medium): the old
+    world-shared ``<tmp>/lsh_flagship_cache`` path let any local user
+    pre-seed a forged ``_manifest.json`` that the pipeline would resume
+    from -- and because the oracle aux tables derive from the same
+    committed stages, the hash check would self-validate the poisoning.
+    Per-uid path created 0700; ownership and mode are verified before any
+    existing manifest inside is trusted (a dir owned by another uid is a
+    hard error, not a fallback)."""
+    base = os.path.join(
+        tempfile.gettempdir(), f"lsh_flagship_cache_{os.getuid()}"
+    )
+    os.makedirs(base, mode=0o700, exist_ok=True)
+    st = os.stat(base)
+    if st.st_uid != os.getuid():
+        raise RuntimeError(
+            f"flagship cache {base} is owned by uid {st.st_uid} "
+            f"(expected {os.getuid()}); refusing to trust it"
+        )
+    if st.st_mode & 0o077:
+        # pre-existing dir with loose perms: tighten before trusting
+        os.chmod(base, 0o700)
+    return base
+
+
+# Both structures use check-then-act; _FLAGSHIP_LOCK serializes the memo
+# so concurrent driver threads can't both run the pipeline / overwrite the
+# same aux parquet dirs mid-oracle-read (ADVICE r2). _AUX_LOCK is separate
+# because _pipeline_aux calls _flagship while holding it would deadlock a
+# single non-reentrant lock.
 _FLAGSHIP_MEMO: dict[str, tuple] = {}
 _PIPELINE_AUX_DONE: set[str] = set()
+_FLAGSHIP_LOCK = threading.Lock()
+_AUX_LOCK = threading.Lock()
 
 
 def _flagship(spark: SparkSession, sf_dir: str):
@@ -1341,32 +1376,36 @@ def _flagship(spark: SparkSession, sf_dir: str):
     import fcntl
 
     key = os.path.normpath(os.path.abspath(sf_dir))
-    if key in _FLAGSHIP_MEMO:
-        return _FLAGSHIP_MEMO[key]
-    clips = clips_from_documents_df(
-        spark, sf_dir, seed=CFG.seed, plant_dups=True
-    )
-    workdir = os.path.join(
-        tempfile.gettempdir(), "lsh_flagship_cache",
-        f"{os.path.basename(key)}_{_data_digest(sf_dir)}"
-        f"_{CFG.config_id}_{_CODE_DIGEST}",
-    )
-    os.makedirs(workdir, exist_ok=True)
-    # TableIO's manifest lock is in-process; two PROCESSES computing the
-    # same workdir (pytest + driver harness) must not interleave stage
-    # overwrites -- flock serializes them, and the second entrant then
-    # resumes from the first one's committed stages.
-    lockf = open(os.path.join(workdir, ".lock"), "w")
-    fcntl.flock(lockf, fcntl.LOCK_EX)
-    try:
-        io = TableIO(spark, workdir)
-        pipe = DedupPipeline(spark, CFG, io, run_id="flagship")
-        out = (pipe.run(clips), io, clips)
-    finally:
-        fcntl.flock(lockf, fcntl.LOCK_UN)
-        lockf.close()
-    _FLAGSHIP_MEMO[key] = out
-    return out
+    # _FLAGSHIP_LOCK closes the check-then-act race: without it two driver
+    # threads could both miss the memo and both enter the pipeline (flock
+    # serializes processes, not threads sharing one fd table).
+    with _FLAGSHIP_LOCK:
+        if key in _FLAGSHIP_MEMO:
+            return _FLAGSHIP_MEMO[key]
+        clips = clips_from_documents_df(
+            spark, sf_dir, seed=CFG.seed, plant_dups=True
+        )
+        workdir = os.path.join(
+            _cache_base(),
+            f"{os.path.basename(key)}_{_data_digest(sf_dir)}"
+            f"_{CFG.config_id}_{_code_digest()}",
+        )
+        os.makedirs(workdir, mode=0o700, exist_ok=True)
+        # TableIO's manifest lock is in-process; two PROCESSES computing
+        # the same workdir (pytest + driver harness) must not interleave
+        # stage overwrites -- flock serializes them, and the second
+        # entrant then resumes from the first one's committed stages.
+        lockf = open(os.path.join(workdir, ".lock"), "w")
+        fcntl.flock(lockf, fcntl.LOCK_EX)
+        try:
+            io = TableIO(spark, workdir)
+            pipe = DedupPipeline(spark, CFG, io, run_id="flagship")
+            out = (pipe.run(clips), io, clips)
+        finally:
+            fcntl.flock(lockf, fcntl.LOCK_UN)
+            lockf.close()
+        _FLAGSHIP_MEMO[key] = out
+        return out
 
 
 def _pipeline_aux(spark: SparkSession, sf_dir: str):
@@ -1374,13 +1413,19 @@ def _pipeline_aux(spark: SparkSession, sf_dir: str):
     cluster oracles replay (written once per process per sf)."""
     clusters, io, clips = _flagship(spark, sf_dir)
     key = os.path.normpath(os.path.abspath(sf_dir))
-    if key not in _PIPELINE_AUX_DONE:
-        edges = io.read("verified").where("is_dup").select("id1", "id2")
-        _aux_write(edges, sf_dir, "pipeline_edges")
-        # node universe from the committed keyed stage -- re-selecting from
-        # the lazy clips plan would re-run the distributed audio synthesis
-        _aux_write(io.read("keyed").select("clip_id"), sf_dir, "pipeline_nodes")
-        _PIPELINE_AUX_DONE.add(key)
+    # serialized: concurrent threads must not both mode=overwrite the same
+    # aux parquet dirs while the DuckDB oracle may be reading them
+    with _AUX_LOCK:
+        if key not in _PIPELINE_AUX_DONE:
+            edges = io.read("verified").where("is_dup").select("id1", "id2")
+            _aux_write(edges, sf_dir, "pipeline_edges")
+            # node universe from the committed keyed stage -- re-selecting
+            # from the lazy clips plan would re-run the distributed audio
+            # synthesis
+            _aux_write(
+                io.read("keyed").select("clip_id"), sf_dir, "pipeline_nodes"
+            )
+            _PIPELINE_AUX_DONE.add(key)
     return clusters, io, clips
 
 

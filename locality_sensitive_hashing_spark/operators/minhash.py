@@ -117,8 +117,49 @@ def explode_bands(signatures: DataFrame, id_col: str = "clip_id") -> DataFrame:
 
 def estimated_jaccard(sig1, sig2) -> "F.Column":
     """Fraction of equal signature components (MMDS section 3.3.3) --
-    JVM-side zip_with/aggregate, no UDF."""
+    JVM-side zip_with/aggregate, no UDF.
+
+    NOTE: Spark does not codegen higher-order-function lambdas, so each of
+    the H comparisons is expression-interpreted per pair.  Fine for ad-hoc
+    use and tests; the pair-verification hot path uses
+    :func:`estimated_jaccard_udf` instead (one Arrow-batched numpy compare
+    per batch, bit-exact same result: equal-count / H in float64).
+    """
     eq = F.zip_with(sig1, sig2, lambda x, y: (x == y).cast("int"))
     return (
         F.aggregate(eq, F.lit(0), lambda acc, x: acc + x) / F.size(sig1)
     ).cast("double")
+
+
+def estimated_jaccard_udf():
+    """Arrow-vectorized est-Jaccard: pandas UDF (sig1, sig2) -> double.
+
+    All signatures share the config-fixed length H (they come from
+    :func:`signature_udf`), so a batch stacks into two (B, H) integer
+    matrices and the whole batch is ONE ``(S1 == S2).mean(axis=1)``
+    broadcast -- no per-element expression interpretation.  Bit-exact vs
+    :func:`estimated_jaccard`: both compute (# equal components) / H as an
+    exact small-int ratio in IEEE float64 (pinned by
+    tests/test_operators.py parity).
+    """
+
+    @F.pandas_udf("double")
+    def compute(sig1: pd.Series, sig2: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(sig1)
+        if n == 0:
+            return pd.Series([], dtype="float64")
+        a1, a2 = sig1.to_numpy(), sig2.to_numpy()
+        lens = np.fromiter((v.size for v in a1), dtype=np.int64, count=n)
+        out = np.empty(n, dtype=np.float64)
+        # production batches have ONE length (config-fixed H) -> one vstack;
+        # the loop only matters for ad-hoc mixed-length inputs
+        for h in np.unique(lens):
+            idx = np.nonzero(lens == h)[0]
+            s1 = np.vstack([a1[i] for i in idx])
+            s2 = np.vstack([a2[i] for i in idx])
+            out[idx] = (s1 == s2).mean(axis=1)
+        return pd.Series(out)
+
+    return compute

@@ -33,7 +33,7 @@ from pyspark.sql import functions as F
 
 from locality_sensitive_hashing_spark.config import Config
 from locality_sensitive_hashing_spark.operators.audio_verify import pcm_compare_udf
-from locality_sensitive_hashing_spark.operators.minhash import estimated_jaccard
+from locality_sensitive_hashing_spark.operators.minhash import estimated_jaccard_udf
 from locality_sensitive_hashing_spark.operators.simhash import hamming_distance
 from locality_sensitive_hashing_spark.operators.textgroup import (
     within_group_rep_pairs,
@@ -55,12 +55,16 @@ def text_pair_metrics(
 ) -> DataFrame:
     """Cheap text-pair metrics: (tk1, tk2, detectors, est_jaccard, hamming).
 
-    One pass of JVM column math (zip_with/aggregate Jaccard estimate +
-    bit_count Hamming) over the candidate set. Materialized as its own
-    stage so the expensive estimate is computed exactly once -- the lazy
-    LCS stage below re-reads this table instead of re-deriving the plan
-    (a left-join back onto the same un-materialized subplan would execute
-    the Jaccard fold twice).
+    One pass over the candidate set: the est-Jaccard is ONE Arrow pandas
+    UDF -- a (B, H) integer-matrix compare per batch
+    (minhash.estimated_jaccard_udf; bit-exact vs the Column form) -- and
+    the Hamming distance stays JVM-side bit_count.  The interpreted
+    zip_with/aggregate fold this replaces was the dominant cost of every
+    bench run (Spark does not codegen HOF lambdas: 128 interpreted
+    comparisons per pair).  Materialized as its own stage so the estimate
+    is computed exactly once -- the lazy LCS stage below re-reads this
+    table instead of re-deriving the plan (a left-join back onto the same
+    un-materialized subplan would execute the estimate twice).
 
     Join shape: signatures and fingerprints are pre-joined into ONE
     per-text feature table first -- both commit bucketed+sorted by
@@ -81,10 +85,11 @@ def text_pair_metrics(
         F.col("text_key").alias("id2"), F.col("sig").alias("sig2"),
         F.col("fingerprint").alias("f2"),
     )
+    est = estimated_jaccard_udf()
     return (
         candidates.join(f1, "id1")
         .join(f2, "id2")
-        .withColumn("est_jaccard", estimated_jaccard(F.col("sig1"), F.col("sig2")))
+        .withColumn("est_jaccard", est(F.col("sig1"), F.col("sig2")))
         .withColumn("hamming", hamming_distance(F.col("f1"), F.col("f2")).cast("int"))
         .select(
             F.col("id1").alias("tk1"),

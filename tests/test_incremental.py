@@ -127,6 +127,7 @@ def test_streaming_store_feeds_incremental_dedup(spark, cfg):
     from locality_sensitive_hashing_spark.operators.minhash import explode_bands
     from locality_sensitive_hashing_spark.streaming.incremental import (
         incremental_signatures,
+        read_batch,
     )
 
     schema = pa.schema([
@@ -148,8 +149,10 @@ def test_streaming_store_feeds_incremental_dedup(spark, cfg):
         q = incremental_signatures(spark, in_dir, out_dir, cfg, checkpoint_dir=ckpt)
         q.awaitTermination(120)
 
-    old_sigs = spark.read.parquet(os.path.join(out_dir, "signatures", "b0"))
-    new_sigs = spark.read.parquet(os.path.join(out_dir, "signatures", "b1"))
+    # through the store's commit-marker contract (ADVICE r2): hard-coded
+    # b0/b1 paths would read uncommitted data if the protocol changed
+    old_sigs = read_batch(spark, out_dir, "signatures", 0)
+    new_sigs = read_batch(spark, out_dir, "signatures", 1)
     keys = ["band_id", "band_hash"]
     old_b = explode_bands(old_sigs, id_col="text_key")
     new_b = explode_bands(new_sigs, id_col="text_key")

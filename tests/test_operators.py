@@ -13,7 +13,10 @@ from locality_sensitive_hashing_spark.operators.candidates import (
     pairs_from_blocks,
     union_candidates,
 )
-from locality_sensitive_hashing_spark.operators.minhash import estimated_jaccard
+from locality_sensitive_hashing_spark.operators.minhash import (
+    estimated_jaccard,
+    estimated_jaccard_udf,
+)
 from locality_sensitive_hashing_spark.operators.simhash import (
     explode_chunks,
     hamming_distance,
@@ -100,6 +103,30 @@ def test_estimated_jaccard_jvm_matches_numpy(spark):
     df = spark.createDataFrame([(s1, s2)], "a array<long>, b array<long>")
     got = df.select(estimated_jaccard(F.col("a"), F.col("b")).alias("j")).head().j
     assert got == 0.5
+
+
+def test_estimated_jaccard_udf_bitexact_vs_column(spark):
+    """The Arrow-vectorized hot-path UDF must equal the JVM Column form
+    bit-for-bit: both are (# equal components)/H in float64 (incl. H=128
+    int32 signatures, the production shape, and odd counts like 3/7)."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for h in (128, 7):
+        for _ in range(25):
+            a = rng.integers(0, 2**31 - 1, size=h, dtype=np.int64)
+            b = a.copy()
+            flip = rng.random(h) < rng.random()
+            b[flip] = rng.integers(0, 2**31 - 1, size=int(flip.sum()))
+            rows.append((a.tolist(), b.tolist()))
+    df = spark.createDataFrame(rows, "a array<int>, b array<int>")
+    est = estimated_jaccard_udf()
+    out = df.select(
+        estimated_jaccard(F.col("a"), F.col("b")).alias("col_j"),
+        est(F.col("a"), F.col("b")).alias("udf_j"),
+    ).toPandas()
+    assert (out.col_j.values == out.udf_j.values).all()  # bit-exact, no tol
 
 
 def test_hamming_and_chunks_jvm_match_kernel(spark, cfg, corpus):

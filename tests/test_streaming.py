@@ -13,7 +13,10 @@ from locality_sensitive_hashing_spark import hashing as H
 from locality_sensitive_hashing_spark.fixtures import make_clips
 from locality_sensitive_hashing_spark.streaming.incremental import (
     BatchIngestor,
+    committed_batch_ids,
+    compact_batches,
     incremental_signatures,
+    read_batch,
     read_store,
     streaming_dup_counts,
     streaming_event_counts,
@@ -110,6 +113,52 @@ def test_batch_replay_is_idempotent(spark, cfg):
     assert sigs.text_key.is_unique
     assert set(sigs.text_key) == set(keyed.text_key)
     assert len(sigs) > len(sigs0)
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_manifest_compaction_preserves_commit_protocol(spark, cfg):
+    """compact_batches folds marker files into _batches/MANIFEST; after
+    compaction (a) the committed set is unchanged, (b) read_store /
+    read_batch see the same rows, (c) a replay of a compacted batch still
+    no-ops, and (d) an UNCOMMITTED batch stays invisible even though its
+    data subdir exists."""
+    out_dir = tempfile.mkdtemp(prefix="lsh_compact_")
+    ing = BatchIngestor(spark, out_dir, cfg)
+    clips0, _ = make_clips(20, seed=5)
+    clips1, _ = make_clips(15, seed=6)
+    ing.process(spark.createDataFrame(clips0), 0)
+    ing.process(spark.createDataFrame(clips1), 1)
+    before = read_store(spark, out_dir, "keyed").toPandas()
+
+    n = compact_batches(out_dir)
+    assert n == 2
+    markers = os.path.join(out_dir, "_batches")
+    assert sorted(os.listdir(markers)) == ["MANIFEST"]  # markers folded
+    assert committed_batch_ids(out_dir) == {0, 1}
+
+    after = read_store(spark, out_dir, "keyed").toPandas()
+    assert len(after) == len(before)
+    assert read_batch(spark, out_dir, "keyed", 0).count() > 0
+
+    # replay of a compacted batch: marker file is gone, manifest must
+    # still make it a no-op (row count unchanged)
+    ing.process(spark.createDataFrame(clips0), 0)
+    assert read_store(spark, out_dir, "keyed").count() == len(before)
+
+    # crash-partial batch 2: subdirs exist, no marker -> invisible
+    marker2 = ing._marker(2)
+    clips2, _ = make_clips(10, seed=7)
+    ing.process(spark.createDataFrame(clips2), 2)
+    os.remove(marker2)
+    assert committed_batch_ids(out_dir) == {0, 1}
+    assert read_store(spark, out_dir, "keyed").count() == len(before)
+    try:
+        read_batch(spark, out_dir, "keyed", 2)
+        raise AssertionError("uncommitted batch must not be readable")
+    except FileNotFoundError:
+        pass
+    # a second compaction keeps the uncommitted batch out of the manifest
+    assert compact_batches(out_dir) == 2
     shutil.rmtree(out_dir, ignore_errors=True)
 
 
