@@ -33,8 +33,10 @@ sf directory) and the oracle SQL replays the downstream math over
   closure (same trick as ``sql_dedup_clusters``, now over the REAL
   pipeline output).
 
-The only rows-only entry left is ``audio_features`` (WAV decode is not
-SQL).  NOTE for maintainers: every query result must be scalar columns
+No rows-only entries remain: even ``audio_features`` is SQL-checked --
+its oracle decodes the RIFF/WAV blobs with DuckDB byte arithmetic
+(hex() + LE field extraction + per-sample s16 -> float), replaying the
+full feature math.  NOTE for maintainers: every query result must be scalar columns
 only -- the driver's canonicalizer sorts the pandas frame and dies on
 array cells (round-1 `minhash_signatures` regression; tests/test_entry.py
 now reproduces that sort).
@@ -95,6 +97,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "ann_lsh_topk": ["ann_buckets"],
     "ann_ivf_topk": ["ivf_index", "ivf_probes"],
     "embedding_near_dups": ["neardup_buckets"],
+    "audio_features": ["audio_clips"],
 }
 
 
@@ -890,6 +893,62 @@ SELECT cluster_size, count(*) AS n_clusters FROM s GROUP BY cluster_size
 })
 
 
+# audio_features oracle: a FULL RIFF/WAV s16le decode in DuckDB SQL over
+# the committed clip blobs (aux table audio_clips) -- hex() the blob once,
+# then pure byte arithmetic: canonical-header checks, LE field extraction,
+# per-sample u16 -> i16 -> float in [-1,1], and the same feature math as
+# operators/multimodal.audio_features (rms is the one summation-ordering-
+# sensitive column; both sides round it to 6 dp, every other column is
+# bit-exact -- peak/clipping/duration involve no cross-engine summation).
+# Retires the repo's last no-oracle cell (VERDICT r2 item 2, upgraded from
+# the suggested header-only check to the full decode).
+ORACLE_SQL.update({
+    "audio_features": f"""
+WITH raw AS (
+  SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+  FROM {_aux_rp('audio_clips')}
+), hdr AS (
+  SELECT clip_id, hx,
+    (nb >= 44
+     AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::bigint AS sr_hz,
+    ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint AS data_len
+  FROM raw
+), idx AS (
+  SELECT clip_id, hx,
+    unnest(generate_series(0, (data_len // 2)::int - 1)) AS i
+  FROM hdr WHERE canon
+), x AS (
+  SELECT clip_id,
+    (('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::int
+     - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::int
+            >= 32768 THEN 65536 ELSE 0 END) / 32767.0 AS v
+  FROM idx
+), feat AS (
+  SELECT clip_id, count(*) AS n,
+    round(sqrt(avg(v*v)), 6) AS rms,
+    max(abs(v)) AS peak,
+    (count(*) FILTER (WHERE abs(v) >= 0.999)) * 1.0 / count(*) AS clip_r
+  FROM x GROUP BY clip_id
+)
+SELECT h.clip_id,
+  (h.canon AND coalesce(f.n, 0) > 0) AS decode_ok,
+  (CASE WHEN h.canon AND coalesce(f.n,0) > 0 THEN f.n ELSE 0 END)::bigint AS n_samples,
+  (CASE WHEN h.canon AND coalesce(f.n,0) > 0 THEN h.sr_hz ELSE 0 END)::int AS sr_hz,
+  CASE WHEN h.canon AND coalesce(f.n,0) > 0
+       THEN f.n / (h.sr_hz * 1.0) ELSE 0.0 END AS duration_s,
+  coalesce(f.rms, 0.0) AS rms,
+  coalesce(f.peak, 0.0) AS peak,
+  coalesce(f.clip_r, 0.0) AS clipping_ratio
+FROM hdr h LEFT JOIN feat f USING (clip_id)
+""",
+})
+
+
 # ---------------------------------------------------------------------------
 # kernel-backed queries, SQL-checked via aux tables (see module docstring)
 # ---------------------------------------------------------------------------
@@ -1198,13 +1257,21 @@ def q_embedding_near_dups(spark, sf_dir):
 
 def q_audio_features(spark, sf_dir):
     """Real multimodal decode: per-clip audio features over clips derived
-    from the documents table (the ONE remaining rows-only query -- WAV
-    decode is not SQL; the decode math is pytest-gated vs numpy)."""
+    from the documents table, SQL-checked end-to-end: the clip blobs are
+    committed as the ``audio_clips`` aux table and the oracle re-decodes
+    the RIFF/WAV bytes entirely in DuckDB byte arithmetic (round-2's only
+    no-oracle cell, retired). rms is rounded to 6 dp on BOTH sides -- the
+    only column whose float summation order differs across engines; the
+    decode math is additionally pytest-gated vs numpy."""
     from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
     from locality_sensitive_hashing_spark.operators.multimodal import audio_features
 
     clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
-    return audio_features(clips)
+    _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_clips")
+    return audio_features(clips).select(
+        "clip_id", "decode_ok", "n_samples", "sr_hz", "duration_s",
+        F.round("rms", 6).alias("rms"), "peak", "clipping_ratio",
+    )
 
 
 QUERIES_SQL_CHECKED = {
@@ -1241,11 +1308,11 @@ QUERIES_SQL_CHECKED = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
-}
-
-QUERIES_ROWS_ONLY = {
     "audio_features": q_audio_features,
 }
+
+# empty since round 3: audio_features gained a full-decode DuckDB oracle
+QUERIES_ROWS_ONLY: dict = {}
 
 
 def all_queries():
