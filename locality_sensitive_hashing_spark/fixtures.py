@@ -319,3 +319,67 @@ def clips_from_documents_df(spark, sf_dir: str, seed: int = 42,
             )
 
     return docs.repartition(32, "doc_id").mapInPandas(synth, CLIPS_SCHEMA)
+
+
+_SKEW_BASE_TEXT = (
+    "the quick brown fox jumps over the lazy dog while seventeen "
+    "magpies argue about the provenance of a particularly shiny button "
+    "found beneath the old oak near the riverbank on a gray tuesday "
+    "morning in late november just before the first snow settled in"
+)
+
+
+def skew_clips_df(spark, n_rep: int, n_hot: int):
+    """Adversarial-skew corpus: (clips_df, rep_ids, hot_ids).
+
+    The two hot-spot shapes a web-scale corpus WILL contain:
+
+    - ``n_rep`` byte-identical repeats of one clip (one transcript, one
+      payload): must cost O(n) via the content-class star chain. The blob
+      is synthesized INSIDE executors from a fixed seed -- deterministic,
+      hence byte-identical across rows with no driver broadcast.
+    - ``n_hot`` distinct near-identical texts (common 200+-char prefix,
+      tiny distinct tail): they share ~97% of shingles so most of their
+      32 band hashes collide into buckets of size ~n_hot, engineered to
+      exceed ``bucket_cap`` -- the bounded-bucket drop path under test.
+
+    Used by tests/test_skew_stress.py (small) and bench_skew.py (large).
+    """
+    from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA as _S
+
+    def synth_rep(batches):
+        for pdf in batches:
+            rng = np.random.default_rng(990001)
+            raw = A.encode_wav(A.synth_pcm(rng, 8000, 250), 8000, "pcm_s16le")
+            ids = [f"rep{int(i):09d}" for i in pdf["id"]]
+            yield pd.DataFrame({
+                "clip_id": ids, "bytes": [raw] * len(ids),
+                "sr_hz": np.int32(8000), "dur_ms": np.int32(250),
+                "codec": "pcm_s16le", "transcript": _SKEW_BASE_TEXT,
+            })
+
+    rep = spark.range(n_rep).repartition(32).mapInPandas(synth_rep, _S)
+
+    def synth_hot(batches):
+        for pdf in batches:
+            rows = []
+            for i in pdf["id"]:
+                i = int(i)
+                rng = np.random.default_rng([990002, i])
+                raw = A.encode_wav(
+                    A.synth_pcm(rng, 8000, 250), 8000, "pcm_s16le"
+                )
+                rows.append((
+                    f"hot{i:07d}", raw, 8000, 250, "pcm_s16le",
+                    f"{_SKEW_BASE_TEXT} variant tail number {i:04d}",
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                         "transcript"],
+            )
+
+    hot = spark.range(n_hot).repartition(8).mapInPandas(synth_hot, _S)
+    rep_ids = {f"rep{i:09d}" for i in range(n_rep)}
+    hot_ids = {f"hot{i:07d}" for i in range(n_hot)}
+    return rep.unionByName(hot), rep_ids, hot_ids

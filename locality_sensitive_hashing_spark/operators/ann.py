@@ -218,6 +218,131 @@ def ivf_centroids(
     return C / np.linalg.norm(C, axis=1, keepdims=True)
 
 
+def kmeans_centroids(
+    emb: DataFrame,
+    n_cells: int,
+    n_iters: int = 5,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed k-means|| centroids (Bahmani et al., VLDB 2012) for
+    IVF-flat -- the production alternative to the deterministic first-N
+    codebook (:func:`ivf_centroids`), selected via
+    ``ivf_topk(..., trainer="kmeans")``.
+
+    Fully distributed where it matters, deterministic end-to-end:
+
+    - **init** (k-means||): O(log k) oversampling rounds; each round
+      scores every vector's distance to the current candidate set with
+      one Arrow matmul per batch and samples with probability
+      ``l * d2 / cost`` using a hash-derived uniform
+      (``xxhash64(id, seed, round)``) -- no RNG state, so the draw is
+      identical regardless of partitioning. Only the sampled candidates
+      (expected ~2k per round) ever reach the driver.
+    - **reduce**: candidates are weighted by their distributed
+      nearest-candidate assignment counts, then weighted k-means++ picks
+      the final k on the driver (candidate set is tiny).
+    - **refine** (Lloyd): assign cells via the broadcast-matmul UDF,
+      partial-aggregate per-(cell, component) sums map-side
+      (posexplode -> groupBy: shuffle is n_partitions x k x dim, NOT
+      N x dim), rebuild the (k, dim) matrix on the driver. The only
+      collects are codebook-sized -- same shape as any ANN model train.
+
+    Returns an L2-normalized (n_cells, dim) matrix (cosine geometry, like
+    ivf_centroids). Not bit-deterministic across partitionings (float
+    sum order), which is why the hash-checked ``ann_ivf_topk`` query
+    keeps the first-N path; recall properties are pytest-gated instead.
+    """
+    v = _prep(emb, id_col, vec_col)
+    norm = F.sqrt(F.aggregate("_v", F.lit(0.0), lambda a, x: a + x * x))
+    vn = v.select(
+        "_id",
+        F.transform("_v", lambda x: x / F.greatest(norm, F.lit(1e-12))).alias("_v"),
+    ).cache()
+
+    def d2_udf(cand: np.ndarray):
+        C = cand  # (m, dim) unit rows; d2 = 2 - 2*max_cos on the sphere
+
+        @F.pandas_udf("double")
+        def compute(col: pd.Series) -> pd.Series:
+            if len(col) == 0:
+                return pd.Series([], dtype="float64")
+            V = np.vstack([np.asarray(x, dtype=np.float64) for x in col])
+            return pd.Series(np.maximum(2.0 - 2.0 * (V @ C.T).max(axis=1), 0.0))
+
+        return compute
+
+    # -- seed: the min-id vector (deterministic anchor) -------------------
+    first = vn.orderBy("_id").limit(1).collect()
+    if not first:
+        raise ValueError("kmeans_centroids: empty input")
+    cand = np.array([first[0]["_v"]], dtype=np.float64)
+
+    ell = 2 * n_cells  # oversampling factor per round
+    rounds = max(2, int(np.ceil(np.log2(max(n_cells, 2)))))
+    for r in range(rounds):
+        scored = vn.withColumn("_d2", d2_udf(cand)(F.col("_v")))
+        cost = scored.agg(F.sum("_d2")).collect()[0][0] or 0.0
+        if cost <= 0.0:
+            break  # every vector coincides with a candidate
+        u = (
+            F.abs(F.xxhash64("_id", F.lit(seed), F.lit(r)))
+            / F.lit(float(1 << 63))
+        )
+        picked = (
+            scored.where(u < F.lit(float(ell)) * F.col("_d2") / F.lit(cost))
+            .orderBy("_id").select("_v").collect()
+        )
+        if picked:
+            cand = np.vstack([cand, np.array([p["_v"] for p in picked])])
+
+    # -- weight candidates by nearest-candidate population, k-means++ -----
+    assign = ivf_cells_udf(cand, 1)
+    counts = (
+        vn.select(F.explode(assign(F.col("_v"))).alias("c"))
+        .groupBy("c").count().collect()
+    )
+    w = np.zeros(len(cand))
+    for row in counts:
+        w[row["c"]] = row["count"]
+    rng = np.random.default_rng(seed)
+    centers = [int(np.argmax(w))]
+    d2c = 2.0 - 2.0 * (cand @ cand[centers[-1]])
+    for _ in range(min(n_cells, len(cand)) - 1):
+        p = np.maximum(d2c, 0.0) * w
+        tot = p.sum()
+        if tot <= 0:
+            break
+        centers.append(int(rng.choice(len(cand), p=p / tot)))
+        d2c = np.minimum(d2c, 2.0 - 2.0 * (cand @ cand[centers[-1]]))
+    C = cand[centers]
+
+    # -- Lloyd refinement: map-side-combined component sums ---------------
+    for _ in range(n_iters):
+        cells = vn.select(
+            F.explode(ivf_cells_udf(C, 1)(F.col("_v"))).alias("cell"), "_v"
+        )
+        sums = (
+            cells.select("cell", F.posexplode("_v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
+            .collect()
+        )
+        newC = C.copy()  # empty cells keep their previous centroid
+        acc = np.zeros_like(C)
+        cnt = np.zeros(len(C))
+        for row in sums:
+            acc[row["cell"], row["pos"]] = row["s"]
+            cnt[row["cell"]] = row["n"]
+        nz = cnt > 0
+        newC[nz] = acc[nz] / cnt[nz, None]
+        nrm = np.linalg.norm(newC, axis=1, keepdims=True)
+        C = newC / np.maximum(nrm, 1e-12)
+    vn.unpersist()
+    return C
+
+
 def ivf_cells_udf(centroids: np.ndarray, nprobe: int):
     """pandas UDF: vector -> array<int> of its nprobe nearest cells
     (cosine against the broadcast centroid matrix, one matmul/batch)."""
@@ -256,15 +381,28 @@ def ivf_topk(
     vec_col: str = "embedding",
     index_cells: DataFrame | None = None,
     probe_cells: DataFrame | None = None,
+    trainer: str = "first_n",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF-flat approximate top-k: coarse-quantize vectors into cells
     (nearest centroid), probe each query's nprobe nearest cells, exact
     cosine only within probed cells. The second ANN scale path next to
     hyperplane LSH: candidate count ~ N * nprobe / n_cells per query
     instead of N, and the per-cell lists shard naturally across executors.
+
+    ``trainer``: ``"first_n"`` (deterministic codebook, used by the
+    hash-checked fixture query) or ``"kmeans"`` (distributed k-means||,
+    :func:`kmeans_centroids` -- better-spread cells, higher recall at
+    equal nprobe when low ids are not representative of the manifold).
     """
     if index_cells is None or probe_cells is None:
-        C = ivf_centroids(emb, n_cells, id_col, vec_col)
+        if trainer == "kmeans":
+            C = kmeans_centroids(emb, n_cells, seed=seed,
+                                 id_col=id_col, vec_col=vec_col)
+        elif trainer == "first_n":
+            C = ivf_centroids(emb, n_cells, id_col, vec_col)
+        else:
+            raise ValueError(f"unknown IVF trainer {trainer!r}")
         if index_cells is None:
             index_cells = with_ivf_cells(emb, C, 1, id_col, vec_col)
         if probe_cells is None:
