@@ -10,7 +10,9 @@ clusters) and prints ONE JSON line:
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_REPLICATE (default 20),
-BENCH_RUNS (default 1 timed run; protocol runs in BENCH/BASELINE.md use 3).
+BENCH_RUNS (default 1 timed run; protocol runs in BENCH/BASELINE.md use 3),
+BENCH_WARMUP (default 0; scaling epochs set 1 to discard one in-JVM
+warm-up run per level -- the first execution pays JIT/codegen).
 The scaling-efficiency protocol (N vs 4N cores) is bench_scaling.py.
 """
 
@@ -29,6 +31,11 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("BENCH_REPLICATE", "20"))
     runs = int(os.environ.get("BENCH_RUNS", "1"))
+    # BENCH_WARMUP=1: one discarded in-JVM run before the timed ones --
+    # the first pipeline execution in a fresh JVM pays JIT/codegen warm-up
+    # (observed +30% on run 1 at local[32]); scaling epochs must not
+    # charge that to one parallelism level
+    warmup = int(os.environ.get("BENCH_WARMUP", "0"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
@@ -63,16 +70,19 @@ def main() -> None:
     # otherwise-parallel workload (a cluster writes stages to distributed
     # storage); mirrors the spark.local.dir choice in session.py
     work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    for _ in range(runs):
+    for i in range(-warmup, runs):
         workdir = tempfile.mkdtemp(prefix="lsh_bench_run_", dir=work_root)
         io = TableIO(spark, workdir)
         t0 = time.time()
         pipe = DedupPipeline(spark, CFG, io, run_id="bench")
         clusters = pipe.run(clips)
         n_clusters = clusters.select("cluster_id").distinct().count()
-        walls.append(time.time() - t0)
-        m = io.read("metrics").where("partition_id = -1").toPandas()
-        stage_walls = {r.stage: round(float(r.wall_sec), 2) for r in m.itertuples()}
+        if i >= 0:  # warm-up iterations are discarded
+            walls.append(time.time() - t0)
+            m = io.read("metrics").where("partition_id = -1").toPandas()
+            stage_walls = {
+                r.stage: round(float(r.wall_sec), 2) for r in m.itertuples()
+            }
         shutil.rmtree(workdir, ignore_errors=True)
 
     walls.sort()
@@ -90,6 +100,7 @@ def main() -> None:
         "clips_per_sec": round(n_clips / wall, 1),
         "cpus": cpus,
         "runs": runs,
+        "all_walls": [round(w, 2) for w in walls],
         "config_id": CFG.config_id,
         # noisy-VM honesty: 1-min system load sampled around the timed
         # runs (neighbor tenants routinely push this box to load 10-25,

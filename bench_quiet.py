@@ -1,0 +1,243 @@
+#!/usr/bin/env python
+"""Clean-window scaling epoch: loadavg-gated launch + measured neighbor
+CPU + abort-on-burst retry (VERDICT r2 item 3).
+
+The box is multi-tenant: neighbor tenants burst to load 10-30 and
+contaminate high-parallelism runs. Round 2 documented the contamination
+via loadavg snapshots; this protocol goes further and MEASURES the
+neighbors directly, so an epoch is accepted or retried on evidence:
+
+- **gate**: poll /proc/loadavg until the 1-min load < --quiet before
+  each level's timed window (bounded by --gate-timeout);
+- **monitor**: while the bench subprocess runs, sample (a) whole-system
+  busy jiffies from /proc/stat and (b) cumulative utime+stime of OUR
+  process subtree (the bench python + its Spark JVM + Arrow workers)
+  from /proc/<pid>/stat, 1 Hz. neighbor_cores = (system_busy - own) /
+  wall -- the average number of cores OTHER tenants burned during the
+  window, independent of our own (expected, high) self-load;
+- **verdict**: accept the epoch iff neighbor_cores < --neighbor-max at
+  EVERY level; otherwise retry the whole epoch up to --attempts times.
+
+Usage:
+  python bench_quiet.py [--low 8] [--high 32] [--runs 3]
+      [--neighbor-max 1.5] [--quiet 2.0] [--attempts 4]
+      [--out BENCH/SCALING_8_32.md] [--cmd bench.py]
+
+Writes the accepted epoch (all levels + per-run neighbor-core evidence)
+to --out and prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import threading
+import time
+
+_TICKS = os.sysconf("SC_CLK_TCK")
+
+
+def _loadavg1() -> float:
+    with open("/proc/loadavg") as f:
+        return float(f.read().split()[0])
+
+
+def _system_busy_jiffies() -> int:
+    with open("/proc/stat") as f:
+        parts = f.readline().split()
+    vals = [int(x) for x in parts[1:]]
+    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
+    return sum(vals) - idle
+
+
+def _proc_table() -> dict[int, tuple[int, int]]:
+    """pid -> (ppid, utime+stime jiffies) for all live processes."""
+    out = {}
+    for d in os.listdir("/proc"):
+        if not d.isdigit():
+            continue
+        try:
+            with open(f"/proc/{d}/stat") as f:
+                s = f.read()
+        except OSError:
+            continue
+        # comm may contain spaces/parens: fields resume after the LAST ')'
+        rest = s[s.rindex(")") + 2:].split()
+        # rest[1] = ppid (field 4), rest[11]/rest[12] = utime/stime
+        out[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
+    return out
+
+
+def _subtree_jiffies(root_pid: int, table, last_seen: dict[int, int]) -> None:
+    """Update last_seen with the cumulative jiffies of every process in
+    root_pid's subtree (vanished pids keep their last-seen total, so
+    short-lived workers still count toward 'our' CPU)."""
+    kids: dict[int, list[int]] = {}
+    for pid, (ppid, _j) in table.items():
+        kids.setdefault(ppid, []).append(pid)
+    stack = [root_pid]
+    while stack:
+        p = stack.pop()
+        if p in table:
+            j = table[p][1]
+            if j >= last_seen.get(p, 0):
+                last_seen[p] = j
+            stack.extend(kids.get(p, []))
+
+
+def run_monitored(cmd: list[str], env: dict) -> tuple[dict, dict]:
+    """Run cmd; return (parsed last-line JSON, window evidence dict)."""
+    sys_before = _system_busy_jiffies()
+    t0 = time.time()
+    proc = subprocess.Popen(
+        cmd, env=env, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+        text=True,
+    )
+    own: dict[int, int] = {}
+    stop = threading.Event()
+
+    def sampler():
+        while not stop.is_set():
+            try:
+                _subtree_jiffies(proc.pid, _proc_table(), own)
+            except Exception:
+                pass
+            stop.wait(0.5)
+
+    th = threading.Thread(target=sampler, daemon=True)
+    th.start()
+    out, _ = proc.communicate()
+    stop.set()
+    th.join(timeout=5)
+    wall = time.time() - t0
+    _subtree_jiffies(proc.pid, _proc_table(), own)  # final sweep
+    sys_after = _system_busy_jiffies()
+    if proc.returncode != 0:
+        raise RuntimeError(f"{cmd} failed rc={proc.returncode}")
+    busy = (sys_after - sys_before) / _TICKS
+    mine = sum(own.values()) / _TICKS
+    evidence = {
+        "wall_s": round(wall, 1),
+        "own_cores_avg": round(mine / wall, 2),
+        "neighbor_cores_avg": round(max(busy - mine, 0.0) / wall, 2),
+    }
+    return json.loads(out.strip().splitlines()[-1]), evidence
+
+
+def wait_for_quiet(thresh: float, timeout_s: float) -> bool:
+    t0 = time.time()
+    while time.time() - t0 < timeout_s:
+        load = _loadavg1()
+        if load < thresh:
+            return True
+        print(f"  load {load:.1f} >= {thresh}; waiting ...", file=sys.stderr)
+        time.sleep(20)
+    return False
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default=os.environ.get(
+        "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--low", type=int, default=8)
+    ap.add_argument("--high", type=int, default=32)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--quiet", type=float, default=2.0)
+    ap.add_argument("--gate-timeout", type=float, default=1800)
+    ap.add_argument("--neighbor-max", type=float, default=1.5)
+    ap.add_argument("--attempts", type=int, default=4)
+    ap.add_argument("--cmd", default="bench.py")
+    ap.add_argument("--out", default="BENCH/SCALING_8_32.md")
+    args = ap.parse_args()
+    here = os.path.dirname(os.path.abspath(__file__))
+
+    def level_env(cpus: int) -> dict:
+        # BENCH_WARMUP=1: each level discards one in-JVM warm-up run so
+        # JIT/codegen cost is not charged to either parallelism level
+        return dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir,
+                    SPARK_GRAFT_CPUS=str(cpus), BENCH_RUNS=str(args.runs),
+                    BENCH_WARMUP="1")
+
+    accepted = None
+    history = []
+    for attempt in range(1, args.attempts + 1):
+        epoch = {}
+        clean = True
+        for cpus in (args.low, args.high):
+            if not wait_for_quiet(args.quiet, args.gate_timeout):
+                print(f"attempt {attempt}: gate timeout", file=sys.stderr)
+                clean = False
+                break
+            print(f"attempt {attempt}: local[{cpus}] x{args.runs} ...",
+                  file=sys.stderr)
+            res, ev = run_monitored(
+                [sys.executable, os.path.join(here, args.cmd)],
+                level_env(cpus),
+            )
+            epoch[cpus] = {"result": res, "evidence": ev}
+            print(f"  wall {res['value']}s  neighbors "
+                  f"{ev['neighbor_cores_avg']} cores", file=sys.stderr)
+            if ev["neighbor_cores_avg"] >= args.neighbor_max:
+                print("  CONTAMINATED -> retry epoch", file=sys.stderr)
+                clean = False
+                break
+        history.append({
+            "attempt": attempt,
+            "levels": {str(c): e["evidence"] for c, e in epoch.items()},
+            "clean": clean,
+        })
+        if clean and len(epoch) == 2:
+            accepted = epoch
+            break
+
+    summary = {"clean": accepted is not None, "attempts": history}
+    if accepted:
+        lo = accepted[args.low]["result"]
+        hi = accepted[args.high]["result"]
+        ratio = args.high / args.low
+        eff = (hi["clips_per_sec"] / lo["clips_per_sec"]) / ratio
+        summary.update({
+            "low_cpus": args.low, "high_cpus": args.high,
+            "tput_low": lo["clips_per_sec"], "tput_high": hi["clips_per_sec"],
+            "wall_low": lo["value"], "wall_high": hi["value"],
+            "efficiency": round(eff, 3),
+        })
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        lo_ev = accepted[args.low]["evidence"]
+        hi_ev = accepted[args.high]["evidence"]
+        with open(args.out, "w") as f:
+            f.write(f"""# BENCH/SCALING_8_32 — clean-window epoch (measured-neighbor protocol)
+
+Protocol: launch gated on 1-min loadavg < {args.quiet}; during each
+level's {args.runs}-run window the monitor samples whole-system busy
+jiffies (/proc/stat) and our own process subtree's jiffies at 1 Hz;
+`neighbor_cores_avg` = (system - own) / wall is the average core count
+OTHER tenants burned inside the timed window. The epoch is accepted only
+if every level's neighbor_cores_avg < {args.neighbor_max}; contaminated
+epochs are discarded and retried ({len(history)} attempt(s) total, see
+bench_quiet.py).
+
+| parallelism | median wall (s) | clips/sec | own cores avg | neighbor cores avg |
+|---|---|---|---|---|
+| local[{args.low}] (N) | {lo['value']} | {lo['clips_per_sec']} | {lo_ev['own_cores_avg']} | {lo_ev['neighbor_cores_avg']} |
+| local[{args.high}] (4N) | {hi['value']} | {hi['clips_per_sec']} | {hi_ev['own_cores_avg']} | {hi_ev['neighbor_cores_avg']} |
+
+**Scaling efficiency = (tput_4N / tput_N) / {ratio:.0f} = {eff:.3f}**
+
+Per-stage medians (s):
+
+- local[{args.low}]: `{json.dumps(lo['queries'])}`
+- local[{args.high}]: `{json.dumps(hi['queries'])}`
+
+Attempt history: `{json.dumps(history)}`
+
+Command: `python bench_quiet.py --low {args.low} --high {args.high} --runs {args.runs} --neighbor-max {args.neighbor_max}`
+""")
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()
