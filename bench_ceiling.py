@@ -56,10 +56,13 @@ def _run_level(procs: int) -> float:
 def main() -> None:
     with open("/proc/loadavg") as f:
         load = f.read().split()[0]
-    levels = [2, 8, 32]
+    # CEILING_LEVELS="8,32" runs just one pair (the ~12 s in-window probe
+    # bench_quiet --paired runs around every pipeline pair)
+    levels = [int(x) for x in
+              os.environ.get("CEILING_LEVELS", "2,8,32").split(",")]
     walls = {p: _run_level(p) for p in levels}
     pairs = {}
-    for lo, hi in ((2, 8), (8, 32)):
+    for lo, hi in zip(levels, levels[1:]):
         # same work PER PROCESS at each level: ideal = equal walls;
         # efficiency = (tput_hi / tput_lo) / (hi / lo) = wall_lo / wall_hi
         pairs[f"{lo}->{hi}"] = {

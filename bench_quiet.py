@@ -138,6 +138,125 @@ def wait_for_quiet(thresh: float, timeout_s: float) -> bool:
     return False
 
 
+def run_paired(args, here: str) -> None:
+    """Interleaved (N, 4N) pairs, one timed run per level per pair.
+
+    The box's per-core speed drifts by tens of percent across half-hour
+    windows (clean-window local[8] medians of 192.6 -> 160.9 -> 139.3 s
+    were observed within one afternoon, with measured neighbor load
+    ~0). A sequential-level epoch therefore confounds that drift with
+    scaling; pairing the two levels back-to-back (~4 min apart) bounds
+    the drift inside each efficiency sample, and the median over pairs
+    is the defensible number. Each run still discards one in-JVM warm-up
+    and is accepted only if its measured neighbor_cores_avg stays under
+    --neighbor-max."""
+
+    def one(cpus: int) -> tuple[dict, dict] | None:
+        env = dict(os.environ, SPARK_GRAFT_SF_DIR=args.sf_dir,
+                   SPARK_GRAFT_CPUS=str(cpus), BENCH_RUNS="1",
+                   BENCH_WARMUP="1")
+        res, ev = run_monitored(
+            [sys.executable, os.path.join(here, args.cmd)], env)
+        print(f"  local[{cpus}]: wall {res['value']}s  neighbors "
+              f"{ev['neighbor_cores_avg']} cores", file=sys.stderr)
+        if ev["neighbor_cores_avg"] >= args.neighbor_max:
+            print("    CONTAMINATED run -> pair discarded", file=sys.stderr)
+            return None
+        return res, ev
+
+    ratio = args.high / args.low
+    pairs = []
+    attempts = 0
+    while len(pairs) < args.paired and attempts < args.paired + args.attempts:
+        attempts += 1
+        if not wait_for_quiet(args.quiet, args.gate_timeout):
+            print(f"pair {attempts}: gate timeout", file=sys.stderr)
+            continue
+        print(f"pair {attempts}:", file=sys.stderr)
+        lo = one(args.low)
+        if lo is None:
+            continue
+        hi = one(args.high)
+        if hi is None:
+            continue
+        eff = (hi[0]["clips_per_sec"] / lo[0]["clips_per_sec"]) / ratio
+        # in-window hardware ceiling probe (~12 s): what perfectly
+        # parallel zero-coordination numpy achieves for the SAME core
+        # pair right now -- the host's all-core speed swings between
+        # windows (observed ceiling 1.01 <-> 0.55), and 32-thread runs
+        # track it while 8-thread runs barely move, so each pair's
+        # efficiency is only interpretable against ITS OWN ceiling
+        cres, cev = run_monitored(
+            [sys.executable, os.path.join(here, "bench_ceiling.py")],
+            dict(os.environ, CEILING_LEVELS=f"{args.low},{args.high}"))
+        ceil = cres["pairs"][f"{args.low}->{args.high}"]["ceiling"]
+        pairs.append({
+            "wall_low": lo[0]["value"], "wall_high": hi[0]["value"],
+            "tput_low": lo[0]["clips_per_sec"],
+            "tput_high": hi[0]["clips_per_sec"],
+            "efficiency": round(eff, 3),
+            "ceiling": ceil,
+            "of_ceiling": round(eff / ceil, 3) if ceil else None,
+            "neighbors": [lo[1]["neighbor_cores_avg"],
+                          hi[1]["neighbor_cores_avg"],
+                          cev["neighbor_cores_avg"]],
+            "queries_low": lo[0]["queries"], "queries_high": hi[0]["queries"],
+        })
+        print(f"  pair efficiency {eff:.3f}  in-window ceiling {ceil} "
+              f"-> {eff / ceil:.3f} of ceiling", file=sys.stderr)
+
+    summary = {"mode": "paired", "pairs": pairs, "attempts": attempts}
+    if pairs:
+        effs = sorted(p["efficiency"] for p in pairs)
+        med = effs[len(effs) // 2]
+        ofc = sorted(p["of_ceiling"] for p in pairs if p["of_ceiling"])
+        med_ofc = ofc[len(ofc) // 2] if ofc else None
+        summary["efficiency_median"] = med
+        summary["efficiency_all"] = effs
+        summary["of_ceiling_median"] = med_ofc
+        os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+        rows = "\n".join(
+            f"| {i + 1} | {p['wall_low']} | {p['wall_high']} | "
+            f"{p['tput_low']} | {p['tput_high']} | {p['efficiency']} | "
+            f"{p['ceiling']} | {p['of_ceiling']} | {p['neighbors']} |"
+            for i, p in enumerate(pairs)
+        )
+        best = max(pairs, key=lambda p: p["efficiency"])
+        with open(args.out, "w") as f:
+            f.write(f"""# BENCH/SCALING_8_32 — interleaved-pair clean-window protocol
+
+The box's per-core speed drifts by tens of percent across half-hour
+windows even with ~zero measured neighbor CPU (clean-window
+local[{args.low}] walls spanning 139-193 s in one afternoon; the
+zero-coordination numpy ceiling for 8->32 swings 0.55 <-> 1.01 between
+windows), so a sequential-level epoch confounds host drift with scaling.
+This protocol interleaves the two levels back-to-back ({args.paired}
+pairs, one discarded in-JVM warm-up + 1 timed run per level per pair,
+launch gated on loadavg < {args.quiet}); each run's neighbor CPU is
+MEASURED (system busy jiffies minus our own process subtree, 1 Hz) and
+any run with >= {args.neighbor_max} neighbor cores discards its pair;
+each pair closes with a ~12 s in-window numpy ceiling probe
+(bench_ceiling.py, same core pair) so its efficiency is read against
+what perfectly-parallel work achieved in the SAME window.
+
+| pair | wall N (s) | wall 4N (s) | clips/s N | clips/s 4N | efficiency | in-window ceiling | eff/ceiling | neighbor cores [N, 4N, probe] |
+|---|---|---|---|---|---|---|---|---|
+{rows}
+
+**Median pair efficiency (local[{args.low}] -> local[{args.high}]) =
+{med:.3f}** over {len(pairs)} clean pairs ({effs});
+**median fraction of in-window hardware ceiling = {med_ofc}**.
+
+Per-stage walls of the best pair (efficiency {best['efficiency']}):
+
+- local[{args.low}]: `{json.dumps(best['queries_low'])}`
+- local[{args.high}]: `{json.dumps(best['queries_high'])}`
+
+Command: `python bench_quiet.py --paired {args.paired} --low {args.low} --high {args.high} --neighbor-max {args.neighbor_max}`
+""")
+    print(json.dumps(summary))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -151,8 +270,16 @@ def main() -> None:
     ap.add_argument("--attempts", type=int, default=4)
     ap.add_argument("--cmd", default="bench.py")
     ap.add_argument("--out", default="BENCH/SCALING_8_32.md")
+    ap.add_argument("--paired", type=int, default=0, metavar="P",
+                    help="interleaved mode: P back-to-back (N, 4N) pairs; "
+                    "per-pair efficiency, median reported. Defeats the "
+                    "box's slow per-core speed drift, which confounds "
+                    "sequential-level epochs.")
     args = ap.parse_args()
     here = os.path.dirname(os.path.abspath(__file__))
+
+    if args.paired:
+        return run_paired(args, here)
 
     def level_env(cpus: int) -> dict:
         # BENCH_WARMUP=1: each level discards one in-JVM warm-up run so
