@@ -83,6 +83,10 @@ def main() -> None:
             stage_walls = {
                 r.stage: round(float(r.wall_sec), 2) for r in m.itertuples()
             }
+            # driver-side walls outside stage commits (cache
+            # materialization, metrics drain): report them so no
+            # wall-clock is unattributed
+            stage_walls.update(pipe.aux_walls)
         shutil.rmtree(workdir, ignore_errors=True)
 
     walls.sort()

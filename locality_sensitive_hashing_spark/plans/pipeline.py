@@ -144,6 +144,10 @@ class DedupPipeline:
         self.executed_stages: list[str] = []
         self.skipped_stages: list[str] = []
         self.passthrough_stages: list[str] = []
+        # driver-side walls that run OUTSIDE stage commits (cache
+        # materialization, async-metrics drain): bench.py merges these
+        # into its per-stage report so no wall-clock is unattributed
+        self.aux_walls: dict[str, float] = {}
         self._metrics_futures: list = []
         self._metrics_pool = None
 
@@ -328,7 +332,9 @@ class DedupPipeline:
             # materialize the cache BEFORE the dual-consumer job: its two
             # branches (lazy-LCS subset + main) are independent stages that
             # would otherwise race and each compute the full metrics plan
+            t0 = time.time()
             text_metrics.count()
+            self.aux_walls["text_metrics_cache"] = round(time.time() - t0, 2)
         text_verified = self._stage(
             "text_verified",
             lambda: verify_text_pairs(text_metrics, signatures, cfg),
@@ -349,6 +355,8 @@ class DedupPipeline:
         )
         # drain async metrics before declaring the run complete (a metrics
         # failure must surface, and callers may read the metrics table)
+        t0 = time.time()
         for f in self._metrics_futures:
             f.result()
+        self.aux_walls["metrics_drain"] = round(time.time() - t0, 2)
         return clusters
