@@ -89,15 +89,12 @@ def _check_aux_snapshot_fresh(name: str) -> None:
         )
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY)
-def test_rows_only_query_runs(spark, name):
-    df = E.queries()[name](spark, SF_DIR)
-    pdf = df.limit(50).toPandas()
-    assert df.count() > 0, f"{name}: degenerate empty result proves nothing"
-    assert len(df.schema.fields) >= 2
-    # same contract as the SQL-checked set: scalar cells only (the driver
-    # canonicalizer dies on arrays) -- _canon raises if violated
-    _canon(pdf)
+def test_no_rows_only_queries_remain():
+    """Since round 3 every queries() entry has an oracle_sql() replica
+    (audio_features gained a full-decode DuckDB oracle) -- a regression
+    that drops a query to rows-only shows up here, not as a silent
+    weaker driver check."""
+    assert ROWS_ONLY == []
 
 
 def test_entry_smoke(spark):
