@@ -11,8 +11,9 @@ clusters) and prints ONE JSON line:
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_REPLICATE (default 20),
 BENCH_RUNS (default 1 timed run; protocol runs in BENCH/BASELINE.md use 3),
-BENCH_WARMUP (default 0; scaling epochs set 1 to discard one in-JVM
-warm-up run per level -- the first execution pays JIT/codegen).
+BENCH_WARMUP ("sample" default = one discarded small-sample run to warm
+JIT/codegen/Python workers; "1" = one discarded full-size run, used by
+scaling epochs; "0" = none), BENCH_WARMUP_ROWS (default 5000).
 The scaling-efficiency protocol (N vs 4N cores) is bench_scaling.py.
 """
 
@@ -31,11 +32,14 @@ def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("BENCH_REPLICATE", "20"))
     runs = int(os.environ.get("BENCH_RUNS", "1"))
-    # BENCH_WARMUP=1: one discarded in-JVM run before the timed ones --
-    # the first pipeline execution in a fresh JVM pays JIT/codegen warm-up
-    # (observed +30% on run 1 at local[32]); scaling epochs must not
-    # charge that to one parallelism level
-    warmup = int(os.environ.get("BENCH_WARMUP", "0"))
+    # The first pipeline execution in a fresh JVM pays JIT/codegen +
+    # Python-worker warm-up (observed +30% on run 1 at local[32]).
+    # BENCH_WARMUP: "sample" (default) = one discarded run over a small
+    # sample corpus (~8 s, warms the code paths without a full-size run);
+    # "1" = one discarded FULL run (scaling epochs use this so neither
+    # parallelism level is charged the warm-up); "0" = none.
+    warmup_mode = os.environ.get("BENCH_WARMUP", "sample")
+    warmup_rows = int(os.environ.get("BENCH_WARMUP_ROWS", "5000"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
 
     from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
@@ -70,14 +74,20 @@ def main() -> None:
     # otherwise-parallel workload (a cluster writes stages to distributed
     # storage); mirrors the spark.local.dir choice in session.py
     work_root = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    for i in range(-warmup, runs):
+    n_warm = 1 if warmup_mode in ("1", "sample") else 0
+    for i in range(-n_warm, runs):
+        warm = i < 0
         workdir = tempfile.mkdtemp(prefix="lsh_bench_run_", dir=work_root)
         io = TableIO(spark, workdir)
         t0 = time.time()
         pipe = DedupPipeline(spark, CFG, io, run_id="bench")
-        clusters = pipe.run(clips)
+        src = (
+            clips.limit(warmup_rows) if warm and warmup_mode == "sample"
+            else clips
+        )
+        clusters = pipe.run(src)
         n_clusters = clusters.select("cluster_id").distinct().count()
-        if i >= 0:  # warm-up iterations are discarded
+        if not warm:
             walls.append(time.time() - t0)
             m = io.read("metrics").where("partition_id = -1").toPandas()
             stage_walls = {
