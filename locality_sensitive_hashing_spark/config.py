@@ -67,12 +67,15 @@ class Config:
     # partitioning knobs (sized for local[32] tests; scale-up notes in
     # plans/pipeline.py docstrings)
     shuffle_partitions: int = 32
+    # intake store: fold per-batch commit markers into _batches/MANIFEST
+    # once this many markers accumulate (streaming/incremental.py)
+    compact_every: int = 64
 
     # knobs that tune EXECUTION but cannot change any result row; excluded
     # from config_id so flipping them never invalidates committed stages,
     # golden fixtures, or resume manifests
     _EXECUTION_ONLY = ("shuffle_partitions", "cc_max_iters",
-                       "cc_reliable_checkpoint")
+                       "cc_reliable_checkpoint", "compact_every")
 
     def __post_init__(self) -> None:
         if self.num_hashes != self.bands * self.rows_per_band:

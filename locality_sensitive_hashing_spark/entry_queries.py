@@ -46,6 +46,7 @@ from __future__ import annotations
 
 import functools
 import os
+import shutil
 import tempfile
 import threading
 
@@ -895,6 +896,13 @@ SELECT cluster_size, count(*) AS n_clusters FROM s GROUP BY cluster_size
 
 # audio_features oracle: a FULL RIFF/WAV s16le decode in DuckDB SQL over
 # the committed clip blobs (aux table audio_clips) -- hex() the blob once,
+# FIXTURE CONTRACT (ADVICE r3): this oracle accepts ONLY canonical
+# pcm_s16le WAV (format tag 1, 16-bit) and treats anything else as
+# canon=false, while operators/multimodal.decode_wav also decodes
+# pcm_f32le (tag 3).  The aux blobs come from fixtures.
+# clips_from_documents_df, which pins codec='pcm_s16le' by construction
+# (a tag-3 clip here would be a fixture bug, surfacing as a hash
+# mismatch: operator decode_ok=true vs oracle canon=false).
 # then pure byte arithmetic: canonical-header checks, LE field extraction,
 # per-sample u16 -> i16 -> float in [-1,1], and the same feature math as
 # operators/multimodal.audio_features (rms is the one summation-ordering-
@@ -915,8 +923,14 @@ WITH raw AS (
      AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
      AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
      AND substr(hx,73,8)='64617461') AS canon,
-    ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::bigint AS sr_hz,
-    ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint AS data_len
+    -- guarded (ADVICE r3): a blob under 44 bytes must yield canon=false,
+    -- NOT error the whole oracle on a ''::bigint cast
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::bigint
+    END AS sr_hz,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
   FROM raw
 ), idx AS (
   SELECT clip_id, hx,
@@ -1407,8 +1421,13 @@ def _cache_base() -> str:
             f"(expected {os.getuid()}); refusing to trust it"
         )
     if st.st_mode & 0o077:
-        # pre-existing dir with loose perms: tighten before trusting
-        os.chmod(base, 0o700)
+        # pre-existing dir with loose perms (ADVICE r3): anything already
+        # inside could have been planted while the dir was group/world-
+        # writable, so its contents are as untrusted as a foreign-uid dir.
+        # Clear and recreate rather than chmod-and-trust; cost is one
+        # cold pipeline re-run.
+        shutil.rmtree(base)
+        os.makedirs(base, mode=0o700)
     return base
 
 

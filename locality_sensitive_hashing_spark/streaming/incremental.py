@@ -71,19 +71,28 @@ def compact_batches(output_dir: str) -> int:
     Crash-safe ordering: the new manifest (old manifest ids + current
     marker files) is renamed into place FIRST, then the folded marker
     files are unlinked -- a crash between the two steps leaves ids
-    present in both, which the set-union read tolerates.  Returns the
-    number of committed batches in the compacted manifest.
+    present in both, which the set-union read tolerates.  Only the
+    markers captured in the pre-write SNAPSHOT are unlinked: a batch
+    committed concurrently between the snapshot and the unlink loop
+    keeps its marker (it is not in the new manifest, so removing it
+    would silently drop a committed batch from reads -- ADVICE r3).
+    With no batches yet (marker dir absent) this is a no-op returning 0.
+    Returns the number of committed batches in the compacted manifest.
     """
     markers = os.path.join(output_dir, "_batches")
-    ids = committed_batch_ids(output_dir)
+    if not os.path.isdir(markers):
+        return 0
+    marker_ids = {int(d) for d in os.listdir(markers) if d.isdigit()}
+    ids = committed_batch_ids(output_dir)  # manifest union markers
     mf = os.path.join(markers, _BATCH_MANIFEST)
     tmp = mf + ".tmp"
     with open(tmp, "w") as f:
         f.write("".join(f"{i}\n" for i in sorted(ids)))
     os.rename(tmp, mf)
-    for d in os.listdir(markers):
-        if d.isdigit():
-            os.unlink(os.path.join(markers, d))
+    for i in marker_ids:  # snapshot only -- later commits keep theirs
+        p = os.path.join(markers, str(i))
+        if os.path.exists(p):
+            os.unlink(p)
     return len(ids)
 
 
@@ -142,6 +151,12 @@ class BatchIngestor:
     signatures only for text_keys absent from OTHER batches' subdirs (its
     own possibly-partial subdir is excluded from the anti-join input, else
     a crash-replay would see its own half-written keys and emit nothing).
+
+    Auto-compaction (VERDICT r3 item 3): after every commit, if the
+    marker dir holds >= ``cfg.compact_every`` per-batch markers they are
+    folded into MANIFEST, so the dir stays O(compact_every) regardless of
+    batch count -- at 10^5+ batches readers do one sequential manifest
+    read plus a tiny listing, with no operator intervention.
     """
 
     def __init__(self, spark: SparkSession, output_dir: str, cfg: Config):
@@ -199,6 +214,11 @@ class BatchIngestor:
         ).write.mode("overwrite").parquet(out("fingerprints"))
         keyed.unpersist()
         open(self._marker(batch_id), "w").close()  # commit point
+        n_markers = sum(
+            1 for d in os.listdir(self._markers) if d.isdigit()
+        )
+        if n_markers >= self.cfg.compact_every:
+            compact_batches(self.output_dir)
 
 
 def incremental_signatures(

@@ -162,6 +162,71 @@ def test_manifest_compaction_preserves_commit_protocol(spark, cfg):
     shutil.rmtree(out_dir, ignore_errors=True)
 
 
+def test_auto_compaction_bounds_marker_dir(spark, cfg):
+    """The ingest commit path auto-folds markers every cfg.compact_every
+    commits (VERDICT r3 item 3): after ingesting > K batches the marker
+    dir holds < K per-batch files, every batch stays committed, reads see
+    every row, and replays of folded batches still no-op."""
+    import dataclasses
+
+    out_dir = tempfile.mkdtemp(prefix="lsh_autocompact_")
+    small = dataclasses.replace(cfg, compact_every=3)
+    ing = BatchIngestor(spark, out_dir, small)
+    n_rows = 0
+    for b in range(7):
+        clips, _ = make_clips(6, seed=100 + b)
+        # distinct ids per batch so keyed rows are disjoint
+        clips["clip_id"] = [f"b{b}_{c}" for c in clips["clip_id"]]
+        ing.process(spark.createDataFrame(clips), b)
+        markers = os.path.join(out_dir, "_batches")
+        n_markers = sum(1 for d in os.listdir(markers) if d.isdigit())
+        assert n_markers < small.compact_every  # never grows past K
+        n_rows += len(clips)
+    assert committed_batch_ids(out_dir) == set(range(7))
+    assert read_store(spark, out_dir, "keyed").count() == n_rows
+    # replay of a folded batch must no-op via the manifest
+    clips, _ = make_clips(6, seed=100)
+    clips["clip_id"] = [f"b0_{c}" for c in clips["clip_id"]]
+    ing.process(spark.createDataFrame(clips), 0)
+    assert read_store(spark, out_dir, "keyed").count() == n_rows
+    shutil.rmtree(out_dir, ignore_errors=True)
+
+
+def test_compaction_concurrent_commit_survives(spark, cfg, monkeypatch):
+    """ADVICE r3 (medium): a batch committed between compact_batches'
+    marker snapshot and its unlink loop must KEEP its marker -- unlinking
+    it would permanently drop a committed batch from reads, because the
+    new manifest was written before the late commit existed."""
+    from locality_sensitive_hashing_spark.streaming import incremental as inc
+
+    out_dir = tempfile.mkdtemp(prefix="lsh_concurrent_")
+    ing = BatchIngestor(spark, out_dir, cfg)
+    clips, _ = make_clips(5, seed=9)
+    ing.process(spark.createDataFrame(clips), 0)
+    markers = os.path.join(out_dir, "_batches")
+
+    real = inc.committed_batch_ids
+
+    def racy(path):
+        ids = real(path)  # runs AFTER the marker snapshot in compact_batches
+        open(os.path.join(markers, "99"), "w").close()  # concurrent commit
+        return ids
+
+    monkeypatch.setattr(inc, "committed_batch_ids", racy)
+    inc.compact_batches(out_dir)
+    monkeypatch.undo()
+
+    # the late marker survived the unlink loop and the batch stays visible
+    assert os.path.exists(os.path.join(markers, "99"))
+    assert committed_batch_ids(out_dir) == {0, 99}
+
+
+def test_compact_batches_empty_store_noop(tmp_path):
+    """ADVICE r3 (low): compacting a store with no batches yet must be a
+    0-returning no-op, not a FileNotFoundError."""
+    assert compact_batches(str(tmp_path)) == 0
+
+
 def test_streaming_dup_counts_stateful(spark, cfg):
     """applyInPandasWithState keeps per-text_key counts ACROSS
     micro-batches: a transcript seen in batch 0 and again in batch 1 must
