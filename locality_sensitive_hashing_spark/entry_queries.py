@@ -512,6 +512,90 @@ def q_incremental_dedup_clusters(spark, sf_dir):
     )
 
 
+INCR_SPLIT2 = 375  # second intake batch boundary for the merge-on-read query
+
+
+def q_incremental_relabel_view(spark, sf_dir):
+    """Merge-on-read cluster relabel (VERDICT r3 item 1), hash-checked in
+    the driver channel: the corpus splits into a committed base plus TWO
+    intake batches; each batch folds in via ClusterStore.apply_batch
+    (contracted-graph CC -> composed label mapping + kept-current delta,
+    base untouched), and the RESULT IS THE LAZY VIEW ClusterStore.current
+    -- one broadcast relabel join over the base, no corpus rewrite.  The
+    ORACLE is the from-scratch full-corpus transitive closure, so a hash
+    match proves the deferred-relabel read path reproduces the batch
+    pipeline's clustering exactly across >=2 composed mappings.
+
+    Blocking is uncapped for the same reason as
+    incremental_dedup_clusters (cap semantics legitimately diverge under
+    append-only emission); cap behavior is pinned in
+    tests/test_incremental.py."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+        pairs_from_blocks,
+    )
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        ClusterStore,
+        connected_components,
+    )
+
+    docs = _docs_norm(spark, sf_dir).select(
+        "doc_id",
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("key"),
+        "norm",
+    )
+    toks = docs.select("key", F.explode(F.split("norm", " ")).alias("tok")).distinct()
+    cnt = toks.groupBy("key").agg(F.count("*").alias("n_tok"))
+    blocks = docs.select(
+        "doc_id", "key", F.explode(TX.word_shingles("norm", WORD_N)).alias("wshingle")
+    ).distinct()
+
+    def part_blocks(lo, hi):
+        return blocks.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select("key", "wshingle")
+
+    def part_nodes(lo, hi):
+        return docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(F.col("key").alias("clip_id"))
+
+    b0 = part_blocks(0, INCR_SPLIT)
+    b1 = part_blocks(INCR_SPLIT, INCR_SPLIT2)
+    b2 = part_blocks(INCR_SPLIT2, 1 << 30)
+    store = ClusterStore(
+        connected_components(
+            _jaccard_edges(
+                pairs_from_blocks(b0, ["wshingle"], _NOCAP, "word", id_col="key"),
+                toks, cnt, "key",
+            ),
+            part_nodes(0, INCR_SPLIT), CFG,
+        )
+    )
+    store.apply_batch(
+        _jaccard_edges(
+            incremental_pairs_from_blocks(
+                b1, b0, ["wshingle"], _NOCAP, "word", id_col="key"
+            ),
+            toks, cnt, "key",
+        ),
+        part_nodes(INCR_SPLIT, INCR_SPLIT2), CFG,
+    )
+    store.apply_batch(
+        _jaccard_edges(
+            incremental_pairs_from_blocks(
+                b2, b0.unionByName(b1), ["wshingle"], _NOCAP, "word",
+                id_col="key",
+            ),
+            toks, cnt, "key",
+        ),
+        part_nodes(INCR_SPLIT2, 1 << 30), CFG,
+    )
+    return store.current().select(
+        F.col("clip_id").alias("doc_key"), F.col("cluster_id").alias("cluster_key")
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -655,6 +739,23 @@ FROM ranked WHERE rank <= 3
     # from-scratch full-corpus closure with UNCAPPED blocking: the target
     # the incremental (split-batch) Spark path must reproduce exactly
     "incremental_dedup_clusters": f"""
+WITH RECURSIVE {_sql_edges_subquery(cap=_NOCAP).lstrip()},
+keyed AS (SELECT lpad(CAST(id1 AS VARCHAR), 8, '0') AS id1,
+                 lpad(CAST(id2 AS VARCHAR), 8, '0') AS id2 FROM edges),
+sym AS (SELECT id1 AS src, id2 AS dst FROM keyed
+        UNION SELECT id2, id1 FROM keyed),
+nodes AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS node FROM documents),
+reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc_key, min(lbl) AS cluster_key FROM reach GROUP BY node
+""",
+    # the merge-on-read view (base relabeled through the composed mapping
+    # + pending delta) must equal the same from-scratch closure -- the
+    # deferred read path changes WHEN relabeling happens, never the rows
+    "incremental_relabel_view": f"""
 WITH RECURSIVE {_sql_edges_subquery(cap=_NOCAP).lstrip()},
 keyed AS (SELECT lpad(CAST(id1 AS VARCHAR), 8, '0') AS id1,
                  lpad(CAST(id2 AS VARCHAR), 8, '0') AS id2 FROM edges),
@@ -1306,6 +1407,7 @@ QUERIES_SQL_CHECKED = {
     "top_docs_per_lang": q_top_docs_per_lang,
     "sql_dedup_clusters": q_sql_dedup_clusters,
     "incremental_dedup_clusters": q_incremental_dedup_clusters,
+    "incremental_relabel_view": q_incremental_relabel_view,
     "ann_topk_per_query": q_ann_topk_per_query,
     "content_keys": q_content_keys,
     "streaming_dedup_state": q_streaming_dedup_state,

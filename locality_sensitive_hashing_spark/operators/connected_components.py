@@ -94,29 +94,39 @@ def connected_components(
     )
 
 
-def merge_clusters(
+def cluster_delta(
     prev: DataFrame, new_edges: DataFrame, new_nodes: DataFrame, cfg: Config
-) -> DataFrame:
-    """Incremental CC: fold NEW verified edges + NEW nodes into an existing
-    (clip_id, cluster_id) assignment WITHOUT re-clustering the corpus.
+) -> tuple[DataFrame, DataFrame]:
+    """The BATCH-SCALE delta of folding new edges + nodes into ``prev``:
+    returns ``(mapping, new_assign)`` where ``mapping`` is the
+    (_from, _to) old-label -> new-label remap of TOUCHED components only
+    (non-identity rows, at most one per merged component) and
+    ``new_assign`` is the (clip_id, cluster_id) assignment for the new
+    nodes.  Nothing corpus-sized is produced: ``prev`` is read only to
+    look up the labels of the batch edges' endpoints (a broadcast
+    semi-restriction + map-side join -- prev is scanned, never shuffled),
+    and :func:`connected_components` runs on the CONTRACTED label graph,
+    whose size scales with the batch.
 
-    Previous components are CONTRACTED to their labels: each new edge's
-    endpoints map to their previous cluster_id (or to themselves when the
-    endpoint is a new node), :func:`connected_components` runs on that
-    contracted graph -- whose size scales with the batch, not the corpus --
-    and old assignments relabel through the resulting old-label -> new-label
-    mapping with one join (broadcast-sized: at most one row per touched
-    component). Because a previous label IS the min clip_id of its
-    component, the min label of a merged contracted component equals the
-    min clip_id of the merged component, so the result is IDENTICAL to
-    full CC over the union of all edges and nodes (pinned by test).
+    Because a previous label IS the min clip_id of its component, the min
+    label of a merged contracted component equals the min clip_id of the
+    merged component, so applying the delta reproduces full CC over the
+    union of all edges and nodes exactly (pinned by test).
 
     Requirements: ``new_nodes`` is disjoint from ``prev`` ids (the intake
     store's per-batch dedup guarantees this), and every ``new_edges``
     endpoint appears in ``prev`` or ``new_nodes``.
     """
-    l1 = prev.select(F.col("clip_id").alias("id1"), F.col("cluster_id").alias("_l1"))
-    l2 = prev.select(F.col("clip_id").alias("id2"), F.col("cluster_id").alias("_l2"))
+    eps = (
+        new_edges.select(F.col("id1").alias("clip_id"))
+        .unionByName(new_edges.select(F.col("id2").alias("clip_id")))
+        .distinct()
+    )
+    # batch-scale label lookup: broadcast the endpoint ids so the corpus
+    # assignment is scanned map-side, not shuffled
+    touched = prev.join(F.broadcast(eps), "clip_id")
+    l1 = touched.select(F.col("clip_id").alias("id1"), F.col("cluster_id").alias("_l1"))
+    l2 = touched.select(F.col("clip_id").alias("id2"), F.col("cluster_id").alias("_l2"))
     contracted = (
         new_edges.join(l1, "id1", "left")
         .join(l2, "id2", "left")
@@ -132,19 +142,139 @@ def merge_clusters(
         .unionByName(new_nodes.select("clip_id"))
         .distinct()
     )
-    mapping = connected_components(contracted, cnodes, cfg).select(
+    full_map = connected_components(contracted, cnodes, cfg).select(
         F.col("clip_id").alias("_from"), F.col("cluster_id").alias("_to")
-    )
-    updated_prev = (
-        prev.join(mapping, prev.cluster_id == mapping._from, "left")
-        .select(
-            "clip_id",
-            F.coalesce("_to", F.col("cluster_id")).alias("cluster_id"),
-        )
     )
     new_assign = (
         new_nodes.select("clip_id")
-        .join(mapping, new_nodes.clip_id == mapping._from, "left")
+        .join(full_map, new_nodes.clip_id == full_map._from, "left")
         .select("clip_id", F.coalesce("_to", F.col("clip_id")).alias("cluster_id"))
     )
-    return updated_prev.unionByName(new_assign)
+    # keep the mapping minimal -- it is broadcast on every read of the
+    # merge-on-read view: drop identities and entries keyed by THIS
+    # batch's new ids (no existing row can carry a new id as its label)
+    mapping = (
+        full_map.where(F.col("_from") != F.col("_to"))
+        .join(new_nodes.select(F.col("clip_id").alias("_from")), "_from", "left_anti")
+    )
+    return mapping, new_assign
+
+
+def apply_mapping(assign: DataFrame, mapping: DataFrame) -> DataFrame:
+    """Relabel a (clip_id, cluster_id) assignment through a broadcast
+    (_from, _to) label mapping: ONE map-side broadcast-hash join, no
+    shuffle of ``assign`` -- the merge-on-read read path."""
+    return assign.join(
+        F.broadcast(mapping), assign.cluster_id == mapping._from, "left"
+    ).select(
+        "clip_id", F.coalesce("_to", F.col("cluster_id")).alias("cluster_id")
+    )
+
+
+def compose_mappings(m1: DataFrame | None, m2: DataFrame) -> DataFrame:
+    """Compose label remaps: the returned mapping applies ``m1`` then
+    ``m2`` (both partial functions, identity outside their domain).  Rows:
+    x in dom(m1): x -> m2+(m1(x)); x in dom(m2)\\dom(m1): x -> m2(x).
+    Sizes are bounded by touched components, so this is tiny-DF algebra;
+    the merge-on-read store folds every batch's delta into ONE composed
+    mapping so the read path never chains joins."""
+    if m1 is None:
+        return m2
+    a, b = m1.alias("a"), m2.alias("b")
+    part1 = a.join(b, F.col("a._to") == F.col("b._from"), "left").select(
+        F.col("a._from").alias("_from"),
+        F.coalesce(F.col("b._to"), F.col("a._to")).alias("_to"),
+    )
+    part2 = m2.join(m1.select("_from"), "_from", "left_anti")
+    # min-label relabels only ever decrease, so composition cannot create
+    # identities; the filter is a cheap invariant guard
+    return part1.unionByName(part2).where(F.col("_from") != F.col("_to"))
+
+
+def merge_clusters(
+    prev: DataFrame, new_edges: DataFrame, new_nodes: DataFrame, cfg: Config
+) -> DataFrame:
+    """Incremental CC, EAGER form: fold NEW verified edges + NEW nodes
+    into an existing (clip_id, cluster_id) assignment without
+    re-clustering the corpus, materializing the fully-relabeled
+    assignment (one corpus-linear broadcast relabel).  The merge-on-read
+    form that defers exactly that corpus-linear step is
+    :class:`ClusterStore`; both are built on :func:`cluster_delta`.
+    """
+    mapping, new_assign = cluster_delta(prev, new_edges, new_nodes, cfg)
+    return apply_mapping(prev, mapping).unionByName(new_assign)
+
+
+class ClusterStore:
+    """Merge-on-read incremental cluster state (VERDICT r3 item 1).
+
+    At 10^12 clips the standing (clip_id, cluster_id) assignment is a
+    corpus-sized table; rewriting it per intake batch (as
+    :func:`merge_clusters` does) makes every batch corpus-linear.  This
+    store keeps three pieces instead:
+
+    - ``base``: the corpus-sized assignment, IMMUTABLE between folds;
+    - ``mapping``: ONE composed (_from, _to) label remap covering every
+      batch since the last fold (bounded by touched components --
+      broadcast-sized);
+    - ``delta``: (clip_id, cluster_id) for clips added since the last
+      fold, kept current as later batches merge components (batch-scale;
+      re-materialized per batch via localCheckpoint, which is what a
+      production store does by committing the delta parquet per batch).
+
+    Read path (:meth:`current`): ``base`` relabeled through the broadcast
+    ``mapping`` (map-side hash join -- base is scanned, never shuffled)
+    unioned with ``delta``.  Per-batch write (:meth:`apply_batch`) costs
+    O(batch + touched components).  :meth:`fold` is the ONLY
+    corpus-linear step -- applying the composed mapping and absorbing the
+    delta into a new base -- and is a policy decision (every K batches /
+    when the mapping grows past broadcast size), not a per-batch tax.
+    The view and the folded table are identical by construction (pinned
+    by test and by the SQL-checked ``incremental_relabel_view`` query).
+    """
+
+    def __init__(self, base: DataFrame):
+        self.base = base
+        self.mapping: DataFrame | None = None
+        self.delta: DataFrame | None = None
+
+    def current(self) -> DataFrame:
+        """The up-to-date assignment as a LAZY view: one broadcast join
+        over base + a batch-scale union; no corpus shuffle, no rewrite."""
+        cur = (
+            self.base
+            if self.mapping is None
+            else apply_mapping(self.base, self.mapping)
+        )
+        if self.delta is not None:
+            cur = cur.unionByName(self.delta)
+        return cur
+
+    def apply_batch(
+        self, new_edges: DataFrame, new_nodes: DataFrame, cfg: Config
+    ) -> None:
+        """Fold one intake batch's verified edges + nodes into the store
+        WITHOUT touching ``base``: compute the contracted-graph delta,
+        compose it into the standing mapping, and keep ``delta`` current.
+        localCheckpoint() pins the tiny state tables so the next batch's
+        view does not re-derive this batch's CC."""
+        mapping_k, new_assign = cluster_delta(
+            self.current(), new_edges, new_nodes, cfg
+        )
+        mapping_k = mapping_k.localCheckpoint()
+        self.mapping = compose_mappings(self.mapping, mapping_k).localCheckpoint()
+        upd = (
+            new_assign
+            if self.delta is None
+            else apply_mapping(self.delta, mapping_k).unionByName(new_assign)
+        )
+        self.delta = upd.localCheckpoint()
+
+    def fold(self) -> None:
+        """The periodic corpus-linear compaction: materialize the view as
+        the new base and clear the pending state.  In production this is
+        the rewrite of the assignment table; here the localCheckpoint
+        stands in for that commit."""
+        self.base = self.current().localCheckpoint()
+        self.mapping = None
+        self.delta = None
