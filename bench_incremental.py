@@ -18,7 +18,13 @@ Reported separately (NOT in the core wall): `relabel_wall`, the
 corpus-sized application of the mapping to the full assignment table --
 linear in corpus size by design; a production deployment applies the
 batch-sized mapping as a merge-on-read delta instead of rewriting the
-table per batch.
+table per batch.  That read path now EXISTS
+(connected_components.ClusterStore, VERDICT r3 item 1), so this bench
+also measures its overhead directly: `view_read_wall` (full scan of
+ClusterStore.current() -- base relabeled through the broadcast mapping
++ delta union) vs `base_read_wall` (the same scan of the folded base
+table); `read_overhead` is their ratio and must stay bounded (~1x)
+independent of corpus size.
 
 Prints one JSON line per corpus size plus a summary with the flatness
 ratio. Results recorded in BENCH/INCREMENTAL.md.
@@ -52,7 +58,9 @@ def main() -> None:
         incremental_pairs_from_blocks,
     )
     from locality_sensitive_hashing_spark.operators.connected_components import (
-        connected_components,
+        ClusterStore,
+        apply_mapping,
+        cluster_delta,
     )
     from locality_sensitive_hashing_spark.operators.minhash import (
         estimated_jaccard_udf,
@@ -143,26 +151,11 @@ def main() -> None:
             .select("id1", "id2")
         )
         new_nodes = batch_sigs.select(F.col("text_key").alias("clip_id"))
-        # contracted-graph CC: labels for every touched component + new
-        # nodes -- the batch-sized mapping a production store would commit
-        # as a merge-on-read delta
-        l1 = prev.select(F.col("clip_id").alias("id1"),
-                         F.col("cluster_id").alias("_l1"))
-        l2 = prev.select(F.col("clip_id").alias("id2"),
-                         F.col("cluster_id").alias("_l2"))
-        contracted = (
-            edges.join(l1, "id1", "left").join(l2, "id2", "left")
-            .select(F.coalesce("_l1", F.col("id1")).alias("id1"),
-                    F.coalesce("_l2", F.col("id2")).alias("id2"))
-            .where(F.col("id1") != F.col("id2"))
-        )
-        cnodes = (
-            contracted.select(F.col("id1").alias("clip_id"))
-            .unionByName(contracted.select(F.col("id2").alias("clip_id")))
-            .unionByName(new_nodes)
-            .distinct()
-        )
-        mapping = connected_components(contracted, cnodes, CFG)
+        # the REAL operator: contracted-graph CC -> batch-sized
+        # (mapping, new_assign) delta (connected_components.cluster_delta)
+        mapping, new_assign = cluster_delta(prev, edges, new_nodes, CFG)
+        mapping = mapping.localCheckpoint()
+        new_assign = new_assign.localCheckpoint()
         n_pairs = pairs.count()
         n_mapping = mapping.count()
         core_wall = time.time() - t0
@@ -170,15 +163,33 @@ def main() -> None:
         # ============ corpus-sized relabel (reported separately) ========
         t1 = time.time()
         out_dir = tempfile.mkdtemp(prefix="lsh_incr_out_", dir=work_root)
-        m = mapping.select(F.col("clip_id").alias("_from"),
-                           F.col("cluster_id").alias("_to"))
-        updated = (
-            prev.join(m, prev.cluster_id == m._from, "left")
-            .select("clip_id",
-                    F.coalesce("_to", F.col("cluster_id")).alias("cluster_id"))
-        )
+        updated = apply_mapping(prev, mapping).unionByName(new_assign)
         updated.write.mode("overwrite").parquet(os.path.join(out_dir, "assign"))
         relabel_wall = time.time() - t1
+
+        # ===== merge-on-read read path vs the folded table (r4) =========
+        # same full-scan aggregate over (a) the folded parquet base and
+        # (b) the ClusterStore view on top of it; the delta here is the
+        # batch's new_assign and the mapping is the composed remap
+        folded = spark.read.parquet(os.path.join(out_dir, "assign"))
+        t2 = time.time()
+        ref = folded.agg(
+            F.count("*").alias("n"),
+            F.count_distinct("cluster_id").alias("k"),
+        ).collect()[0]
+        base_read_wall = time.time() - t2
+        store = ClusterStore(folded.where(~F.col("clip_id").startswith("newb")))
+        store.mapping = mapping
+        store.delta = new_assign
+        t3 = time.time()
+        got = store.current().agg(
+            F.count("*").alias("n"),
+            F.count_distinct("cluster_id").alias("k"),
+        ).collect()[0]
+        view_read_wall = time.time() - t3
+        assert (got["n"], got["k"]) == (ref["n"], ref["k"]), (
+            "merge-on-read view diverged from the folded table"
+        )
         shutil.rmtree(out_dir, ignore_errors=True)
         batch_sigs.unpersist()
 
@@ -193,6 +204,9 @@ def main() -> None:
             "n_pairs": n_pairs,
             "n_mapping": n_mapping,
             "relabel_wall": round(relabel_wall, 2),
+            "base_read_wall": round(base_read_wall, 2),
+            "view_read_wall": round(view_read_wall, 2),
+            "read_overhead": round(view_read_wall / max(base_read_wall, 1e-9), 3),
             "cpus": cpus,
             "config_id": CFG.config_id,
             "loadavg": [load_before, load_after],
@@ -207,6 +221,7 @@ def main() -> None:
             "corpus_sizes": [r["n_corpus_texts"] for r in results],
             "core_walls": [r["value"] for r in results],
             "relabel_walls": [r["relabel_wall"] for r in results],
+            "read_overheads": [r["read_overhead"] for r in results],
             "wall_ratio_largest_vs_smallest": round(flat, 3),
         }))
     spark.stop()

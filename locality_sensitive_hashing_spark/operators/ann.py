@@ -318,23 +318,45 @@ def kmeans_centroids(
         d2c = np.minimum(d2c, 2.0 - 2.0 * (cand @ cand[centers[-1]]))
     C = cand[centers]
 
-    # -- Lloyd refinement: map-side-combined component sums ---------------
+    # -- Lloyd refinement: per-partition numpy partial sums ---------------
+    # (VERDICT r3 item 4) Each task assigns its partition's vectors with
+    # one matmul and accumulates (k, dim) component sums + counts in
+    # numpy, emitting at most k tiny (cell, n, sum-vector) rows. The old
+    # posexplode plan materialized N x dim (cell, pos, x) rows into the
+    # partial aggregate; this ships <= n_partitions x k rows straight to
+    # the driver (codebook-sized, like every other collect in this
+    # trainer) with NO shuffle per iteration -- one scan of the cached
+    # normalized vectors.
     for _ in range(n_iters):
-        cells = vn.select(
-            F.explode(ivf_cells_udf(C, 1)(F.col("_v"))).alias("cell"), "_v"
-        )
-        sums = (
-            cells.select("cell", F.posexplode("_v").alias("pos", "x"))
-            .groupBy("cell", "pos")
-            .agg(F.sum("x").alias("s"), F.count("x").alias("n"))
-            .collect()
-        )
+        C_it = C
+
+        def partials(it, C_=C_it):
+            k_, d_ = C_.shape
+            acc_ = np.zeros((k_, d_))
+            cnt_ = np.zeros(k_, dtype=np.int64)
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf["_v"]])
+                cells = (V @ C_.T).argmax(axis=1)  # == ivf_cells_udf(C,1)
+                np.add.at(acc_, cells, V)
+                cnt_ += np.bincount(cells, minlength=k_)
+            nz_ = np.nonzero(cnt_)[0]
+            yield pd.DataFrame({
+                "cell": nz_.astype("int32"),
+                "n": cnt_[nz_],
+                "s": [acc_[i].tolist() for i in nz_],
+            })
+
+        rows = vn.select("_v").mapInPandas(
+            partials, "cell int, n long, s array<double>"
+        ).collect()
         newC = C.copy()  # empty cells keep their previous centroid
         acc = np.zeros_like(C)
         cnt = np.zeros(len(C))
-        for row in sums:
-            acc[row["cell"], row["pos"]] = row["s"]
-            cnt[row["cell"]] = row["n"]
+        for row in rows:
+            acc[row["cell"]] += np.asarray(row["s"])
+            cnt[row["cell"]] += row["n"]
         nz = cnt > 0
         newC[nz] = acc[nz] / cnt[nz, None]
         nrm = np.linalg.norm(newC, axis=1, keepdims=True)

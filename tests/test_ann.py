@@ -129,6 +129,37 @@ def test_embedding_near_dup_pairs(emb_df):
     assert same == 1.0
 
 
+def test_kmeans_lloyd_partial_sums_match_numpy(spark):
+    """The mapInPandas Lloyd refinement (per-partition numpy partial
+    sums, VERDICT r3 item 4) must produce the same centroids as the same
+    Lloyd iterations run in pure numpy from the same k-means|| init --
+    the distributed partial-sum reduction changes the plan, not the
+    math."""
+    from locality_sensitive_hashing_spark.operators.ann import kmeans_centroids
+
+    rng = np.random.default_rng(5)
+    X = rng.standard_normal((80, 8))
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": list(range(80)),
+        "embedding": [[float(v) for v in x] for x in X],
+    }))
+    C = kmeans_centroids(emb, 6, n_iters=4, seed=5)
+    C0 = kmeans_centroids(emb, 6, n_iters=0, seed=5)  # init only
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    Cr = C0.copy()
+    for _ in range(4):
+        cells = (Xn @ Cr.T).argmax(axis=1)
+        newC = Cr.copy()
+        for c in range(6):
+            m = cells == c
+            if m.any():
+                newC[c] = Xn[m].sum(axis=0) / m.sum()
+        Cr = newC / np.maximum(
+            np.linalg.norm(newC, axis=1, keepdims=True), 1e-12
+        )
+    assert np.allclose(C, Cr)
+
+
 def test_kmeans_ivf_beats_first_n_on_skewed_ids(spark):
     """VERDICT r2 item 7: on a corpus whose LOW ids all come from one
     planted cluster, the first-N codebook wastes every centroid on that
