@@ -67,6 +67,11 @@ def main() -> None:
     with open("/proc/loadavg") as f:
         load_before = float(f.read().split()[0])
 
+    from bench_util import NeighborSampler
+
+    sampler = NeighborSampler()  # this process + Spark JVM + py workers
+    sampler.start()
+
     # ---- timed runs (fresh TableIO dir each -> no resume short-circuit) --
     walls: list[float] = []
     stage_walls: dict[str, float] = {}
@@ -101,6 +106,7 @@ def main() -> None:
 
     walls.sort()
     wall = walls[len(walls) // 2]
+    window = sampler.stop()
     with open("/proc/loadavg") as f:
         load_after = float(f.read().split()[0])
     result = {
@@ -120,6 +126,11 @@ def main() -> None:
         # runs (neighbor tenants routinely push this box to load 10-25,
         # which contaminates high-parallelism levels far more than low)
         "loadavg": [load_before, load_after],
+        # MEASURED contamination over the whole timed window (VERDICT r3
+        # item 8): /proc/stat busy CPU minus this bench's own subtree --
+        # the same accounting bench_quiet.py gates its clean pairs on
+        "neighbor_cores": window["neighbor_cores_avg"],
+        "own_cores": window["own_cores_avg"],
     }
     print(json.dumps(result))
     spark.stop()

@@ -37,55 +37,18 @@ import sys
 import threading
 import time
 
-_TICKS = os.sysconf("SC_CLK_TCK")
+# /proc accounting shared with bench.py's self-reported neighbor_cores
+from bench_util import (
+    TICKS as _TICKS,
+    proc_table as _proc_table,
+    subtree_jiffies as _subtree_jiffies,
+    system_busy_jiffies as _system_busy_jiffies,
+)
 
 
 def _loadavg1() -> float:
     with open("/proc/loadavg") as f:
         return float(f.read().split()[0])
-
-
-def _system_busy_jiffies() -> int:
-    with open("/proc/stat") as f:
-        parts = f.readline().split()
-    vals = [int(x) for x in parts[1:]]
-    idle = vals[3] + (vals[4] if len(vals) > 4 else 0)  # idle + iowait
-    return sum(vals) - idle
-
-
-def _proc_table() -> dict[int, tuple[int, int]]:
-    """pid -> (ppid, utime+stime jiffies) for all live processes."""
-    out = {}
-    for d in os.listdir("/proc"):
-        if not d.isdigit():
-            continue
-        try:
-            with open(f"/proc/{d}/stat") as f:
-                s = f.read()
-        except OSError:
-            continue
-        # comm may contain spaces/parens: fields resume after the LAST ')'
-        rest = s[s.rindex(")") + 2:].split()
-        # rest[1] = ppid (field 4), rest[11]/rest[12] = utime/stime
-        out[int(d)] = (int(rest[1]), int(rest[11]) + int(rest[12]))
-    return out
-
-
-def _subtree_jiffies(root_pid: int, table, last_seen: dict[int, int]) -> None:
-    """Update last_seen with the cumulative jiffies of every process in
-    root_pid's subtree (vanished pids keep their last-seen total, so
-    short-lived workers still count toward 'our' CPU)."""
-    kids: dict[int, list[int]] = {}
-    for pid, (ppid, _j) in table.items():
-        kids.setdefault(ppid, []).append(pid)
-    stack = [root_pid]
-    while stack:
-        p = stack.pop()
-        if p in table:
-            j = table[p][1]
-            if j >= last_seen.get(p, 0):
-                last_seen[p] = j
-            stack.extend(kids.get(p, []))
 
 
 def run_monitored(cmd: list[str], env: dict) -> tuple[dict, dict]:
