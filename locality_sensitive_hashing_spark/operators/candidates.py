@@ -55,21 +55,17 @@ def pairs_from_blocks(
     Blocks with 1 member produce nothing; blocks with > cap members are
     excluded here and surfaced by :func:`dropped_blocks`.
 
-    Pair emission is groupBy + bounded in-array expansion (VERDICT r3
-    item 2), NOT a self-join: the old ``left.join(right, key)`` plan
-    scanned and shuffled the pruned blocking table TWICE (the two join
-    sides are different projections, so ReuseExchange cannot collapse
-    them -- the band explode upstream ran twice as well).  Here the
-    pruned rows shuffle ONCE into ``collect_set`` groups -- arrays
-    bounded by the cap prepass, so <= cap elements each -- and the
-    (i < j) pairs expand JVM-side with higher-order array functions
-    inside the same stage.  The groupBy reuses the hash partitioning of
-    the eligibility join, so the whole kernel costs one row-shuffle of
-    the pruned blocks plus the tiny (key, count) prepass.
-
-    The count prepass stays in front for memory safety at 10^12 rows: a
-    degenerate hot key must be dropped BEFORE aggregation, not collected
-    into a corpus-sized array on one reducer.
+    Pair emission is a capped self-join of the pruned blocking table.
+    The groupBy + collect_set + in-array (i < j) expansion alternative
+    (one row-shuffle of the pruned blocks instead of two join-side
+    scans) was MEASURED against this plan in round 4 (jobs/ab_pairs.py,
+    sf0.1 bench bands, warm JVM): join 4.1-4.4 s vs expand 5.2 s at
+    local[32], join 6.8-7.0 s vs expand 7.0-8.3 s at local[8], identical
+    pair counts -- the double upstream scan (parquet + band explode) is
+    cheap JVM work, while collect_set's ObjectHashAggregate array
+    materialization costs more than it saves; the stage's real cost is
+    the downstream pair-dedup shuffle, which both variants share.  The
+    self-join also keeps whole-stage codegen across the emission.
 
     ``dedup=True`` (default) removes the same pair emitted by multiple
     blocks -- one hash-aggregate shuffle. Callers that feed
@@ -82,18 +78,13 @@ def pairs_from_blocks(
     sizes = block_sizes(blocks, key_cols)
     eligible = sizes.where((F.col("n") > 1) & (F.col("n") <= cap)).select(*key_cols)
     pruned = blocks.join(eligible, key_cols)
-    grouped = pruned.groupBy(*key_cols).agg(
-        F.array_sort(F.collect_set(id_col)).alias("_ids")
+    left = pruned.select(*key_cols, F.col(id_col).alias("id1"))
+    right = pruned.select(*key_cols, F.col(id_col).alias("id2"))
+    pairs = (
+        left.join(right, key_cols)
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
     )
-    pairs = grouped.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(_ids, (x, i) -> "
-                "transform(slice(_ids, i + 2, size(_ids) - i - 1), "
-                "y -> struct(x AS id1, y AS id2))))"
-            )
-        ).alias("_p")
-    ).select("_p.id1", "_p.id2")
     if dedup:
         pairs = pairs.distinct()
     return pairs.withColumn("detector", F.lit(detector))
