@@ -299,3 +299,20 @@ class ClusterStore:
         self.base = self.current().localCheckpoint()
         self.mapping = None
         self.delta = None
+
+    def maybe_fold(self, max_mapping_rows: int) -> bool:
+        """Fold iff the composed mapping outgrew its broadcast budget.
+
+        The mapping is the only pending state every READ pays for (it is
+        broadcast and hash-probed per base row; the delta is just
+        unioned, the base is immutable), so the fold trigger is its row
+        count -- call after :meth:`apply_batch` with the deployment's
+        broadcast threshold.  The count is one job over an
+        already-checkpointed tiny table.  Returns True if it folded.
+        """
+        if self.mapping is None:
+            return False
+        if self.mapping.count() <= max_mapping_rows:
+            return False
+        self.fold()
+        return True

@@ -258,6 +258,18 @@ def test_streaming_store_feeds_incremental_dedup(spark, cfg):
     )
     assert _assign(merged) == _assign(fullcc)
 
+    # the merge-on-read path over the SAME store feed: pending view ==
+    # full CC; a small mapping stays pending under the broadcast budget;
+    # an exceeded budget folds and the folded table still agrees
+    store = ClusterStore(prev)
+    store.apply_batch(inc.select("id1", "id2"), n_new, CFG)
+    assert _assign(store.current()) == _assign(fullcc)
+    assert store.maybe_fold(1 << 20) is False
+    assert store.mapping is not None or store.delta is not None
+    assert store.maybe_fold(-1) is True  # any pending mapping exceeds -1
+    assert store.mapping is None and store.delta is None
+    assert _assign(store.current()) == _assign(fullcc)
+
 
 def test_incremental_pairs_untouched_buckets_not_scanned(spark):
     """Plan shape: the old side is filtered to the batch's bucket keys
