@@ -1,0 +1,231 @@
+#!/usr/bin/env python
+"""spark-submit entry point for INCREMENTAL cluster maintenance.
+
+    spark-submit --master <cluster> --py-files lshdedup.zip \
+        jobs/maintain_clusters.py --store /data/intake --workdir /data/clusters
+
+The complete 10^12-row maintenance loop as one resumable job, built from
+the incremental operators:
+
+- the INTAKE STORE (streaming/incremental.py: `incremental_signatures`
+  writes per-batch committed signature subdirs) is the source of truth
+  for what has landed;
+- each not-yet-processed committed batch contributes candidate pairs
+  ONLY from band buckets it touches (`incremental_pairs_from_blocks`),
+  verified by the Arrow est-Jaccard screen;
+- verified edges fold into the standing assignment MERGE-ON-READ
+  (`ClusterStore.apply_batch`: contracted-graph CC -> composed broadcast
+  mapping + batch-scale delta; the corpus-sized base is NOT rewritten);
+- the base is rewritten only when the composed mapping outgrows
+  `--fold-budget` rows (`ClusterStore.maybe_fold`) or on `--fold`.
+
+State layout under --workdir (all parquet + one JSON manifest, committed
+atomically manifest-last, so a crash mid-write resumes from the previous
+consistent state and reprocesses at most the in-flight batches --
+processing a batch twice is harmless: its pairs produce an identity
+delta against an assignment that already contains them). The corpus-
+sized base is versioned SEPARATELY from the batch-scale pending state,
+so a maintenance run that does not fold never rewrites it -- the
+merge-on-read contract holds ACROSS runs, not just within one:
+
+    base/v<B>/        the standing (clip_id, cluster_id) assignment,
+                      rewritten only at bootstrap or fold
+    mapping/v<P>/     pending composed label remap (absent when folded)
+    delta/v<P>/       pending new-clip assignments (absent when folded)
+    state.json        {"processed": [...], "base_v": B,
+                       "pend_v": P | null, "next_v": N}
+
+Exit code 0 iff the state manifest committed. The current assignment is
+always `read_current(spark, workdir)` -- base relabeled through the
+broadcast mapping plus delta, the merge-on-read view.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _read_state(workdir: str) -> dict:
+    p = os.path.join(workdir, "state.json")
+    if not os.path.exists(p):
+        return {"processed": [], "base_v": 0, "pend_v": None, "next_v": 1}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_state(workdir: str, state: dict) -> None:
+    p = os.path.join(workdir, "state.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(state, f)
+    os.rename(tmp, p)  # the commit point
+
+
+def _load_store(spark, workdir: str, state: dict):
+    """Reconstruct the ClusterStore from committed state WITHOUT folding:
+    base, mapping, and delta load as separate parquet-backed frames."""
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        ClusterStore,
+    )
+
+    store = ClusterStore(
+        spark.read.parquet(
+            os.path.join(workdir, "base", f"v{state['base_v']}")
+        )
+    )
+    if state["pend_v"] is not None:
+        p = state["pend_v"]
+        store.mapping = spark.read.parquet(
+            os.path.join(workdir, "mapping", f"v{p}"))
+        store.delta = spark.read.parquet(
+            os.path.join(workdir, "delta", f"v{p}"))
+    return store
+
+
+def read_current(spark, workdir: str):
+    """The merge-on-read view of the committed maintenance state."""
+    state = _read_state(workdir)
+    return _load_store(spark, workdir, state).current()
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="incremental cluster maintenance")
+    ap.add_argument("--store", required=True,
+                    help="intake store dir (incremental_signatures output)")
+    ap.add_argument("--workdir", required=True,
+                    help="cluster-state dir (base/mapping/delta + state.json)")
+    ap.add_argument("--master", default=None)
+    ap.add_argument("--fold-budget", type=int, default=1_000_000,
+                    help="fold the base when the composed mapping exceeds "
+                         "this many rows (the broadcast budget)")
+    ap.add_argument("--fold", action="store_true",
+                    help="force a fold at the end of this run")
+    ap.add_argument("--config-json", default=None)
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.config import Config
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+    )
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        ClusterStore,
+        connected_components,
+    )
+    from locality_sensitive_hashing_spark.operators.minhash import (
+        estimated_jaccard_udf,
+        explode_bands,
+    )
+    from locality_sensitive_hashing_spark.session import get_spark
+    from locality_sensitive_hashing_spark.streaming.incremental import (
+        batch_paths,
+        committed_batch_ids,
+        read_batch,
+    )
+
+    cfg = Config(**json.loads(args.config_json)) if args.config_json else Config()
+    spark = get_spark(args.master or "local[*]",
+                      app_name="lsh-maintain-clusters",
+                      shuffle_partitions=cfg.shuffle_partitions)
+
+    state = _read_state(args.workdir)
+    done = set(state["processed"])
+    todo = sorted(committed_batch_ids(args.store) - done)
+    needs_fold = args.fold and state["pend_v"] is not None
+    if not todo and not needs_fold:
+        print(json.dumps({"status": "up-to-date", **state}))
+        return 0
+
+    # reconstruct the in-memory store from the committed state -- base,
+    # mapping, delta as-is (reconstruction must NOT fold: the whole point
+    # is that only fold() ever rewrites the corpus-sized base)
+    base_new = False
+    if not done:
+        store = None  # bootstrapped from the first batch below
+    else:
+        store = _load_store(spark, args.workdir, state)
+
+    est = estimated_jaccard_udf()
+    for bid in todo:
+        sigs = read_batch(spark, args.store, "signatures", bid)
+        new_nodes = sigs.select(F.col("text_key").alias("clip_id"))
+        prior = batch_paths(args.store, "signatures",
+                            [i for i in done if i != bid])
+        if store is None or not prior:
+            # bootstrap: the first batch clusters from scratch (its own
+            # in-batch pairs via the same blocking + screen)
+            blocks = explode_bands(sigs, id_col="text_key")
+            pairs = incremental_pairs_from_blocks(
+                blocks, blocks.limit(0), ["band_id", "band_hash"],
+                cfg.bucket_cap, "mh", id_col="text_key",
+            )
+            edges = _screened_edges(spark, pairs, sigs, sigs, est, cfg)
+            base = connected_components(edges, new_nodes, cfg)
+            store = ClusterStore(base.localCheckpoint())
+            base_new = True
+        else:
+            old_sigs = spark.read.parquet(*prior)
+            new_b = explode_bands(sigs, id_col="text_key")
+            old_b = explode_bands(old_sigs, id_col="text_key")
+            pairs = incremental_pairs_from_blocks(
+                new_b, old_b, ["band_id", "band_hash"], cfg.bucket_cap,
+                "mh", id_col="text_key",
+            )
+            edges = _screened_edges(spark, pairs, sigs, old_sigs, est, cfg)
+            store.apply_batch(edges, new_nodes, cfg)
+        done.add(bid)
+
+    folded = store.maybe_fold(args.fold_budget)
+    if args.fold and not folded and (store.mapping is not None
+                                     or store.delta is not None):
+        store.fold()
+        folded = True
+    base_new = base_new or folded
+
+    # commit: data dirs first, manifest (state.json) last
+    v = state["next_v"]
+    base_v = state["base_v"]
+    if base_new:  # bootstrap or fold -- the ONLY corpus-sized writes
+        store.base.write.mode("overwrite").parquet(
+            os.path.join(args.workdir, "base", f"v{v}"))
+        base_v = v
+    pend_v = None
+    if store.mapping is not None or store.delta is not None:
+        store.mapping.write.mode("overwrite").parquet(
+            os.path.join(args.workdir, "mapping", f"v{v}"))
+        store.delta.write.mode("overwrite").parquet(
+            os.path.join(args.workdir, "delta", f"v{v}"))
+        pend_v = v
+    new_state = {"processed": sorted(done), "base_v": base_v,
+                 "pend_v": pend_v, "next_v": v + 1}
+    _write_state(args.workdir, new_state)
+    n = read_current(spark, args.workdir).count()
+    print(json.dumps({"status": "ok", "n_assigned": n, **new_state}))
+    return 0
+
+
+def _screened_edges(spark, pairs, new_sigs, old_sigs, est, cfg):
+    """est-Jaccard >= threshold over the pair signature payloads (one
+    bucketed-join-shaped lookup per side, Arrow screen per batch)."""
+    from pyspark.sql import functions as F
+
+    # text_keys are disjoint across batches (the intake store's anti-join
+    # contract), so a plain union is one-row-per-key already
+    all_sigs = old_sigs.select("text_key", "sig").unionByName(
+        new_sigs.select("text_key", "sig")
+    )
+    s1 = all_sigs.select(F.col("text_key").alias("id1"), F.col("sig").alias("_s1"))
+    s2 = all_sigs.select(F.col("text_key").alias("id2"), F.col("sig").alias("_s2"))
+    return (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .where(est(F.col("_s1"), F.col("_s2")) >= cfg.jaccard_threshold)
+        .select("id1", "id2")
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,121 @@
+"""jobs/maintain_clusters.py: the incremental-maintenance spark-submit
+job over a real intake store must (a) be resumable batch-by-batch, (b)
+produce the same assignment whether batches arrive in one run or across
+runs, (c) agree with a from-scratch clustering under the same screen,
+and (d) fold on demand without changing a single row."""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import sys
+import tempfile
+
+from pyspark.sql import functions as F
+
+import jobs.maintain_clusters as MJ
+from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG
+from locality_sensitive_hashing_spark.fixtures import make_clips
+from locality_sensitive_hashing_spark.operators.candidates import pairs_from_blocks
+from locality_sensitive_hashing_spark.operators.connected_components import (
+    connected_components,
+)
+from locality_sensitive_hashing_spark.operators.minhash import (
+    estimated_jaccard_udf,
+    explode_bands,
+)
+from locality_sensitive_hashing_spark.streaming.incremental import BatchIngestor
+
+CFG = dataclasses.replace(DEFAULT_CONFIG, bucket_cap=1 << 20)
+CFG_JSON = json.dumps({"bucket_cap": 1 << 20})
+
+
+def _assign(df) -> dict:
+    return {r.clip_id: r.cluster_id for r in df.collect()}
+
+
+def _run_job(store, workdir, *extra):
+    argv = ["maintain_clusters", "--store", store, "--workdir", workdir,
+            "--config-json", CFG_JSON, *extra]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        assert MJ.main() == 0
+    finally:
+        sys.argv = old
+
+
+def _reference(spark, store_dir, ids):
+    """From-scratch: capped blocking pairs over ALL committed signatures,
+    est-Jaccard screen, full CC -- what the incremental job must equal."""
+    from locality_sensitive_hashing_spark.streaming.incremental import read_batch
+
+    sigs = None
+    for i in ids:
+        b = read_batch(spark, store_dir, "signatures", i)
+        sigs = b if sigs is None else sigs.unionByName(b)
+    blocks = explode_bands(sigs, id_col="text_key")
+    pairs = pairs_from_blocks(blocks, ["band_id", "band_hash"],
+                              CFG.bucket_cap, "mh", id_col="text_key")
+    est = estimated_jaccard_udf()
+    s1 = sigs.select(F.col("text_key").alias("id1"), F.col("sig").alias("_s1"))
+    s2 = sigs.select(F.col("text_key").alias("id2"), F.col("sig").alias("_s2"))
+    edges = (
+        pairs.join(s1, "id1").join(s2, "id2")
+        .where(est(F.col("_s1"), F.col("_s2")) >= CFG.jaccard_threshold)
+        .select("id1", "id2")
+    )
+    nodes = sigs.select(F.col("text_key").alias("clip_id"))
+    return connected_components(edges, nodes, CFG)
+
+
+def test_maintain_job_incremental_equals_from_scratch(spark, cfg):
+    root = tempfile.mkdtemp(prefix="lsh_maintain_")
+    store = os.path.join(root, "intake")
+    wd_inc = os.path.join(root, "clusters_inc")
+    wd_all = os.path.join(root, "clusters_all")
+    os.makedirs(wd_inc)
+    os.makedirs(wd_all)
+
+    clips, _ = make_clips(60, seed=21)
+    ing = BatchIngestor(spark, store, cfg)
+    ing.process(spark.createDataFrame(clips.iloc[:30]), 0)
+
+    # run 1: only batch 0 exists
+    _run_job(store, wd_inc)
+    st = MJ._read_state(wd_inc)
+    assert st["processed"] == [0]
+    assert _assign(MJ.read_current(spark, wd_inc)) == _assign(
+        _reference(spark, store, [0])
+    )
+
+    base_v_after_bootstrap = MJ._read_state(wd_inc)["base_v"]
+
+    # batch 1 lands; run 2 picks up ONLY the new batch and must NOT
+    # rewrite the corpus-sized base (merge-on-read across runs)
+    ing.process(spark.createDataFrame(clips.iloc[30:]), 1)
+    _run_job(store, wd_inc)
+    st = MJ._read_state(wd_inc)
+    assert st["processed"] == [0, 1]
+    assert st["base_v"] == base_v_after_bootstrap  # base untouched
+    assert st["pend_v"] is not None  # batch landed as pending state
+    got = _assign(MJ.read_current(spark, wd_inc))
+    ref = _assign(_reference(spark, store, [0, 1]))
+    assert got == ref
+
+    # a single run over both batches agrees with the two-run path
+    _run_job(store, wd_all)
+    assert _assign(MJ.read_current(spark, wd_all)) == ref
+
+    # idempotent: nothing new -> up-to-date no-op, state unchanged
+    _run_job(store, wd_inc)
+    assert MJ._read_state(wd_inc)["processed"] == [0, 1]
+
+    # forced fold: pending state absorbed into a NEW base version,
+    # rows identical
+    _run_job(store, wd_inc, "--fold")
+    st = MJ._read_state(wd_inc)
+    assert st["pend_v"] is None
+    assert st["base_v"] > base_v_after_bootstrap
+    assert _assign(MJ.read_current(spark, wd_inc)) == ref
