@@ -130,6 +130,48 @@ def test_cluster_store_view_equals_full_cc(spark, seed):
     assert store.mapping is None and store.delta is None
 
 
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_compose_mappings_algebra(spark, seed):
+    """compose(m1, m2) applied once must equal applying m1 then m2 --
+    for random min-label-shaped mappings (strictly decreasing, as CC
+    produces) over a random assignment, including labels only in m1,
+    only in m2, chained through both, and untouched."""
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        apply_mapping,
+        compose_mappings,
+    )
+
+    rng = np.random.default_rng(seed)
+    labels = [f"{i:03d}" for i in range(30)]
+
+    def rand_mapping(k):
+        m = {}
+        for _ in range(k):
+            i, j = sorted(rng.integers(0, 30, size=2))
+            if i != j:
+                m[labels[j]] = labels[i]  # strictly decreasing remap
+        return m
+
+    d1, d2 = rand_mapping(8), rand_mapping(8)
+    m1 = spark.createDataFrame(list(d1.items()), "_from string, _to string")
+    m2 = spark.createDataFrame(list(d2.items()), "_from string, _to string")
+    assign = spark.createDataFrame(
+        [(f"c{i}", labels[rng.integers(0, 30)]) for i in range(60)],
+        "clip_id string, cluster_id string",
+    )
+    seq = {r.clip_id: r.cluster_id
+           for r in apply_mapping(apply_mapping(assign, m1), m2).collect()}
+    comp = {r.clip_id: r.cluster_id
+            for r in apply_mapping(assign, compose_mappings(m1, m2)).collect()}
+    assert seq == comp
+    # identity on the None side
+    only = {r.clip_id: r.cluster_id
+            for r in apply_mapping(assign, compose_mappings(None, m2)).collect()}
+    ref = {r.clip_id: r.cluster_id
+           for r in apply_mapping(assign, m2).collect()}
+    assert only == ref
+
+
 def test_cluster_store_read_path_is_broadcast_only(spark):
     """The merge-on-read view must relabel base with a BROADCAST hash
     join: no Exchange (shuffle) may appear over the base branch -- the
