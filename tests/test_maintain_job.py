@@ -119,3 +119,52 @@ def test_maintain_job_incremental_equals_from_scratch(spark, cfg):
     assert st["pend_v"] is None
     assert st["base_v"] > base_v_after_bootstrap
     assert _assign(MJ.read_current(spark, wd_inc)) == ref
+
+
+def test_maintain_job_crash_before_manifest_resumes(spark, cfg, monkeypatch):
+    """Manifest-last commit: a crash AFTER the data-dir writes but BEFORE
+    state.json leaves the previous consistent state authoritative; the
+    rerun reprocesses the in-flight batch and converges to the same
+    assignment (processing a batch twice is harmless by design)."""
+    root = tempfile.mkdtemp(prefix="lsh_maintain_crash_")
+    store = os.path.join(root, "intake")
+    wd = os.path.join(root, "clusters")
+    os.makedirs(wd)
+    clips, _ = make_clips(40, seed=23)
+    ing = BatchIngestor(spark, store, cfg)
+    ing.process(spark.createDataFrame(clips.iloc[:20]), 0)
+    _run_job(store, wd)
+    st0 = MJ._read_state(wd)
+
+    ing.process(spark.createDataFrame(clips.iloc[20:]), 1)
+
+    def crash(workdir, state):
+        raise RuntimeError("simulated crash before manifest commit")
+
+    monkeypatch.setattr(MJ, "_write_state", crash)
+    old = sys.argv
+    sys.argv = ["maintain_clusters", "--store", store, "--workdir", wd,
+                "--config-json", CFG_JSON]
+    try:
+        try:
+            MJ.main()
+            raise AssertionError("crash injection did not fire")
+        except RuntimeError:
+            pass
+    finally:
+        sys.argv = old
+    monkeypatch.undo()
+
+    # previous state still authoritative; orphan data dirs are inert
+    assert MJ._read_state(wd) == st0
+    assert _assign(MJ.read_current(spark, wd)) == _assign(
+        _reference(spark, store, [0])
+    )
+
+    # rerun completes the interrupted batch
+    _run_job(store, wd)
+    st = MJ._read_state(wd)
+    assert st["processed"] == [0, 1]
+    assert _assign(MJ.read_current(spark, wd)) == _assign(
+        _reference(spark, store, [0, 1])
+    )
