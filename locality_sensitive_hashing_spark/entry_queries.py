@@ -99,6 +99,8 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "ann_ivf_topk": ["ivf_index", "ivf_probes"],
     "embedding_near_dups": ["neardup_buckets"],
     "audio_features": ["audio_clips"],
+    "mismatched_transcripts": ["mm_clips"],
+    "keep_best_quality": ["pipeline_edges", "pipeline_nodes", "mm_clips"],
 }
 
 
@@ -1063,6 +1065,36 @@ FROM hdr h LEFT JOIN feat f USING (clip_id)
 """,
 })
 
+# transcript-column normalization (same regex as NORM_SQL over `text`)
+_NORM_TR = "trim(regexp_replace(lower(transcript), '[^a-z0-9]+', ' ', 'g'))"
+
+ORACLE_SQL.update({
+    # group by the raw BLOB -- byte equality, no hash trusted -- and
+    # count distinct NORMALIZED transcripts per audio class
+    "mismatched_transcripts": f"""
+WITH t AS (SELECT clip_id, bytes, {_NORM_TR} AS norm
+           FROM {_aux_rp('mm_clips')}),
+g AS (SELECT bytes, min(clip_id) AS rep_clip_id, count(*) AS n_clips,
+             count(DISTINCT norm) AS n_texts
+      FROM t GROUP BY bytes)
+SELECT rep_clip_id, n_clips, n_texts FROM g WHERE n_texts > 1
+""",
+    # full closure over the committed pipeline edges + quality recomputed
+    # from the raw transcripts, same keep window as the Spark side
+    "keep_best_quality": f"""
+WITH RECURSIVE {_PIPE_CLOSURE},
+t AS (SELECT clip_id, length({_NORM_TR}) AS n_chars
+      FROM {_aux_rp('mm_clips')}),
+j AS (SELECT cl.clip_id, cl.cluster_id, t.n_chars,
+             row_number() OVER (PARTITION BY cl.cluster_id
+                                ORDER BY t.n_chars DESC, cl.clip_id) AS rn
+      FROM cl JOIN t USING (clip_id))
+SELECT clip_id, cluster_id, CAST(n_chars AS INT) AS n_chars,
+       rn = 1 AS keep
+FROM j
+""",
+})
+
 
 # ---------------------------------------------------------------------------
 # kernel-backed queries, SQL-checked via aux tables (see module docstring)
@@ -1389,6 +1421,83 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+_MM_AUX_DONE: set[str] = set()
+
+
+def _mm_aux(spark: SparkSession, sf_dir: str):
+    """The flagship corpus' raw (clip_id, bytes, transcript) rows as an
+    aux table (written once per process per sf) -- lets the DuckDB
+    oracles group by the audio BLOB ITSELF (byte equality, trusting no
+    hash) and re-derive text normalization from the raw transcript."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
+
+    clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, plant_dups=True)
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    with _AUX_LOCK:
+        if key not in _MM_AUX_DONE:
+            _aux_write(
+                clips.select("clip_id", "bytes", "transcript"), sf_dir, "mm_clips"
+            )
+            _MM_AUX_DONE.add(key)
+    return clips
+
+
+def q_mismatched_transcripts(spark, sf_dir):
+    """Cross-modal consistency check -- a data-quality operator every
+    audio+text training pipeline needs: audio payloads that appear under
+    MORE THAN ONE distinct transcript (conflicting labels for the same
+    recording; here the planted near-variant clips). Spark groups by the
+    128-bit audio content key; the ORACLE independently re-groups by the
+    raw BLOB (byte equality -- it cannot sha256 blobs, and does not need
+    to trust the key at all) and re-derives the distinct-transcript count
+    from normalized raw text. Classes are reported by min clip_id, the
+    representative convention shared by both sides."""
+    from locality_sensitive_hashing_spark.operators.textgroup import (
+        with_content_keys,
+    )
+
+    clips = _mm_aux(spark, sf_dir)
+    keyed = with_content_keys(clips)
+    return (
+        keyed.groupBy("audio_key")
+        .agg(
+            F.min("clip_id").alias("rep_clip_id"),
+            F.count("*").alias("n_clips"),
+            F.count_distinct("text_key").alias("n_texts"),
+        )
+        .where(F.col("n_texts") > 1)
+        .select("rep_clip_id", "n_clips", "n_texts")
+    )
+
+
+def q_keep_best_quality(spark, sf_dir):
+    """Quality-aware dedup keep decision: within every dup cluster keep
+    the member with the LONGEST normalized transcript (ties -> min
+    clip_id) instead of the min-id keeper -- the policy a training-data
+    pipeline uses when near-dup members differ in quality (the planted
+    near-variants drop tokens, so the source doc wins its cluster). The
+    oracle replays the full closure over the committed pipeline edges
+    AND recomputes the quality score from the raw transcripts
+    (normalization included), then applies the same window."""
+    clusters, io, _clips = _pipeline_aux(spark, sf_dir)
+    _mm_aux(spark, sf_dir)  # transcripts for the oracle's quality score
+    keyed = io.read("keyed").select(
+        "clip_id", F.length("norm").cast("int").alias("n_chars")
+    )
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("n_chars"), F.asc("clip_id")
+    )
+    return (
+        clusters.join(keyed, "clip_id")
+        .withColumn("rn", F.row_number().over(w))
+        .select(
+            "clip_id", "cluster_id", "n_chars",
+            (F.col("rn") == 1).alias("keep"),
+        )
+    )
+
+
+
 QUERIES_SQL_CHECKED = {
     "normalize_transcripts": q_normalize,
     "shingle_explode": q_shingle_explode,
@@ -1408,6 +1517,8 @@ QUERIES_SQL_CHECKED = {
     "sql_dedup_clusters": q_sql_dedup_clusters,
     "incremental_dedup_clusters": q_incremental_dedup_clusters,
     "incremental_relabel_view": q_incremental_relabel_view,
+    "mismatched_transcripts": q_mismatched_transcripts,
+    "keep_best_quality": q_keep_best_quality,
     "ann_topk_per_query": q_ann_topk_per_query,
     "content_keys": q_content_keys,
     "streaming_dedup_state": q_streaming_dedup_state,
