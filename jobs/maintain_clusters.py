@@ -11,8 +11,13 @@ the incremental operators:
   writes per-batch committed signature subdirs) is the source of truth
   for what has landed;
 - each not-yet-processed committed batch contributes candidate pairs
-  ONLY from band buckets it touches (`incremental_pairs_from_blocks`),
-  verified by the Arrow est-Jaccard screen;
+  ONLY from blocking groups it touches (`incremental_pairs_from_blocks`
+  over BOTH text detectors the intake store materializes: MinHash band
+  buckets from the signature store and SimHash pigeonhole chunks from
+  the fingerprint store), verified by est-Jaccard-OR-Hamming -- the
+  batch pipeline's text screen minus the suffix-array detector, whose
+  anchor candidacy without its LCS verify would create false edges
+  (running the SA verify belongs to the full batch pipeline);
 - verified edges fold into the standing assignment MERGE-ON-READ
   (`ClusterStore.apply_batch`: contracted-graph CC -> composed broadcast
   mapping + batch-scale delta; the corpus-sized base is NOT rewritten);
@@ -109,16 +114,12 @@ def main() -> int:
     from pyspark.sql import functions as F
 
     from locality_sensitive_hashing_spark.config import Config
-    from locality_sensitive_hashing_spark.operators.candidates import (
-        incremental_pairs_from_blocks,
-    )
     from locality_sensitive_hashing_spark.operators.connected_components import (
         ClusterStore,
         connected_components,
     )
     from locality_sensitive_hashing_spark.operators.minhash import (
         estimated_jaccard_udf,
-        explode_bands,
     )
     from locality_sensitive_hashing_spark.session import get_spark
     from locality_sensitive_hashing_spark.streaming.incremental import (
@@ -152,30 +153,27 @@ def main() -> int:
     est = estimated_jaccard_udf()
     for bid in todo:
         sigs = read_batch(spark, args.store, "signatures", bid)
+        fps = read_batch(spark, args.store, "fingerprints", bid)
         new_nodes = sigs.select(F.col("text_key").alias("clip_id"))
-        prior = batch_paths(args.store, "signatures",
-                            [i for i in done if i != bid])
-        if store is None or not prior:
+        prior_ids = [i for i in done if i != bid]
+        prior_sig = batch_paths(args.store, "signatures", prior_ids)
+        prior_fp = batch_paths(args.store, "fingerprints", prior_ids)
+        if store is None or not prior_sig:
             # bootstrap: the first batch clusters from scratch (its own
             # in-batch pairs via the same blocking + screen)
-            blocks = explode_bands(sigs, id_col="text_key")
-            pairs = incremental_pairs_from_blocks(
-                blocks, blocks.limit(0), ["band_id", "band_hash"],
-                cfg.bucket_cap, "mh", id_col="text_key",
-            )
-            edges = _screened_edges(spark, pairs, sigs, sigs, est, cfg)
+            old_sigs, old_fps = sigs.limit(0), fps.limit(0)
+            pairs = _batch_pairs(cfg, sigs, old_sigs, fps, old_fps)
+            edges = _screened_edges(pairs, sigs, sigs, fps, fps, est, cfg)
             base = connected_components(edges, new_nodes, cfg)
             store = ClusterStore(base.localCheckpoint())
             base_new = True
         else:
-            old_sigs = spark.read.parquet(*prior)
-            new_b = explode_bands(sigs, id_col="text_key")
-            old_b = explode_bands(old_sigs, id_col="text_key")
-            pairs = incremental_pairs_from_blocks(
-                new_b, old_b, ["band_id", "band_hash"], cfg.bucket_cap,
-                "mh", id_col="text_key",
+            old_sigs = spark.read.parquet(*prior_sig)
+            old_fps = spark.read.parquet(*prior_fp)
+            pairs = _batch_pairs(cfg, sigs, old_sigs, fps, old_fps)
+            edges = _screened_edges(
+                pairs, sigs, old_sigs, fps, old_fps, est, cfg
             )
-            edges = _screened_edges(spark, pairs, sigs, old_sigs, est, cfg)
             store.apply_batch(edges, new_nodes, cfg)
         done.add(bid)
 
@@ -208,21 +206,67 @@ def main() -> int:
     return 0
 
 
-def _screened_edges(spark, pairs, new_sigs, old_sigs, est, cfg):
-    """est-Jaccard >= threshold over the pair signature payloads (one
-    bucketed-join-shaped lookup per side, Arrow screen per batch)."""
+def _batch_pairs(cfg, new_sigs, old_sigs, new_fps, old_fps):
+    """Two-detector incremental candidates: MinHash band buckets +
+    SimHash pigeonhole chunks, both restricted to blocking groups the
+    batch touches (the SA detector stays batch-pipeline-only -- its
+    candidacy is only safe together with its LCS verify)."""
     from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+    )
+    from locality_sensitive_hashing_spark.operators.minhash import explode_bands
+    from locality_sensitive_hashing_spark.operators.simhash import explode_chunks
+
+    mh = incremental_pairs_from_blocks(
+        explode_bands(new_sigs, id_col="text_key"),
+        explode_bands(old_sigs, id_col="text_key"),
+        ["band_id", "band_hash"], cfg.bucket_cap, "mh", id_col="text_key",
+    )
+    sh = incremental_pairs_from_blocks(
+        explode_chunks(new_fps, cfg, id_col="text_key"),
+        explode_chunks(old_fps, cfg, id_col="text_key"),
+        ["chunk_id", "chunk_val"], cfg.bucket_cap, "sh", id_col="text_key",
+    )
+    return (
+        mh.select("id1", "id2")
+        .unionByName(sh.select("id1", "id2"))
+        .distinct()
+    )
+
+
+def _screened_edges(pairs, new_sigs, old_sigs, new_fps, old_fps, est, cfg):
+    """The text verdict screen over the candidate pairs: est-Jaccard >=
+    threshold OR Hamming(fingerprints) <= t -- the batch pipeline's
+    text_ok minus the lazy-LCS term (SA detector absent here). One
+    Arrow screen + one JVM bit_count per pair."""
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.operators.simhash import (
+        hamming_distance,
+    )
 
     # text_keys are disjoint across batches (the intake store's anti-join
     # contract), so a plain union is one-row-per-key already
     all_sigs = old_sigs.select("text_key", "sig").unionByName(
         new_sigs.select("text_key", "sig")
     )
+    all_fps = old_fps.select("text_key", "fingerprint").unionByName(
+        new_fps.select("text_key", "fingerprint")
+    )
     s1 = all_sigs.select(F.col("text_key").alias("id1"), F.col("sig").alias("_s1"))
     s2 = all_sigs.select(F.col("text_key").alias("id2"), F.col("sig").alias("_s2"))
+    f1 = all_fps.select(
+        F.col("text_key").alias("id1"), F.col("fingerprint").alias("_f1"))
+    f2 = all_fps.select(
+        F.col("text_key").alias("id2"), F.col("fingerprint").alias("_f2"))
     return (
-        pairs.join(s1, "id1").join(s2, "id2")
-        .where(est(F.col("_s1"), F.col("_s2")) >= cfg.jaccard_threshold)
+        pairs.join(s1, "id1").join(s2, "id2").join(f1, "id1").join(f2, "id2")
+        .where(
+            (est(F.col("_s1"), F.col("_s2")) >= cfg.jaccard_threshold)
+            | (hamming_distance(F.col("_f1"), F.col("_f2")) <= cfg.hamming_t)
+        )
         .select("id1", "id2")
     )
 

@@ -47,23 +47,44 @@ def _run_job(store, workdir, *extra):
 
 
 def _reference(spark, store_dir, ids):
-    """From-scratch: capped blocking pairs over ALL committed signatures,
-    est-Jaccard screen, full CC -- what the incremental job must equal."""
+    """From-scratch: capped blocking pairs over ALL committed signatures
+    AND fingerprints (both detectors the job uses), est-Jaccard-OR-
+    Hamming screen, full CC -- what the incremental job must equal."""
+    from locality_sensitive_hashing_spark.operators.simhash import (
+        explode_chunks,
+        hamming_distance,
+    )
     from locality_sensitive_hashing_spark.streaming.incremental import read_batch
 
-    sigs = None
+    sigs, fps = None, None
     for i in ids:
-        b = read_batch(spark, store_dir, "signatures", i)
-        sigs = b if sigs is None else sigs.unionByName(b)
-    blocks = explode_bands(sigs, id_col="text_key")
-    pairs = pairs_from_blocks(blocks, ["band_id", "band_hash"],
-                              CFG.bucket_cap, "mh", id_col="text_key")
+        bs = read_batch(spark, store_dir, "signatures", i)
+        bf = read_batch(spark, store_dir, "fingerprints", i)
+        sigs = bs if sigs is None else sigs.unionByName(bs)
+        fps = bf if fps is None else fps.unionByName(bf)
+    mh = pairs_from_blocks(
+        explode_bands(sigs, id_col="text_key"), ["band_id", "band_hash"],
+        CFG.bucket_cap, "mh", id_col="text_key",
+    )
+    sh = pairs_from_blocks(
+        explode_chunks(fps, CFG, id_col="text_key"), ["chunk_id", "chunk_val"],
+        CFG.bucket_cap, "sh", id_col="text_key",
+    )
+    pairs = mh.select("id1", "id2").unionByName(
+        sh.select("id1", "id2")).distinct()
     est = estimated_jaccard_udf()
     s1 = sigs.select(F.col("text_key").alias("id1"), F.col("sig").alias("_s1"))
     s2 = sigs.select(F.col("text_key").alias("id2"), F.col("sig").alias("_s2"))
+    f1 = fps.select(F.col("text_key").alias("id1"),
+                    F.col("fingerprint").alias("_f1"))
+    f2 = fps.select(F.col("text_key").alias("id2"),
+                    F.col("fingerprint").alias("_f2"))
     edges = (
-        pairs.join(s1, "id1").join(s2, "id2")
-        .where(est(F.col("_s1"), F.col("_s2")) >= CFG.jaccard_threshold)
+        pairs.join(s1, "id1").join(s2, "id2").join(f1, "id1").join(f2, "id2")
+        .where(
+            (est(F.col("_s1"), F.col("_s2")) >= CFG.jaccard_threshold)
+            | (hamming_distance(F.col("_f1"), F.col("_f2")) <= CFG.hamming_t)
+        )
         .select("id1", "id2")
     )
     nodes = sigs.select(F.col("text_key").alias("clip_id"))
