@@ -75,7 +75,9 @@ def run_loop(spark, store_dir: str, workdir: str, cfg) -> None:
         prior_sig = batch_paths(store_dir, "signatures", prior_ids)
         prior_fp = batch_paths(store_dir, "fingerprints", prior_ids)
         if store is None or not prior_sig:
-            pairs = MJ._batch_pairs(cfg, sigs, sigs.limit(0), fps, fps.limit(0))
+            pairs = MJ._batch_pairs(
+                cfg, sigs, sigs.limit(0), fps, fps.limit(0)
+            ).localCheckpoint()
             edges = MJ._screened_edges(pairs, sigs, sigs, fps, fps, est, cfg)
             base = connected_components(
                 edges, new_nodes, cfg
@@ -89,7 +91,9 @@ def run_loop(spark, store_dir: str, workdir: str, cfg) -> None:
         else:
             old_sigs = spark.read.parquet(*prior_sig)
             old_fps = spark.read.parquet(*prior_fp)
-            pairs = MJ._batch_pairs(cfg, sigs, old_sigs, fps, old_fps)
+            pairs = MJ._batch_pairs(
+                cfg, sigs, old_sigs, fps, old_fps
+            ).localCheckpoint()
             edges = MJ._screened_edges(
                 pairs, sigs, old_sigs, fps, old_fps, est, cfg
             )

@@ -176,7 +176,9 @@ def main() -> int:
             # bootstrap: no standing assignment -- the pending set
             # clusters from scratch (its own in-set pairs via the same
             # blocking + screen) and becomes base v1
-            pairs = _batch_pairs(cfg, sigs, sigs.limit(0), fps, fps.limit(0))
+            pairs = _batch_pairs(
+                cfg, sigs, sigs.limit(0), fps, fps.limit(0)
+            ).localCheckpoint()  # feeds endpoint broadcast + final join
             edges = _screened_edges(pairs, sigs, sigs, fps, fps, est, cfg)
             base = connected_components(edges, new_nodes, cfg)
             store = ClusterStore(base.localCheckpoint())
@@ -184,7 +186,9 @@ def main() -> int:
         else:
             old_sigs = spark.read.parquet(*prior_sig)
             old_fps = spark.read.parquet(*prior_fp)
-            pairs = _batch_pairs(cfg, sigs, old_sigs, fps, old_fps)
+            pairs = _batch_pairs(
+                cfg, sigs, old_sigs, fps, old_fps
+            ).localCheckpoint()  # feeds endpoint broadcast + final join
             edges = _screened_edges(
                 pairs, sigs, old_sigs, fps, old_fps, est, cfg
             )
@@ -254,20 +258,41 @@ def _screened_edges(pairs, new_sigs, old_sigs, new_fps, old_fps, est, cfg):
     """The text verdict screen over the candidate pairs: est-Jaccard >=
     threshold OR Hamming(fingerprints) <= t -- the batch pipeline's
     text_ok minus the lazy-LCS term (SA detector absent here). One
-    Arrow screen + one JVM bit_count per pair."""
+    Arrow screen + one JVM bit_count per pair.
+
+    ``pairs`` is batch-scale while the signature/fingerprint stores are
+    corpus-scale, so joining them directly would shuffle the corpus.
+    Instead the pair-endpoint id set (batch-scale) is BROADCAST and the
+    corpus tables are semi-restricted map-side first -- the corpus is
+    scanned, never shuffled (the same shape cluster_delta uses for its
+    label lookup). ``pairs`` must be materialized by the caller
+    (localCheckpoint) since it feeds both the endpoint broadcast and
+    the final join.
+    """
     from pyspark.sql import functions as F
 
     from locality_sensitive_hashing_spark.operators.simhash import (
         hamming_distance,
     )
 
-    # text_keys are disjoint across batches (the intake store's anti-join
-    # contract), so a plain union is one-row-per-key already
-    all_sigs = old_sigs.select("text_key", "sig").unionByName(
-        new_sigs.select("text_key", "sig")
+    eps = (
+        pairs.select(F.col("id1").alias("text_key"))
+        .unionByName(pairs.select(F.col("id2").alias("text_key")))
+        .distinct()
     )
-    all_fps = old_fps.select("text_key", "fingerprint").unionByName(
-        new_fps.select("text_key", "fingerprint")
+    # text_keys are disjoint across batches (the intake store's anti-join
+    # contract), so a plain union is one-row-per-key already; the
+    # broadcast endpoint semi-join cuts it to batch-scale before any
+    # shuffle-side use
+    all_sigs = (
+        old_sigs.select("text_key", "sig")
+        .unionByName(new_sigs.select("text_key", "sig"))
+        .join(F.broadcast(eps), "text_key")
+    )
+    all_fps = (
+        old_fps.select("text_key", "fingerprint")
+        .unionByName(new_fps.select("text_key", "fingerprint"))
+        .join(F.broadcast(eps), "text_key")
     )
     s1 = all_sigs.select(F.col("text_key").alias("id1"), F.col("sig").alias("_s1"))
     s2 = all_sigs.select(F.col("text_key").alias("id2"), F.col("sig").alias("_s2"))
