@@ -180,6 +180,42 @@ def test_maintain_job_combined_pending_pass(spark, cfg):
     assert _assign(MJ.read_current(spark, wd_seq)) == ref
 
 
+def test_screened_edges_corpus_restriction_broadcasts(spark):
+    """Scale contract of the maintenance screen: the corpus-sized
+    signature/fingerprint stores are restricted to the batch-scale pair
+    endpoints via a BROADCAST join (corpus scanned, never shuffled).
+    With auto-broadcast off, the ONLY BroadcastHashJoins left in the
+    plan are the two hinted endpoint restrictions; the pair joins may
+    sort-merge (batch-scale rows)."""
+    sigs = spark.createDataFrame(
+        [("a", [1, 2]), ("b", [1, 3]), ("c", [9, 9])],
+        "text_key string, sig array<int>",
+    )
+    fps = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 1024)], "text_key string, fingerprint long"
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b")], "id1 string, id2 string"
+    ).localCheckpoint()
+    est = estimated_jaccard_udf()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = MJ._screened_edges(
+            pairs, sigs.limit(0), sigs, fps.limit(0), fps, est, CFG
+        )
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # Catalyst pushes the hinted join below the old/new union (one BHJ
+    # per leg), so 2 tables x up-to-2 legs; the unhinted pair joins must
+    # all stay sort-merge (they would be the corpus shuffle otherwise)
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert plan.count("SortMergeJoin") == 4, plan
+    # and the screen itself still evaluates correctly on the tiny graph
+    assert [(r.id1, r.id2) for r in edges.collect()] == [("a", "b")]
+
+
 def test_maintain_job_crash_before_manifest_resumes(spark, cfg, monkeypatch):
     """Manifest-last commit: a crash AFTER the data-dir writes but BEFORE
     state.json leaves the previous consistent state authoritative; the
