@@ -21,7 +21,9 @@ commits once per run in BOTH shapes, so the loop buys no resumability.
 
 Measured (local[32], 1500-clip bootstrap + 6 pending batches x 250
 clips, warm JVM, this box): combined 14.6 s vs loop 65.9 s (4.5x) with
-identical final assignments -- and the gap is structural: the loop's
+identical final assignments; after the broadcast-endpoint screen
+landed, combined 8.0 s vs loop 43.3 s (5.4x), same window, still
+identical -- and the gap is structural: the loop's
 corpus reads/compose rounds grow with the backlog T while combined
 stays one round, so at 10^12-clip corpus scale the loop's T
 corpus-sized scans dominate everything else the job does.
