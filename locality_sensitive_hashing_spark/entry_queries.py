@@ -56,6 +56,7 @@ from pyspark.sql import functions as F
 
 from locality_sensitive_hashing_spark import hashing as H
 from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
+from locality_sensitive_hashing_spark.operators import audio_lsh as AL
 from locality_sensitive_hashing_spark.functions import text as TX
 from locality_sensitive_hashing_spark.sources.tables import read_testdata
 
@@ -99,6 +100,8 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "ann_ivf_topk": ["ivf_index", "ivf_probes"],
     "embedding_near_dups": ["neardup_buckets"],
     "audio_features": ["audio_clips"],
+    "audio_energy_profile": ["audio_lsh_clips"],
+    "audio_content_near_dups": ["audio_lsh_clips"],
     "mismatched_transcripts": ["mm_clips"],
     "keep_best_quality": ["pipeline_edges", "pipeline_nodes", "mm_clips"],
 }
@@ -1065,6 +1068,102 @@ FROM hdr h LEFT JOIN feat f USING (clip_id)
 """,
 })
 
+# --- content-based audio LSH (operators/audio_lsh.py) ----------------------
+# The ENTIRE detector -- WAV decode, integer frame energies, sub-octave
+# log-quantized symbols, positional-encoded shingles, universal-hash
+# MinHash, tuple-key banding, capped buckets, exact-Jaccard verify -- is
+# replayed from the RAW BYTES of the committed corpus: the decode is the
+# audio_features hex()+byte-arithmetic machinery kept in INTEGER samples,
+# the symbol's bit_length is length(format('{:b}', E)) (exact for BIGINT),
+# the mantissa sub-bits are ((E << sub_bits) >> (bl-1)) - 2^sub_bits (pure
+# integer both engines), shingles are base-SYM_BASE positional encodings
+# (no hash kernel to trust at all), and the MinHash family is the same
+# seed-pinned _UHASH_VALUES literal the text oracle uses.  The only aux
+# table is the corpus itself (audio_lsh_clips).
+_ALSH_DECODE = f"""
+WITH raw AS (SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+             FROM {_aux_rp('audio_lsh_clips')}),
+hdr AS (SELECT clip_id, hx,
+    (nb >= 44 AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
+  FROM raw),
+idx AS (SELECT clip_id, hx, unnest(generate_series(0, (data_len // 2)::int - 1)) AS i
+        FROM hdr WHERE canon),
+smp AS (SELECT clip_id, i,
+        (('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+         - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+                >= 32768 THEN 65536 ELSE 0 END) AS v
+      FROM idx),
+nrg AS (SELECT clip_id, (i // {AL.FRAME_N})::int AS f, CAST(sum(v*v) AS BIGINT) AS en
+        FROM smp GROUP BY clip_id, (i // {AL.FRAME_N})::int),
+sym AS (SELECT clip_id, f,
+          CASE WHEN en = 0 THEN 0
+               ELSE (bl * {1 << AL.SUB_BITS}
+                     + CAST((en * {1 << AL.SUB_BITS}) >> (bl - 1) AS BIGINT)
+                     - {1 << AL.SUB_BITS})::int
+          END AS q
+        FROM (SELECT clip_id, f, en,
+                     CASE WHEN en = 0 THEN 0
+                          ELSE length(format('{{:b}}', en)) END AS bl
+              FROM nrg))
+"""
+
+ORACLE_SQL.update({
+    "audio_energy_profile": _ALSH_DECODE + """,
+agg AS (SELECT clip_id, count(*) AS n_frames,
+               string_agg(q::VARCHAR, ' ' ORDER BY f) AS estr
+        FROM sym GROUP BY clip_id)
+SELECT h.clip_id, (h.canon AND coalesce(a.n_frames, 0) > 0) AS decode_ok,
+       coalesce(a.n_frames, 0)::int AS n_frames,
+       coalesce(a.estr, '') AS esyms
+FROM hdr h LEFT JOIN agg a USING (clip_id)
+""",
+    "audio_content_near_dups": _ALSH_DECODE + f""",
+nf AS (SELECT clip_id, count(*) AS n_frames FROM sym GROUP BY clip_id),
+sh0 AS (SELECT clip_id,
+          (q::BIGINT * {AL.SYM_BASE ** 2}
+           + (lead(q, 1) OVER w)::BIGINT * {AL.SYM_BASE}
+           + (lead(q, 2) OVER w)) AS shingle
+        FROM sym WINDOW w AS (PARTITION BY clip_id ORDER BY f)),
+shg AS (SELECT DISTINCT clip_id, shingle FROM sh0 WHERE shingle IS NOT NULL
+        UNION
+        SELECT clip_id, 0::BIGINT AS shingle FROM nf
+        WHERE n_frames > 0 AND n_frames < {AL.SHINGLE_K}),
+fam(pos, a, b) AS (VALUES {_UHASH_VALUES}),
+sig AS (SELECT clip_id, f.pos AS pos,
+               CAST(min((f.a::BIGINT * shingle + f.b) % {CFG.modulo_prime}) AS INT) AS sv
+        FROM shg CROSS JOIN fam f GROUP BY clip_id, f.pos),
+band AS (SELECT clip_id, (pos // {CFG.rows_per_band})::int AS band_id,
+                string_agg(sv::VARCHAR, ',' ORDER BY pos) AS bkey
+         FROM sig GROUP BY clip_id, (pos // {CFG.rows_per_band})::int),
+sizes AS (SELECT band_id, bkey, count(*) AS n FROM band GROUP BY band_id, bkey),
+elig AS (SELECT band_id, bkey FROM sizes WHERE n > 1 AND n <= {CFG.bucket_cap}),
+pruned AS (SELECT b.clip_id, b.band_id, b.bkey
+           FROM band b JOIN elig e USING (band_id, bkey)),
+pairs AS (SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2
+          FROM pruned l JOIN pruned r USING (band_id, bkey)
+          WHERE l.clip_id < r.clip_id),
+card AS (SELECT clip_id, count(*) AS nc FROM shg GROUP BY clip_id),
+inter AS (SELECT p.id1, p.id2, count(*) AS ni
+          FROM pairs p JOIN shg s1 ON s1.clip_id = p.id1
+                       JOIN shg s2 ON s2.clip_id = p.id2 AND s2.shingle = s1.shingle
+          GROUP BY p.id1, p.id2)
+SELECT id1, id2, jaccard FROM (
+  SELECT p.id1, p.id2,
+         coalesce(i.ni, 0) * 1.0 / (c1.nc + c2.nc - coalesce(i.ni, 0)) AS jaccard
+  FROM pairs p JOIN card c1 ON c1.clip_id = p.id1
+               JOIN card c2 ON c2.clip_id = p.id2
+               LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2)
+WHERE jaccard >= {AL.JACCARD_THRESHOLD}
+""",
+})
+
 # transcript-column normalization (same regex as NORM_SQL over `text`)
 _NORM_TR = "trim(regexp_replace(lower(transcript), '[^a-z0-9]+', ' ', 'g'))"
 
@@ -1421,6 +1520,55 @@ def q_audio_features(spark, sf_dir):
     )
 
 
+_ALSH_AUX_DONE: set[str] = set()
+
+
+def _audio_lsh_aux(spark: SparkSession, sf_dir: str):
+    """The audio-content-dup corpus (fixtures.audio_dup_clips_df), with its
+    raw (clip_id, bytes) committed ONCE per process as the
+    ``audio_lsh_clips`` aux table -- the single input both the Spark
+    detector and the full-replay DuckDB oracle derive from."""
+    from locality_sensitive_hashing_spark.fixtures import audio_dup_clips_df
+
+    clips = audio_dup_clips_df(spark, sf_dir, seed=CFG.seed, limit=200)
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    with _AUX_LOCK:
+        if key not in _ALSH_AUX_DONE:
+            _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_lsh_clips")
+            _ALSH_AUX_DONE.add(key)
+    return clips
+
+
+def q_audio_energy_profile(spark, sf_dir):
+    """Frame-energy feature extraction for the content-based audio
+    detector: per clip, the quantized log-energy symbol sequence (25 ms
+    integer frame energies -> bit-length + 2 mantissa bits).  The oracle
+    re-derives every symbol from the raw WAV bytes in DuckDB byte
+    arithmetic (operators/audio_lsh.py module docstring)."""
+    clips = _audio_lsh_aux(spark, sf_dir)
+    feats = AL.with_energy_signatures(clips, CFG)
+    return feats.select(
+        "clip_id",
+        "decode_ok",
+        F.size("syms").alias("n_frames"),
+        F.concat_ws(
+            " ", F.expr("transform(syms, v -> cast(v as string))")
+        ).alias("esyms"),
+    )
+
+
+def q_audio_content_near_dups(spark, sf_dir):
+    """Content-based audio near-dup pairs: same audio, DIFFERENT bytes and
+    DIFFERENT transcript -- head-trimmed and 40 dB-SNR-noise variants that
+    no text detector and no byte-equality class can pair (the corpus
+    plants both, fixtures.audio_dup_clips_df).  Frame-energy MinHash LSH
+    with exact-Jaccard verification; the DuckDB oracle replays decode ->
+    energies -> symbols -> shingles -> MinHash -> banding -> buckets ->
+    pairs -> Jaccard entirely from the committed raw bytes."""
+    clips = _audio_lsh_aux(spark, sf_dir)
+    return AL.audio_near_dups(clips, CFG)
+
+
 _MM_AUX_DONE: set[str] = set()
 
 
@@ -1536,6 +1684,8 @@ QUERIES_SQL_CHECKED = {
     "ann_ivf_topk": q_ann_ivf_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "audio_features": q_audio_features,
+    "audio_energy_profile": q_audio_energy_profile,
+    "audio_content_near_dups": q_audio_content_near_dups,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

@@ -383,3 +383,84 @@ def skew_clips_df(spark, n_rep: int, n_hot: int):
     rep_ids = {f"rep{i:09d}" for i in range(n_rep)}
     hot_ids = {f"hot{i:07d}" for i in range(n_hot)}
     return rep.unionByName(hot), rep_ids, hot_ids
+
+
+def synth_env_pcm(rng: np.random.Generator, sr_hz: int, dur_ms: int,
+                  n_knots: int = 10) -> np.ndarray:
+    """Enveloped test tone: synth_pcm shaped by a per-clip random
+    piecewise-linear amplitude envelope (speech-like energy contour).
+
+    The flat peak-normalized tones of :func:`synth_pcm` have near-constant
+    frame energy -- useless for an energy-contour detector (every clip
+    quantizes to 1-2 symbols).  The envelope gives each clip a distinctive
+    ~26 dB energy trajectory, which is what real speech/audio has."""
+    pcm = A.synth_pcm(rng, sr_hz, dur_ms)
+    knots = rng.uniform(0.05, 1.0, n_knots)
+    env = np.interp(
+        np.arange(pcm.size), np.linspace(0, pcm.size - 1, n_knots), knots
+    )
+    return pcm * env
+
+
+def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
+                       limit: int = 200):
+    """Audio-CONTENT duplicate corpus for the frame-energy LSH detector.
+
+    One enveloped 500 ms s16le clip per document (doc_id < limit), plus
+    planted variants whose BYTES differ but whose audio content matches:
+
+    - ``...t`` (every 5th doc): head-trimmed copy -- the first 800
+      samples (4 energy frames) removed, re-encoded.  Byte-level classes
+      miss it (different blob), PCM allclose misses it (different
+      length), and its transcript is replaced wholesale so every text
+      detector misses it too.  ONLY a content detector can pair these.
+    - ``...z`` (every 7th doc): same PCM plus white noise at 40 dB SNR --
+      a re-recorded/re-mastered near-dup.  Also given an unrelated
+      transcript.
+
+    Synthesis runs IN EXECUTORS via mapInPandas with per-doc seeded
+    substreams (stream [seed, doc_id, 11] -- disjoint from
+    clips_from_documents_df's [seed, doc_id]), so generation scales with
+    the cluster and the corpus is deterministic row-by-row."""
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.sources.tables import (
+        CLIPS_SCHEMA,
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("doc_id") < limit)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rng = np.random.default_rng([seed, doc_id, 11])
+                sr, dur = 8000, 500
+                pcm = synth_env_pcm(rng, sr, dur)
+                raw = A.encode_wav(pcm, sr, "pcm_s16le")
+                rows.append(
+                    (f"a{doc_id:08d}b", raw, sr, dur, "pcm_s16le", str(text))
+                )
+                if doc_id % 5 == 0:
+                    raw_t = A.encode_wav(pcm[800:], sr, "pcm_s16le")
+                    rows.append((
+                        f"a{doc_id:08d}t", raw_t, sr, 400, "pcm_s16le",
+                        f"retake {doc_id} republished with the opening trimmed",
+                    ))
+                if doc_id % 7 == 0:
+                    noisy = A.add_noise_at_snr(rng, pcm, 40.0)
+                    raw_z = A.encode_wav(noisy, sr, "pcm_s16le")
+                    rows.append((
+                        f"a{doc_id:08d}z", raw_z, sr, dur, "pcm_s16le",
+                        f"remaster {doc_id} captured from a noisier source",
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                         "transcript"],
+            )
+
+    return docs.repartition(32, "doc_id").mapInPandas(synth, CLIPS_SCHEMA)

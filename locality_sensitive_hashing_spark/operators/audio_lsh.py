@@ -1,0 +1,288 @@
+"""Content-based audio near-duplicate detector (frame-energy MinHash LSH).
+
+Every other detector in this engine keys off the TRANSCRIPT (MinHash /
+SimHash / suffix-array over text) or off byte-identical audio (content
+classes via sha256).  This operator closes the remaining gap on the audio
+axis: near-duplicate *audio content* whose bytes differ -- a clip
+re-published with its head trimmed, or re-recorded with low-level noise --
+published under a DIFFERENT transcript, which no text detector and no
+byte-equality class can ever pair up.
+
+Pipeline (same LSH shape as the text detectors, reusing the pinned
+universal-hash family ``hashing.hash_family(cfg)`` and the cfg's
+bands/rows/bucket-cap):
+
+1. **Frame-energy symbols** (the one Python kernel, Arrow-batched): decode
+   canonical s16le WAV -> int16 samples -> per-frame integer energy
+   ``E_f = sum(s^2)`` over ``frame_n``-sample frames -> sub-octave
+   log-quantized symbol ``q = bit_length(E) * 2^sub_bits +
+   floor((mantissa-1) * 2^sub_bits)``.  **Pure integer arithmetic end to
+   end** (the float64 ops used -- bincount of exact int products < 2^53,
+   frexp exponent -- are exact), so the DuckDB oracle replays the ENTIRE
+   derivation from the raw bytes with hex()+byte arithmetic and
+   ``length(format('{:b}', E))``; nothing downstream of the parquet bytes
+   is trusted.  The quantization is deliberately log-scale: additive noise
+   at SNR >= ~35 dB perturbs frame energy by ~2% (the s.n cross term),
+   well inside a 6 dB/2^sub_bits bin, while trimming shifts frame
+   boundaries and leaves the surviving frames' energies bit-identical.
+2. **Shingles**: k consecutive symbols, *exactly* integer-encoded as
+   ``q0*B^2 + q1*B + q2`` (B = ``SYM_BASE`` > max symbol) -- no hash
+   function at all, so the oracle needs no VALUES-literal kernel replay
+   here either.  Fewer than k frames -> the {0} sentinel (same convention
+   as text shingles).
+3. **MinHash + banding**: ``sig[j] = min (a_j*x+b_j) mod P`` over the
+   shingle set (``hashing.minhash_signature`` verbatim -- shingles < P so
+   the mod-P reduction is the identity), banded into ``cfg.bands`` keys.
+   Band keys are the **tuple of r signature values** rendered as a
+   comma-joined string -- not the uint64 band mix the text path uses --
+   precisely so DuckDB replays them with ``string_agg`` (the mix would
+   need another aux table; the tuple IS the bucket identity anyway).
+4. **Buckets -> pairs -> exact-Jaccard verify**: bucket sizes in
+   (1, bucket_cap] emit distinct (id1 < id2) pairs; each pair is verified
+   by EXACT Jaccard over the shingle arrays (arrays are ~n_frames long --
+   tiny -- so `array_intersect`/`array_union` stay JVM-side and cheap).
+
+Scale notes (10^12 clips): the kernel is one linear Arrow pass over
+(clip_id, bytes) -- `bytes` is pruned out immediately after; signatures
+are ~H*4 bytes/row.  The banding shuffle keys on (band_id, band_key)
+exactly like the text detectors, with the same bounded-bucket cap
+(`cfg.bucket_cap`) protecting against degenerate energy profiles (e.g.
+silence: every all-zero clip shares one symbol sequence -- its bucket is
+capped and dropped, not exploded).  The verify join carries only the
+shingle arrays (~n_frames ints), not audio bytes.  Thresholds/constants
+were tuned on the deterministic fixture sweep in tests/test_audio_lsh.py:
+trim pairs land at J ~0.71-0.82, 40 dB-SNR noise pairs at J >= 0.5,
+cross-corpus pairs at J <= 0.06.
+
+Reference parity: the reference (REF? -- mount empty, SURVEY.md section
+0.2) has no audio axis at all; this operator is the graft's
+payload-native extension of its MinHash-over-shingles design (MMDS
+sections 3.3-3.4 applied to an energy-contour alphabet instead of text).
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark import hashing as H
+from locality_sensitive_hashing_spark.config import Config
+
+# 25 ms at the fixture's 8 kHz -- the standard short-time energy frame.
+FRAME_N = 200
+# sub-octave quantization: 2^2 = 4 bins per energy octave (~1.5 dB bins).
+SUB_BITS = 2
+# consecutive-symbol gram size (energy contours are short; 3 keeps ~n_frames
+# shingles per clip while still encoding local shape).
+SHINGLE_K = 3
+# integer shingle encoding base; must exceed the max symbol
+# (bit_length <= 40 for E < 200*2^30, so symbol <= 40*4+3 = 163).
+SYM_BASE = 512
+# emitted pairs must clear this exact-Jaccard bar (trim ~0.78, noise >= 0.5,
+# cross-corpus <= 0.06 on the tuned fixture -- wide margins both sides).
+JACCARD_THRESHOLD = 0.35
+
+
+def frame_energy_symbols(
+    ints: np.ndarray, frame_n: int = FRAME_N, sub_bits: int = SUB_BITS
+) -> np.ndarray:
+    """int16 samples -> per-frame quantized log-energy symbols (int64).
+
+    E_f = sum(s^2) over frame f (trailing partial frame included);
+    symbol = bit_length(E)*2^sub_bits + floor((E/2^(bl-1) - 1)*2^sub_bits),
+    i.e. the exponent plus the top sub_bits mantissa bits -- all integer.
+    E = 0 (digital silence) -> symbol 0.  Exactness: s^2 <= 2^30, frame
+    sums < 2^38 (exact in float64 bincount); frexp's exponent of an
+    exactly-represented integer IS its bit length.
+    """
+    n = ints.size
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    idx = np.arange(n) // frame_n
+    e = np.bincount(idx, weights=(ints * ints).astype(np.float64)).astype(np.int64)
+    bl = np.frexp(e.astype(np.float64))[1].astype(np.int64)
+    sub = np.left_shift(e, sub_bits) >> np.maximum(bl - 1, 0)
+    sym = bl * (1 << sub_bits) + sub - (1 << sub_bits)
+    return np.where(e > 0, sym, 0)
+
+
+def _canonical_s16le_samples(raw: bytes) -> np.ndarray | None:
+    """Parse a canonical-header s16le WAV blob to int64 samples.
+
+    Mirrors EXACTLY the oracle SQL's canon predicate (fixed-offset
+    RIFF/WAVE/fmt/data layout, format tag 1, 16 bits) -- nothing more:
+    this kernel and the DuckDB replay must accept/reject the same blobs.
+    Corpus contract (shared with the audio_features oracle,
+    entry_queries.py): clips are canonical pcm_s16le with
+    len(raw) >= 44 + data_len; a truncated data chunk returns None here
+    (the oracle would error, so the fixture generator never emits one).
+    """
+    if (
+        len(raw) < 44
+        or raw[0:4] != b"RIFF"
+        or raw[8:12] != b"WAVE"
+        or raw[12:16] != b"fmt "
+        or struct.unpack("<H", raw[20:22])[0] != 1
+        or struct.unpack("<H", raw[34:36])[0] != 16
+        or raw[36:40] != b"data"
+    ):
+        return None
+    (data_len,) = struct.unpack("<I", raw[40:44])
+    if len(raw) < 44 + data_len:
+        return None
+    return np.frombuffer(raw[44 : 44 + data_len - (data_len % 2)], dtype="<i2").astype(
+        np.int64
+    )
+
+
+def shingle_encode(
+    syms: np.ndarray, k: int = SHINGLE_K, base: int = SYM_BASE
+) -> np.ndarray:
+    """Distinct integer-encoded k-grams of the symbol sequence (sorted).
+
+    Exact positional encoding q0*base^(k-1) + ... + q_{k-1} -- injective
+    because every symbol < base.  Fewer than k symbols -> the {0}
+    sentinel (text-shingle convention, hashing.shingle_set)."""
+    if syms.size < k:
+        return np.zeros(1, dtype=np.int64)
+    enc = np.zeros(syms.size - k + 1, dtype=np.int64)
+    for j in range(k):
+        enc = enc * base + syms[j : syms.size - k + 1 + j]
+    return np.unique(enc)
+
+
+def energy_signature_udf(
+    cfg: Config,
+    frame_n: int = FRAME_N,
+    sub_bits: int = SUB_BITS,
+    k: int = SHINGLE_K,
+    base: int = SYM_BASE,
+):
+    """Arrow pandas UDF: wav bytes -> struct(decode_ok, syms, shingles, sig).
+
+    One Python crossing for the whole feature chain (decode -> energies ->
+    symbols -> shingles -> minhash), mirroring the text path's
+    ``signature_udf``; everything after this column is JVM-side.  The
+    (a, b) family is the SAME seed-pinned family as the text MinHash, so
+    the oracle reuses the existing _UHASH_VALUES literals.
+    """
+    a, b = H.hash_family(cfg)
+    p = cfg.modulo_prime
+
+    @F.pandas_udf(
+        "decode_ok boolean, syms array<int>, shingles array<int>, sig array<int>"
+    )
+    def compute(raw: pd.Series) -> pd.DataFrame:
+        oks, syms_out, shg_out, sig_out = [], [], [], []
+        for blob in raw:
+            ints = _canonical_s16le_samples(bytes(blob)) if blob is not None else None
+            if ints is None or ints.size == 0:
+                oks.append(False)
+                syms_out.append([])
+                shg_out.append([])
+                sig_out.append([])
+                continue
+            syms = frame_energy_symbols(ints, frame_n, sub_bits)
+            shingles = shingle_encode(syms, k, base)
+            sig = H.minhash_signature(shingles.astype(np.uint64), a, b, p)
+            oks.append(True)
+            syms_out.append(syms.astype(np.int32).tolist())
+            shg_out.append(shingles.astype(np.int32).tolist())
+            sig_out.append(sig.astype(np.int32).tolist())
+        return pd.DataFrame(
+            {"decode_ok": oks, "syms": syms_out, "shingles": shg_out, "sig": sig_out}
+        )
+
+    return compute
+
+
+def with_energy_signatures(clips: DataFrame, cfg: Config, **kw) -> DataFrame:
+    """(clip_id, decode_ok, syms, shingles, sig) -- bytes pruned after the
+    kernel (the select keeps Catalyst from carrying the payload into any
+    downstream shuffle, same discipline as minhash.with_signatures)."""
+    udf = energy_signature_udf(cfg, **kw)
+    return (
+        clips.select("clip_id", "bytes")
+        .withColumn("_e", udf(F.col("bytes")))
+        .select(
+            "clip_id",
+            F.col("_e.decode_ok").alias("decode_ok"),
+            F.col("_e.syms").alias("syms"),
+            F.col("_e.shingles").alias("shingles"),
+            F.col("_e.sig").alias("sig"),
+        )
+    )
+
+
+def energy_band_keys(cfg: Config) -> F.Column:
+    """array<string> of cfg.bands tuple-keys: band j = the r signature
+    values sig[j*r .. j*r+r-1] comma-joined (DuckDB replays with
+    string_agg ORDER BY pos)."""
+    r = cfg.rows_per_band
+    return F.expr(
+        f"transform(sequence(0, {cfg.bands - 1}), j -> "
+        f"concat_ws(',', transform(slice(sig, j*{r} + 1, {r}), "
+        f"v -> cast(v as string))))"
+    )
+
+
+def audio_candidate_pairs(feats: DataFrame, cfg: Config) -> DataFrame:
+    """Banded-LSH candidate pairs over energy signatures: (id1, id2).
+
+    Same bucket semantics as the text detectors: per (band_id, band_key)
+    groups of size in (1, bucket_cap] self-join into distinct ordered
+    pairs; singleton buckets emit nothing, over-cap buckets are dropped
+    (bounded fan-out -- the silence-clip hot bucket lands here)."""
+    bands = (
+        feats.where("decode_ok")
+        .select("clip_id", F.posexplode(energy_band_keys(cfg)).alias("band_id", "bkey"))
+    )
+    sizes = bands.groupBy("band_id", "bkey").agg(F.count("*").alias("n"))
+    elig = sizes.where((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap)).select(
+        "band_id", "bkey"
+    )
+    pruned = bands.join(elig, ["band_id", "bkey"])
+    left = pruned.select(F.col("clip_id").alias("id1"), "band_id", "bkey")
+    right = pruned.select(F.col("clip_id").alias("id2"), "band_id", "bkey")
+    return (
+        left.join(right, ["band_id", "bkey"])
+        .where(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
+    )
+
+
+def audio_near_dups(
+    clips: DataFrame,
+    cfg: Config,
+    threshold: float = JACCARD_THRESHOLD,
+    **kw,
+) -> DataFrame:
+    """End-to-end content near-dup pairs: (id1, id2, jaccard).
+
+    jaccard is EXACT over the shingle sets (not the MinHash estimate):
+    the sets are ~n_frames ints, so array_intersect/array_union per
+    surviving pair is cheaper than shipping H signature components --
+    the opposite trade from the text path, where shingle sets are ~100x
+    bigger than signatures."""
+    # three consumers reference this plan (banding + both pair sides);
+    # persist so the Arrow kernel decodes each clip ONCE per run
+    feats = with_energy_signatures(clips, cfg, **kw).persist()
+    pairs = audio_candidate_pairs(feats, cfg)
+    s1 = feats.select(F.col("clip_id").alias("id1"), F.col("shingles").alias("_sh1"))
+    s2 = feats.select(F.col("clip_id").alias("id2"), F.col("shingles").alias("_sh2"))
+    jac = (
+        F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+        / F.size(F.array_union("_sh1", "_sh2"))
+    )
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", jac)
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

@@ -1,0 +1,178 @@
+"""Content-based audio near-dup detector (operators/audio_lsh.py).
+
+Covers: integer symbol kernel parity vs the DuckDB replay formula, the
+shingle encoding, decode-failure/sentinel edge rules, and the end-to-end
+guarantee on the planted corpus -- every trimmed and noised variant is
+paired with its source (perfect recall on the fixture), zero cross-doc
+false positives, and the emitted Jaccard values equal a brute-force numpy
+recomputation.  Full Spark-vs-DuckDB parity at sf0.01 runs in
+tests/test_entry.py (audio_energy_profile / audio_content_near_dups).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark import audio as A
+from locality_sensitive_hashing_spark.operators import audio_lsh as AL
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def test_frame_energy_symbols_match_duckdb_formula():
+    """numpy (frexp exponent + integer shifts) == SQL
+    (length(format('{:b}')) + BIGINT shifts) on adversarial energies:
+    zeros, exact powers of two, boundary +/-1, random."""
+    rng = np.random.default_rng(7)
+    energies = np.array(
+        [0, 1, 2, 3, 4, 7, 8, 9, (1 << 37) - 1, 1 << 37, (1 << 37) + 1]
+        + rng.integers(0, 200 * (1 << 30), 50).tolist(),
+        dtype=np.int64,
+    )
+    # drive the kernel with a synthetic "one sample per frame" signal whose
+    # squares are the target energies? -- no: test the symbol math directly
+    # by reconstructing it from the same formula pieces the kernel uses.
+    bl = np.frexp(energies.astype(np.float64))[1].astype(np.int64)
+    sub = np.left_shift(energies, AL.SUB_BITS) >> np.maximum(bl - 1, 0)
+    expect = np.where(
+        energies > 0, bl * (1 << AL.SUB_BITS) + sub - (1 << AL.SUB_BITS), 0
+    )
+    con = duckdb.connect()
+    vals = ", ".join(f"({i}, {int(e)})" for i, e in enumerate(energies))
+    got = con.sql(
+        f"""
+        WITH e(i, en) AS (VALUES {vals}),
+        b AS (SELECT i, en, CASE WHEN en = 0 THEN 0
+                     ELSE length(format('{{:b}}', en)) END AS bl FROM e)
+        SELECT CASE WHEN en = 0 THEN 0
+               ELSE bl * {1 << AL.SUB_BITS}
+                    + CAST((en * {1 << AL.SUB_BITS}) >> (bl - 1) AS BIGINT)
+                    - {1 << AL.SUB_BITS} END AS q
+        FROM b ORDER BY i
+        """
+    ).fetchnumpy()["q"]
+    assert np.array_equal(got, expect)
+    # and the kernel's own path agrees: a signal with frame_n=1 makes each
+    # sample's square a frame energy
+    samples = np.array([0, 1, -1, 5, -32768, 32767], dtype=np.int64)
+    syms = AL.frame_energy_symbols(samples, frame_n=1, sub_bits=AL.SUB_BITS)
+    e2 = samples * samples
+    bl2 = np.frexp(e2.astype(np.float64))[1].astype(np.int64)
+    sub2 = np.left_shift(e2, AL.SUB_BITS) >> np.maximum(bl2 - 1, 0)
+    exp2 = np.where(e2 > 0, bl2 * 4 + sub2 - 4, 0)
+    assert np.array_equal(syms, exp2)
+
+
+def test_frame_energy_sum_exactness_and_partial_frame():
+    """Frame sums are exact int64 (max-amplitude frame) and the trailing
+    partial frame is its own frame."""
+    ints = np.full(AL.FRAME_N + 3, -32768, dtype=np.int64)
+    syms = AL.frame_energy_symbols(ints)
+    assert syms.size == 2
+
+    def expect_sym(e: int) -> int:
+        bl = e.bit_length()
+        return bl * (1 << AL.SUB_BITS) + ((e << AL.SUB_BITS) >> (bl - 1)) - (
+            1 << AL.SUB_BITS
+        )
+
+    assert syms[0] == expect_sym(AL.FRAME_N * 32768 * 32768)
+    assert syms[1] == expect_sym(3 * 32768 * 32768)
+
+
+def test_shingle_encode_sentinel_and_injectivity():
+    assert AL.shingle_encode(np.array([5, 7], dtype=np.int64)).tolist() == [0]
+    a = AL.shingle_encode(np.array([1, 2, 3, 4], dtype=np.int64))
+    b = AL.shingle_encode(np.array([1, 2, 4, 3], dtype=np.int64))
+    assert a.tolist() != b.tolist()  # order-sensitive grams
+    assert sorted(a.tolist()) == a.tolist()  # sorted distinct
+    # distinct: repeated grams collapse
+    c = AL.shingle_encode(np.array([9, 9, 9, 9, 9], dtype=np.int64))
+    assert c.size == 1
+
+
+def test_decode_edge_rules(spark, cfg):
+    """Non-canonical/truncated blobs -> decode_ok false; short-but-valid
+    clips (< k frames) -> the {0} shingle sentinel; zero-length data ->
+    decode_ok false (matches the oracle's canon AND n_frames > 0 rule)."""
+    rng = np.random.default_rng(3)
+    good = A.encode_wav(A.synth_pcm(rng, 8000, 250), 8000, "pcm_s16le")
+    # a valid 2-frame clip: fewer than SHINGLE_K frames -> sentinel
+    short = A.encode_wav(np.full(AL.FRAME_N * 2, 0.5), 8000, "pcm_s16le")
+    f32 = A.encode_wav(np.zeros(100) + 0.1, 8000, "pcm_f32le")
+    empty = A.encode_wav(np.zeros(0), 8000, "pcm_s16le")
+    rows = [
+        ("good", good), ("short", short), ("tag3", f32),
+        ("empty", empty), ("junk", b"\x00\x01"), ("truncated", good[:-10]),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes"])
+    )
+    out = {
+        r["clip_id"]: r
+        for r in AL.with_energy_signatures(df, cfg).collect()
+    }
+    assert out["good"]["decode_ok"] and len(out["good"]["syms"]) == 10
+    assert out["short"]["decode_ok"] and out["short"]["shingles"] == [0]
+    for bad in ("tag3", "empty", "junk", "truncated"):
+        assert not out[bad]["decode_ok"], bad
+        assert out[bad]["shingles"] == []
+
+
+@pytest.fixture(scope="module")
+def planted_corpus(spark):
+    from locality_sensitive_hashing_spark.fixtures import audio_dup_clips_df
+
+    clips = audio_dup_clips_df(spark, SF_SMALL, seed=42, limit=200).cache()
+    clips.count()
+    return clips
+
+
+def test_planted_recall_and_no_false_positives(spark, cfg, planted_corpus):
+    """Every planted trim ('t') and noise ('z') variant pairs with its
+    source; NO pair crosses documents (the detector's false-positive rate
+    on 200 independent enveloped clips is exactly zero)."""
+    got = AL.audio_near_dups(planted_corpus, cfg).toPandas()
+    ids = [r["clip_id"] for r in planted_corpus.select("clip_id").collect()]
+    planted_t = {i for i in ids if i.endswith("t")}
+    planted_z = {i for i in ids if i.endswith("z")}
+    pairs = {(a, b) for a, b in zip(got.id1, got.id2)}
+    for t in planted_t:
+        assert (t[:-1] + "b", t) in pairs, f"trim pair missing for {t}"
+    for z in planted_z:
+        assert (z[:-1] + "b", z) in pairs, f"noise pair missing for {z}"
+    for a, b in pairs:
+        assert a[:9] == b[:9], f"cross-document false positive {a},{b}"
+    # jaccard values: trimmed pairs must sit in the tuned band, and every
+    # value matches a brute-force numpy recomputation from the bytes
+    feats = {
+        r["clip_id"]: set(r["shingles"])
+        for r in AL.with_energy_signatures(planted_corpus, cfg).collect()
+    }
+    for row in got.itertuples(index=False):
+        s1, s2 = feats[row.id1], feats[row.id2]
+        assert row.jaccard == len(s1 & s2) / len(s1 | s2)
+    trim_j = got[got.id2.str.endswith("t") & got.id1.str.endswith("b")].jaccard
+    assert (trim_j > 0.5).all() and (trim_j < 1.0).all()
+
+
+def test_single_python_crossing(spark, cfg, planted_corpus):
+    """The whole detector crosses into Python once: the persisted feature
+    table is the only ArrowEvalPython, and `bytes` never reaches any
+    exchange (pruned immediately after the kernel)."""
+    import re
+
+    plan = AL.audio_near_dups(planted_corpus, cfg)._jdf.queryExecution().executedPlan().toString()
+    # every ArrowEvalPython occurrence in the plan string is the SAME
+    # persisted node (one distinct expression id), re-printed under each
+    # InMemoryTableScan that references the cache -- i.e. one decode pass
+    kernel_ids = set(re.findall(r"compute\(bytes#\d+\)#(\d+)", plan))
+    assert len(kernel_ids) == 1, f"multiple decode kernels: {kernel_ids}"
+    assert "InMemoryRelation" in plan  # the single pass is cached
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line
