@@ -102,6 +102,8 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "audio_features": ["audio_clips"],
     "audio_energy_profile": ["audio_lsh_clips"],
     "audio_content_near_dups": ["audio_lsh_clips"],
+    "audio_content_clusters": ["audio_lsh_clips"],
+    "audio_eval_planted_recall": ["audio_lsh_clips"],
     "mismatched_transcripts": ["mm_clips"],
     "keep_best_quality": ["pipeline_edges", "pipeline_nodes", "mm_clips"],
 }
@@ -1080,8 +1082,9 @@ FROM hdr h LEFT JOIN feat f USING (clip_id)
 # (no hash kernel to trust at all), and the MinHash family is the same
 # seed-pinned _UHASH_VALUES literal the text oracle uses.  The only aux
 # table is the corpus itself (audio_lsh_clips).
-_ALSH_DECODE = f"""
-WITH raw AS (SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+# CTE list WITHOUT the leading WITH so the cluster/eval oracles can embed
+# it under WITH RECURSIVE (same trick as _PIPE_CLOSURE above).
+_ALSH_CTES = f"""raw AS (SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
              FROM {_aux_rp('audio_lsh_clips')}),
 hdr AS (SELECT clip_id, hx,
     (nb >= 44 AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
@@ -1114,17 +1117,10 @@ sym AS (SELECT clip_id, f,
               FROM nrg))
 """
 
-ORACLE_SQL.update({
-    "audio_energy_profile": _ALSH_DECODE + """,
-agg AS (SELECT clip_id, count(*) AS n_frames,
-               string_agg(q::VARCHAR, ' ' ORDER BY f) AS estr
-        FROM sym GROUP BY clip_id)
-SELECT h.clip_id, (h.canon AND coalesce(a.n_frames, 0) > 0) AS decode_ok,
-       coalesce(a.n_frames, 0)::int AS n_frames,
-       coalesce(a.estr, '') AS esyms
-FROM hdr h LEFT JOIN agg a USING (clip_id)
-""",
-    "audio_content_near_dups": _ALSH_DECODE + f""",
+# decode chain + the full LSH pair derivation, ending in `vpairs`
+# (threshold-filtered verified pairs) -- shared by the near-dup, cluster,
+# and planted-recall oracles.
+_ALSH_PAIRS = _ALSH_CTES + f""",
 nf AS (SELECT clip_id, count(*) AS n_frames FROM sym GROUP BY clip_id),
 sh0 AS (SELECT clip_id,
           (q::BIGINT * {AL.SYM_BASE ** 2}
@@ -1153,14 +1149,63 @@ card AS (SELECT clip_id, count(*) AS nc FROM shg GROUP BY clip_id),
 inter AS (SELECT p.id1, p.id2, count(*) AS ni
           FROM pairs p JOIN shg s1 ON s1.clip_id = p.id1
                        JOIN shg s2 ON s2.clip_id = p.id2 AND s2.shingle = s1.shingle
-          GROUP BY p.id1, p.id2)
-SELECT id1, id2, jaccard FROM (
+          GROUP BY p.id1, p.id2),
+vpairs AS (SELECT id1, id2, jaccard FROM (
   SELECT p.id1, p.id2,
          coalesce(i.ni, 0) * 1.0 / (c1.nc + c2.nc - coalesce(i.ni, 0)) AS jaccard
   FROM pairs p JOIN card c1 ON c1.clip_id = p.id1
                JOIN card c2 ON c2.clip_id = p.id2
                LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2)
-WHERE jaccard >= {AL.JACCARD_THRESHOLD}
+  WHERE jaccard >= {AL.JACCARD_THRESHOLD})"""
+
+# transitive closure over the verified audio pairs (node universe = every
+# clip in the corpus; undecodable clips label themselves) -- O21 semantics
+# re-derived on the audio axis
+_ALSH_CLUSTERS = f"""{_ALSH_PAIRS},
+edge_sym AS (SELECT id1 AS src, id2 AS dst FROM vpairs
+             UNION SELECT id2, id1 FROM vpairs),
+anodes AS (SELECT clip_id AS node FROM raw),
+reach(node, lbl) AS (
+    SELECT node, node FROM anodes
+    UNION
+    SELECT e.dst, r.lbl FROM reach r JOIN edge_sym e ON e.src = r.node
+),
+acl AS (SELECT node AS clip_id, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+ORACLE_SQL.update({
+    "audio_energy_profile": "WITH " + _ALSH_CTES + """,
+agg AS (SELECT clip_id, count(*) AS n_frames,
+               string_agg(q::VARCHAR, ' ' ORDER BY f) AS estr
+        FROM sym GROUP BY clip_id)
+SELECT h.clip_id, (h.canon AND coalesce(a.n_frames, 0) > 0) AS decode_ok,
+       coalesce(a.n_frames, 0)::int AS n_frames,
+       coalesce(a.estr, '') AS esyms
+FROM hdr h LEFT JOIN agg a USING (clip_id)
+""",
+    "audio_content_near_dups": "WITH " + _ALSH_PAIRS + """
+SELECT id1, id2, jaccard FROM vpairs
+""",
+    "audio_content_clusters": "WITH RECURSIVE " + _ALSH_CLUSTERS + """
+SELECT clip_id, cluster_id FROM acl
+""",
+    # planted truth re-derived from the clip-id grammar alone (base ids
+    # end 'b', head-trim variants 't', noisy re-masters 'z' -- fixture
+    # audio_dup_clips_df): a variant scores a hit iff the closure put it
+    # in its source clip's cluster.  Content-axis counterpart of
+    # eval_planted_recall.
+    "audio_eval_planted_recall": "WITH RECURSIVE " + _ALSH_CLUSTERS + """,
+p AS (SELECT substring(clip_id, 1, length(clip_id) - 1) || 'b' AS src_id,
+             CASE WHEN clip_id LIKE '%t' THEN 'trim' ELSE 'noise' END AS dup_class,
+             cluster_id AS c1
+      FROM acl WHERE clip_id LIKE '%t' OR clip_id LIKE '%z'),
+j AS (SELECT p.dup_class, p.c1, c.cluster_id AS c2
+      FROM p JOIN acl c ON c.clip_id = p.src_id),
+agg AS (SELECT dup_class, count(*) AS n_truth,
+               CAST(sum(CASE WHEN c1 = c2 THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        FROM j GROUP BY dup_class)
+SELECT dup_class, n_truth, n_hit,
+       round(n_hit * 1.0 / n_truth, 6) AS recall
+FROM agg
 """,
 })
 
@@ -1569,6 +1614,49 @@ def q_audio_content_near_dups(spark, sf_dir):
     return AL.audio_near_dups(clips, CFG)
 
 
+def q_audio_content_clusters(spark, sf_dir):
+    """Audio-content dedup clusters: O21 connected components over the
+    frame-energy LSH verified pairs, node universe = every clip in the
+    corpus (undecodable clips label themselves).  The oracle replays
+    detector AND closure from raw bytes: decode -> ... -> pairs ->
+    recursive-CTE transitive closure, min-id labels."""
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    clips = _audio_lsh_aux(spark, sf_dir)
+    pairs = AL.audio_near_dups(clips, CFG).select("id1", "id2")
+    return connected_components(pairs, clips.select("clip_id"), CFG)
+
+
+def q_audio_eval_planted_recall(spark, sf_dir):
+    """O27 on the content axis: per-class recall of the PLANTED audio
+    truth (head-trim 't' / 40 dB-noise 'z' variants of base clips 'b' --
+    the id grammar of fixtures.audio_dup_clips_df).  A variant is a hit
+    iff it clusters with its source.  The oracle re-derives truth (string
+    functions of clip_id) and clustering (closure) independently."""
+    clusters = q_audio_content_clusters(spark, sf_dir)
+    planted = clusters.where(F.col("clip_id").rlike("[tz]$")).select(
+        F.concat(
+            F.expr("substring(clip_id, 1, length(clip_id)-1)"), F.lit("b")
+        ).alias("src_id"),
+        F.when(F.col("clip_id").endswith("t"), F.lit("trim"))
+        .otherwise(F.lit("noise")).alias("dup_class"),
+        F.col("cluster_id").alias("c1"),
+    )
+    src = clusters.select(
+        F.col("clip_id").alias("src_id"), F.col("cluster_id").alias("c2")
+    )
+    agg = planted.join(src, "src_id").groupBy("dup_class").agg(
+        F.count("*").alias("n_truth"),
+        F.sum((F.col("c1") == F.col("c2")).cast("long")).alias("n_hit"),
+    )
+    return agg.select(
+        "dup_class", "n_truth", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
 _MM_AUX_DONE: set[str] = set()
 
 
@@ -1686,6 +1774,8 @@ QUERIES_SQL_CHECKED = {
     "audio_features": q_audio_features,
     "audio_energy_profile": q_audio_energy_profile,
     "audio_content_near_dups": q_audio_content_near_dups,
+    "audio_content_clusters": q_audio_content_clusters,
+    "audio_eval_planted_recall": q_audio_eval_planted_recall,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

@@ -160,6 +160,31 @@ def test_planted_recall_and_no_false_positives(spark, cfg, planted_corpus):
     assert (trim_j > 0.5).all() and (trim_j < 1.0).all()
 
 
+def test_content_clusters_group_variants_with_source(spark, cfg, planted_corpus):
+    """Connected components over the verified audio pairs: every planted
+    variant lands in its source clip's cluster (doc 0 has base+trim+noise
+    -- a 3-node component joined through the base), labels are min-id, and
+    no cluster spans documents."""
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = AL.audio_near_dups(planted_corpus, cfg).select("id1", "id2")
+    labels = {
+        r["clip_id"]: r["cluster_id"]
+        for r in connected_components(
+            pairs, planted_corpus.select("clip_id"), cfg
+        ).collect()
+    }
+    assert len(labels) == 269
+    for cid, lbl in labels.items():
+        if cid.endswith(("t", "z")):
+            assert lbl == labels[cid[:-1] + "b"], cid
+        assert lbl[:9] == cid[:9], f"cluster spans documents: {cid} -> {lbl}"
+    # doc 0: b < t < z lexically, so the shared min-id label is the base
+    assert labels["a00000000t"] == labels["a00000000z"] == "a00000000b"
+
+
 def test_single_python_crossing(spark, cfg, planted_corpus):
     """The whole detector crosses into Python once: the persisted feature
     table is the only ArrowEvalPython, and `bytes` never reaches any
