@@ -185,6 +185,34 @@ def test_content_clusters_group_variants_with_source(spark, cfg, planted_corpus)
     assert labels["a00000000t"] == labels["a00000000z"] == "a00000000b"
 
 
+def test_silence_hot_bucket_is_capped_not_exploded(spark, cfg):
+    """The degenerate energy profile: N digital-silence clips all quantize
+    to the identical all-zero symbol sequence, so every band key collides
+    into ONE bucket.  With N > bucket_cap that bucket must be dropped
+    (bounded fan-out), emitting ZERO pairs instead of N^2/2 -- the
+    audio-axis analogue of the text path's hot-bucket cap."""
+    n = cfg.bucket_cap + 36
+    rng = np.random.default_rng(11)
+    silent = A.encode_wav(np.zeros(8000 // 2), 8000, "pcm_s16le")
+    rows = [(f"s{i:05d}", silent) for i in range(n)]
+    # two real near-dup clips so the detector provably still works in the
+    # same run (the cap drops the silence bucket, not the corpus)
+    pcm = A.synth_pcm(rng, 8000, 500) * np.interp(
+        np.arange(4000), np.linspace(0, 3999, 10), rng.uniform(0.05, 1.0, 10)
+    )
+    rows.append(("real0b", A.encode_wav(pcm, 8000, "pcm_s16le")))
+    rows.append(("real0t", A.encode_wav(pcm[800:], 8000, "pcm_s16le")))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["clip_id", "bytes"]))
+    got = AL.audio_near_dups(df, cfg).toPandas()
+    assert set(zip(got.id1, got.id2)) == {("real0b", "real0t")}
+    # and silence pairs nothing even below the cap's pair stage: the
+    # candidate layer itself emits no silence pair
+    cands = AL.audio_candidate_pairs(
+        AL.with_energy_signatures(df, cfg), cfg
+    ).toPandas()
+    assert not cands.id1.str.startswith("s").any()
+
+
 def test_single_python_crossing(spark, cfg, planted_corpus):
     """The whole detector crosses into Python once: the persisted feature
     table is the only ArrowEvalPython, and `bytes` never reaches any
