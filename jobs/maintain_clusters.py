@@ -13,12 +13,20 @@ the incremental operators:
 - ALL not-yet-processed committed batches are processed as ONE combined
   pending set per run: they contribute candidate pairs ONLY from
   blocking groups the set touches (`incremental_pairs_from_blocks` over
-  BOTH text detectors the intake store materializes: MinHash band
-  buckets from the signature store and SimHash pigeonhole chunks from
-  the fingerprint store), verified by est-Jaccard-OR-Hamming -- the
-  batch pipeline's text screen minus the suffix-array detector, whose
-  anchor candidacy without its LCS verify would create false edges
-  (running the SA verify belongs to the full batch pipeline).
+  the detectors the intake store materializes: MinHash band buckets
+  from the signature store, SimHash pigeonhole chunks from the
+  fingerprint store, and frame-energy tuple bands from the per-payload
+  energy store), verified by est-Jaccard-OR-Hamming for the text axis
+  and exact shingle-Jaccard for the audio axis -- the batch pipeline's
+  screen minus the suffix-array detector, whose anchor candidacy
+  without its LCS verify would create false edges (running the SA
+  verify belongs to the full batch pipeline).  The AUDIO axis adds two
+  text-key edge classes (`_audio_text_edges`): byte-identical payloads
+  shared across transcripts (star edges over the keyed store -- the
+  incremental counterpart of the batch pipeline's audio content
+  classes) and energy-LSH near-dup payloads (head-trimmed / noisy
+  re-masters under different transcripts, which no text detector can
+  pair).  Stores written before the energy table existed run text-only.
   Combining is free: the state manifest commits once per run either
   way (so per-batch looping adds no resumability), and CC edge folding
   is order-independent, while a per-batch loop would scan the prior
@@ -172,6 +180,14 @@ def main() -> int:
         new_nodes = sigs.select(F.col("text_key").alias("clip_id"))
         prior_sig = batch_paths(args.store, "signatures", sorted(done))
         prior_fp = batch_paths(args.store, "fingerprints", sorted(done))
+        # audio axis is present iff the intake store materialized the
+        # energy table (stores written before it existed stay readable:
+        # the job simply runs text-only against them)
+        has_audio = os.path.isdir(os.path.join(args.store, "energy"))
+        if has_audio:
+            en = spark.read.parquet(*batch_paths(args.store, "energy", todo))
+            keyed_new = spark.read.parquet(
+                *batch_paths(args.store, "keyed", todo))
         if store is None:
             # bootstrap: no standing assignment -- the pending set
             # clusters from scratch (its own in-set pairs via the same
@@ -180,6 +196,11 @@ def main() -> int:
                 cfg, sigs, sigs.limit(0), fps, fps.limit(0)
             ).localCheckpoint()  # feeds endpoint broadcast + final join
             edges = _screened_edges(pairs, sigs, sigs, fps, fps, est, cfg)
+            if has_audio:
+                apairs = _energy_pairs(cfg, en, en.limit(0)).localCheckpoint()
+                edges = edges.unionByName(_audio_text_edges(
+                    apairs, en, en.limit(0), keyed_new, keyed_new, cfg
+                )).distinct()
             base = connected_components(edges, new_nodes, cfg)
             store = ClusterStore(base.localCheckpoint())
             base_new = True
@@ -192,6 +213,15 @@ def main() -> int:
             edges = _screened_edges(
                 pairs, sigs, old_sigs, fps, old_fps, est, cfg
             )
+            if has_audio:
+                old_en = spark.read.parquet(
+                    *batch_paths(args.store, "energy", sorted(done)))
+                keyed_all = spark.read.parquet(*batch_paths(
+                    args.store, "keyed", sorted(done | set(todo))))
+                apairs = _energy_pairs(cfg, en, old_en).localCheckpoint()
+                edges = edges.unionByName(_audio_text_edges(
+                    apairs, en, old_en, keyed_all, keyed_new, cfg
+                )).distinct()
             store.apply_batch(edges, new_nodes, cfg)
         done.update(todo)
 
@@ -222,6 +252,99 @@ def main() -> int:
     n = read_current(spark, args.workdir).count()
     print(json.dumps({"status": "ok", "n_assigned": n, **new_state}))
     return 0
+
+
+def _energy_pairs(cfg, new_en, old_en):
+    """Frame-energy LSH incremental candidates over DISTINCT PAYLOADS
+    (the intake store's one-row-per-audio_key energy table): tuple-band
+    blocking (audio_lsh.explode_energy_bands) restricted to blocks the
+    pending set touches -- the audio analog of the MinHash/SimHash block
+    pairing, same bucket-cap-at-emission semantics."""
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        explode_energy_bands,
+    )
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+    )
+
+    en = incremental_pairs_from_blocks(
+        explode_energy_bands(new_en, cfg, id_col="audio_key"),
+        explode_energy_bands(old_en, cfg, id_col="audio_key"),
+        ["band_id", "bkey"], cfg.bucket_cap, "en", id_col="audio_key",
+    )
+    return en.select("id1", "id2")
+
+
+def _audio_text_edges(apairs, new_en, old_en, keyed_all, keyed_pending, cfg):
+    """Audio-axis edges in TEXT-KEY space, two dup classes:
+
+    (a) EXACT -- an audio_key shared by clips with different transcripts:
+        star edges from the key's min text_key to its other text_keys
+        (byte equality via the sha2 content key -- stronger than any
+        decode verify).  Emitted for every audio_key the pending set
+        touches, resolved over the FULL keyed store, so a payload
+        republished under a new transcript merges with every transcript
+        it ever appeared under, whichever batch they landed in.
+    (b) NEAR-DUP -- energy-LSH candidate pairs verified by EXACT Jaccard
+        over the stored shingle sets (>= audio_lsh.JACCARD_THRESHOLD,
+        JVM array_intersect/array_union -- no Python), endpoints mapped
+        through the same min-text_key representative; the star edges
+        make the representative choice immaterial to the components.
+
+    Scale shape: candidate pairs and the pending/endpoint audio_key sets
+    are batch-scale and BROADCAST; the corpus-scale energy and keyed
+    stores are semi-restricted map-side before any shuffle (the
+    _screened_edges discipline).  ``apairs`` must be materialized by the
+    caller (it feeds the endpoint broadcast and the verify join)."""
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.operators import audio_lsh as AL
+
+    eps = (
+        apairs.select(F.col("id1").alias("audio_key"))
+        .unionByName(apairs.select(F.col("id2").alias("audio_key")))
+        .distinct()
+    )
+    en_all = (
+        old_en.select("audio_key", "shingles")
+        .unionByName(new_en.select("audio_key", "shingles"))
+        .join(F.broadcast(eps), "audio_key")
+    )
+    s1 = en_all.select(
+        F.col("audio_key").alias("id1"), F.col("shingles").alias("_h1"))
+    s2 = en_all.select(
+        F.col("audio_key").alias("id2"), F.col("shingles").alias("_h2"))
+    jac = (
+        F.size(F.array_intersect("_h1", "_h2")).cast("double")
+        / F.size(F.array_union("_h1", "_h2"))
+    )
+    vpairs = (
+        apairs.join(s1, "id1").join(s2, "id2")
+        .where(jac >= AL.JACCARD_THRESHOLD)
+        .select("id1", "id2")
+    )
+    touched = (
+        keyed_pending.select("audio_key").unionByName(eps).distinct()
+    )
+    a2t = (
+        keyed_all.select("audio_key", "text_key")
+        .join(F.broadcast(touched), "audio_key")
+        .distinct()
+    )
+    rep = a2t.groupBy("audio_key").agg(F.min("text_key").alias("rep"))
+    stars = (
+        a2t.join(rep, "audio_key")
+        .where(F.col("text_key") != F.col("rep"))
+        .select(F.col("rep").alias("id1"), F.col("text_key").alias("id2"))
+    )
+    r1 = rep.select(F.col("audio_key").alias("id1"), F.col("rep").alias("_t1"))
+    r2 = rep.select(F.col("audio_key").alias("id2"), F.col("rep").alias("_t2"))
+    near = (
+        vpairs.join(r1, "id1").join(r2, "id2")
+        .where(F.col("_t1") != F.col("_t2"))
+        .select(F.col("_t1").alias("id1"), F.col("_t2").alias("id2"))
+    )
+    return stars.unionByName(near).distinct()
 
 
 def _batch_pairs(cfg, new_sigs, old_sigs, new_fps, old_fps):

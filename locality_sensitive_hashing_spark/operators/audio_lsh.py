@@ -200,21 +200,38 @@ def energy_signature_udf(
     return compute
 
 
-def with_energy_signatures(clips: DataFrame, cfg: Config, **kw) -> DataFrame:
-    """(clip_id, decode_ok, syms, shingles, sig) -- bytes pruned after the
+def with_energy_signatures(
+    clips: DataFrame, cfg: Config, id_col: str = "clip_id", **kw
+) -> DataFrame:
+    """(id_col, decode_ok, syms, shingles, sig) -- bytes pruned after the
     kernel (the select keeps Catalyst from carrying the payload into any
-    downstream shuffle, same discipline as minhash.with_signatures)."""
+    downstream shuffle, same discipline as minhash.with_signatures).
+    ``id_col='audio_key'`` is the intake-store shape: one row per distinct
+    payload, so the kernel runs once per unique audio."""
     udf = energy_signature_udf(cfg, **kw)
     return (
-        clips.select("clip_id", "bytes")
+        clips.select(id_col, "bytes")
         .withColumn("_e", udf(F.col("bytes")))
         .select(
-            "clip_id",
+            id_col,
             F.col("_e.decode_ok").alias("decode_ok"),
             F.col("_e.syms").alias("syms"),
             F.col("_e.shingles").alias("shingles"),
             F.col("_e.sig").alias("sig"),
         )
+    )
+
+
+def explode_energy_bands(
+    feats: DataFrame, cfg: Config, id_col: str = "clip_id"
+) -> DataFrame:
+    """(id, band_id, bkey) blocking rows for the incremental path --
+    the energy analog of minhash.explode_bands, emitting the tuple band
+    keys of :func:`energy_band_keys`.  Undecodable rows (empty sig) emit
+    nothing."""
+    return (
+        feats.where("decode_ok")
+        .select(id_col, F.posexplode(energy_band_keys(cfg)).alias("band_id", "bkey"))
     )
 
 
@@ -237,10 +254,7 @@ def audio_candidate_pairs(feats: DataFrame, cfg: Config) -> DataFrame:
     groups of size in (1, bucket_cap] self-join into distinct ordered
     pairs; singleton buckets emit nothing, over-cap buckets are dropped
     (bounded fan-out -- the silence-clip hot bucket lands here)."""
-    bands = (
-        feats.where("decode_ok")
-        .select("clip_id", F.posexplode(energy_band_keys(cfg)).alias("band_id", "bkey"))
-    )
+    bands = explode_energy_bands(feats, cfg)
     sizes = bands.groupBy("band_id", "bkey").agg(F.count("*").alias("n"))
     elig = sizes.where((F.col("n") > 1) & (F.col("n") <= cfg.bucket_cap)).select(
         "band_id", "bkey"

@@ -37,7 +37,7 @@ from locality_sensitive_hashing_spark.operators.simhash import with_fingerprint
 from locality_sensitive_hashing_spark.operators.textgroup import with_content_keys
 from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA
 
-STORE_TABLES = ("keyed", "signatures", "fingerprints")
+STORE_TABLES = ("keyed", "signatures", "fingerprints", "energy")
 
 _BATCH_MANIFEST = "MANIFEST"
 
@@ -212,6 +212,33 @@ class BatchIngestor:
         with_fingerprint(
             texts, text_col="norm", id_col="text_key"
         ).write.mode("overwrite").parquet(out("fingerprints"))
+        # audio axis: one frame-energy row per NEW distinct payload
+        # (audio_key = sha2(bytes), so every representative of a key has
+        # identical bytes -- any row is THE canonical input).  Same
+        # dedup-vs-other-committed-batches contract as signatures, so the
+        # energy store stays one-row-per-distinct-audio and incremental
+        # audio blocking (jobs/maintain_clusters._energy_pairs) sees
+        # disjoint new/old key sets.
+        audio = (
+            batch_df.select(
+                F.substring(F.sha2(F.col("bytes"), 256), 1, 32).alias(
+                    "audio_key"
+                ),
+                "bytes",
+            )
+            .dropDuplicates(["audio_key"])
+        )
+        prior_e = self._other_subdirs("energy", sub)
+        if prior_e:
+            existing_a = self.spark.read.parquet(*prior_e).select("audio_key")
+            audio = audio.join(existing_a, "audio_key", "left_anti")
+        from locality_sensitive_hashing_spark.operators.audio_lsh import (
+            with_energy_signatures,
+        )
+
+        with_energy_signatures(audio, self.cfg, id_col="audio_key").select(
+            "audio_key", "decode_ok", "shingles", "sig"
+        ).write.mode("overwrite").parquet(out("energy"))
         keyed.unpersist()
         open(self._marker(batch_id), "w").close()  # commit point
         n_markers = sum(
@@ -235,7 +262,9 @@ def incremental_signatures(
     Output layout under ``output_dir`` (read via :func:`read_store`):
     ``keyed/b<id>/`` (clip_id, text_key, audio_key), ``signatures/b<id>/``
     (text_key, norm, sig, band_hashes), ``fingerprints/b<id>/``
-    (text_key, fingerprint), plus ``_batches/<id>`` commit markers --
+    (text_key, fingerprint), ``energy/b<id>/`` (audio_key, decode_ok,
+    shingles, sig -- frame-energy LSH features, one row per new distinct
+    payload), plus ``_batches/<id>`` commit markers --
     replay semantics per :class:`BatchIngestor`.
     """
     os.makedirs(output_dir, exist_ok=True)

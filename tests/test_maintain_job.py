@@ -48,20 +48,31 @@ def _run_job(store, workdir, *extra):
 
 def _reference(spark, store_dir, ids):
     """From-scratch: capped blocking pairs over ALL committed signatures
-    AND fingerprints (both detectors the job uses), est-Jaccard-OR-
-    Hamming screen, full CC -- what the incremental job must equal."""
+    AND fingerprints (both text detectors the job uses), est-Jaccard-OR-
+    Hamming screen, PLUS the audio axis (exact-payload star edges over
+    the keyed store and Jaccard-verified energy-LSH near-dups, rebuilt
+    with the non-incremental blocking variant), full CC -- what the
+    incremental job must equal."""
+    from locality_sensitive_hashing_spark.operators import audio_lsh as AL
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        explode_energy_bands,
+    )
     from locality_sensitive_hashing_spark.operators.simhash import (
         explode_chunks,
         hamming_distance,
     )
     from locality_sensitive_hashing_spark.streaming.incremental import read_batch
 
-    sigs, fps = None, None
+    sigs, fps, en, keyed = None, None, None, None
     for i in ids:
         bs = read_batch(spark, store_dir, "signatures", i)
         bf = read_batch(spark, store_dir, "fingerprints", i)
+        be = read_batch(spark, store_dir, "energy", i)
+        bk = read_batch(spark, store_dir, "keyed", i)
         sigs = bs if sigs is None else sigs.unionByName(bs)
         fps = bf if fps is None else fps.unionByName(bf)
+        en = be if en is None else en.unionByName(be)
+        keyed = bk if keyed is None else keyed.unionByName(bk)
     mh = pairs_from_blocks(
         explode_bands(sigs, id_col="text_key"), ["band_id", "band_hash"],
         CFG.bucket_cap, "mh", id_col="text_key",
@@ -87,6 +98,44 @@ def _reference(spark, store_dir, ids):
         )
         .select("id1", "id2")
     )
+    # audio axis, from scratch: every audio_key's text fan-out stars from
+    # its min text_key; energy-LSH candidates over the full energy store
+    # verified by exact shingle Jaccard, endpoints mapped through the
+    # same representative
+    apairs = pairs_from_blocks(
+        explode_energy_bands(en, CFG, id_col="audio_key"),
+        ["band_id", "bkey"], CFG.bucket_cap, "en", id_col="audio_key",
+    ).select("id1", "id2")
+    h1 = en.select(F.col("audio_key").alias("id1"),
+                   F.col("shingles").alias("_h1"))
+    h2 = en.select(F.col("audio_key").alias("id2"),
+                   F.col("shingles").alias("_h2"))
+    jac = (
+        F.size(F.array_intersect("_h1", "_h2")).cast("double")
+        / F.size(F.array_union("_h1", "_h2"))
+    )
+    vpairs = (
+        apairs.join(h1, "id1").join(h2, "id2")
+        .where(jac >= AL.JACCARD_THRESHOLD)
+        .select("id1", "id2")
+    )
+    a2t = keyed.select("audio_key", "text_key").distinct()
+    rep = a2t.groupBy("audio_key").agg(F.min("text_key").alias("rep"))
+    stars = (
+        a2t.join(rep, "audio_key")
+        .where(F.col("text_key") != F.col("rep"))
+        .select(F.col("rep").alias("id1"), F.col("text_key").alias("id2"))
+    )
+    near = (
+        vpairs
+        .join(rep.select(F.col("audio_key").alias("id1"),
+                         F.col("rep").alias("_t1")), "id1")
+        .join(rep.select(F.col("audio_key").alias("id2"),
+                         F.col("rep").alias("_t2")), "id2")
+        .where(F.col("_t1") != F.col("_t2"))
+        .select(F.col("_t1").alias("id1"), F.col("_t2").alias("id2"))
+    )
+    edges = edges.unionByName(stars).unionByName(near).distinct()
     nodes = sigs.select(F.col("text_key").alias("clip_id"))
     return connected_components(edges, nodes, CFG)
 
@@ -214,6 +263,65 @@ def test_screened_edges_corpus_restriction_broadcasts(spark):
     assert plan.count("SortMergeJoin") == 4, plan
     # and the screen itself still evaluates correctly on the tiny graph
     assert [(r.id1, r.id2) for r in edges.collect()] == [("a", "b")]
+
+
+def test_maintain_job_audio_axis_cross_batch(spark, cfg):
+    """The audio axis pairs what no text detector can: a byte-identical
+    payload republished under an unrelated transcript in a LATER batch
+    (exact star edge over the keyed store) and a head-trimmed re-master
+    under yet another transcript (energy-LSH near edge). Both must merge
+    into the source clip's cluster across batch boundaries; an unrelated
+    clip stays alone."""
+    import numpy as np
+
+    import locality_sensitive_hashing_spark.audio as A
+    from locality_sensitive_hashing_spark.fixtures import synth_env_pcm
+    from locality_sensitive_hashing_spark.streaming.incremental import (
+        read_store,
+    )
+
+    root = tempfile.mkdtemp(prefix="lsh_maintain_audio_")
+    store = os.path.join(root, "intake")
+    wd = os.path.join(root, "clusters")
+    os.makedirs(wd)
+
+    rng = np.random.default_rng(11)
+    sr = 8000
+    pcm1 = synth_env_pcm(rng, sr, 500)
+    pcm2 = synth_env_pcm(rng, sr, 500)
+    raw1 = A.encode_wav(pcm1, sr, "pcm_s16le")
+    raw1_trim = A.encode_wav(pcm1[800:], sr, "pcm_s16le")
+    raw2 = A.encode_wav(pcm2, sr, "pcm_s16le")
+    t = {
+        "c0": "alpha bravo charlie delta echo foxtrot golf hotel india",
+        "c1": "nine quiet turtles crossed the frozen river before dawn",
+        "c2": "republished catalogue entry with a brand new caption today",
+        "c3": "trimmed re-master uploaded by the evening archive mirror",
+    }
+    rows0 = [("c0", raw1, sr, 500, "pcm_s16le", t["c0"]),
+             ("c1", raw2, sr, 500, "pcm_s16le", t["c1"])]
+    rows1 = [("c2", raw1, sr, 500, "pcm_s16le", t["c2"]),
+             ("c3", raw1_trim, sr, 400, "pcm_s16le", t["c3"])]
+
+    from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA
+
+    ing = BatchIngestor(spark, store, cfg)
+    ing.process(spark.createDataFrame(rows0, CLIPS_SCHEMA), 0)
+    _run_job(store, wd)
+    ing.process(spark.createDataFrame(rows1, CLIPS_SCHEMA), 1)
+    _run_job(store, wd)
+
+    key_of = {r.clip_id: r.text_key
+              for r in read_store(spark, store, "keyed").collect()}
+    assign = _assign(MJ.read_current(spark, wd))
+    # exact audio (c2) and trimmed audio (c3) merge with the source c0
+    assert assign[key_of["c2"]] == assign[key_of["c0"]]
+    assert assign[key_of["c3"]] == assign[key_of["c0"]]
+    # the unrelated clip stays in its own singleton cluster
+    assert assign[key_of["c1"]] == key_of["c1"]
+    assert len({assign[key_of[c]] for c in ("c0", "c1")}) == 2
+    # and the job still equals the from-scratch reference on this corpus
+    assert assign == _assign(_reference(spark, store, [0, 1]))
 
 
 def test_maintain_job_crash_before_manifest_resumes(spark, cfg, monkeypatch):
