@@ -104,6 +104,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "audio_content_near_dups": ["audio_lsh_clips"],
     "audio_content_clusters": ["audio_lsh_clips"],
     "audio_eval_planted_recall": ["audio_lsh_clips"],
+    "incremental_audio_clusters": ["audio_lsh_clips"],
     "mismatched_transcripts": ["mm_clips"],
     "keep_best_quality": ["pipeline_edges", "pipeline_nodes", "mm_clips"],
 }
@@ -1119,8 +1120,12 @@ sym AS (SELECT clip_id, f,
 
 # decode chain + the full LSH pair derivation, ending in `vpairs`
 # (threshold-filtered verified pairs) -- shared by the near-dup, cluster,
-# and planted-recall oracles.
-_ALSH_PAIRS = _ALSH_CTES + f""",
+# and planted-recall oracles.  Parameterized by the bucket cap so the
+# incremental-equality oracle can run uncapped (cap semantics under
+# append-only emission legitimately diverge from a from-scratch run --
+# same reasoning as q_incremental_dedup_clusters).
+def _alsh_pairs_sql(cap: int) -> str:
+    return _ALSH_CTES + f""",
 nf AS (SELECT clip_id, count(*) AS n_frames FROM sym GROUP BY clip_id),
 sh0 AS (SELECT clip_id,
           (q::BIGINT * {AL.SYM_BASE ** 2}
@@ -1139,7 +1144,7 @@ band AS (SELECT clip_id, (pos // {CFG.rows_per_band})::int AS band_id,
                 string_agg(sv::VARCHAR, ',' ORDER BY pos) AS bkey
          FROM sig GROUP BY clip_id, (pos // {CFG.rows_per_band})::int),
 sizes AS (SELECT band_id, bkey, count(*) AS n FROM band GROUP BY band_id, bkey),
-elig AS (SELECT band_id, bkey FROM sizes WHERE n > 1 AND n <= {CFG.bucket_cap}),
+elig AS (SELECT band_id, bkey FROM sizes WHERE n > 1 AND n <= {cap}),
 pruned AS (SELECT b.clip_id, b.band_id, b.bkey
            FROM band b JOIN elig e USING (band_id, bkey)),
 pairs AS (SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2
@@ -1158,10 +1163,15 @@ vpairs AS (SELECT id1, id2, jaccard FROM (
                LEFT JOIN inter i ON i.id1 = p.id1 AND i.id2 = p.id2)
   WHERE jaccard >= {AL.JACCARD_THRESHOLD})"""
 
+
+_ALSH_PAIRS = _alsh_pairs_sql(CFG.bucket_cap)
+
+
 # transitive closure over the verified audio pairs (node universe = every
 # clip in the corpus; undecodable clips label themselves) -- O21 semantics
 # re-derived on the audio axis
-_ALSH_CLUSTERS = f"""{_ALSH_PAIRS},
+def _alsh_clusters_sql(cap: int) -> str:
+    return f"""{_alsh_pairs_sql(cap)},
 edge_sym AS (SELECT id1 AS src, id2 AS dst FROM vpairs
              UNION SELECT id2, id1 FROM vpairs),
 anodes AS (SELECT clip_id AS node FROM raw),
@@ -1171,6 +1181,9 @@ reach(node, lbl) AS (
     SELECT e.dst, r.lbl FROM reach r JOIN edge_sym e ON e.src = r.node
 ),
 acl AS (SELECT node AS clip_id, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+
+
+_ALSH_CLUSTERS = _alsh_clusters_sql(CFG.bucket_cap)
 
 ORACLE_SQL.update({
     "audio_energy_profile": "WITH " + _ALSH_CTES + """,
@@ -1186,6 +1199,12 @@ FROM hdr h LEFT JOIN agg a USING (clip_id)
 SELECT id1, id2, jaccard FROM vpairs
 """,
     "audio_content_clusters": "WITH RECURSIVE " + _ALSH_CLUSTERS + """
+SELECT clip_id, cluster_id FROM acl
+""",
+    # from-scratch UNCAPPED closure: the target the incremental audio
+    # path (committed base + intake batch, merge_clusters fold) must
+    # reproduce exactly -- see q_incremental_audio_clusters
+    "incremental_audio_clusters": "WITH RECURSIVE " + _alsh_clusters_sql(_NOCAP) + """
 SELECT clip_id, cluster_id FROM acl
 """,
     # planted truth re-derived from the clip-id grammar alone (base ids
@@ -1657,6 +1676,70 @@ def q_audio_eval_planted_recall(spark, sf_dir):
     )
 
 
+def q_incremental_audio_clusters(spark, sf_dir):
+    """Incremental AUDIO-axis dedup == from-scratch audio clustering,
+    hash-checked in the driver channel (the maintenance loop's audio
+    near-dup path, jobs/maintain_clusters._energy_pairs): base clips
+    (``...b``) are the committed corpus, the planted variants
+    (``...t``/``...z``) the intake batch -- so EVERY planted near-dup
+    pair crosses the batch boundary and must be found by the incremental
+    path alone.  The committed half clusters from its own frame-energy
+    LSH pairs; the batch then folds in via incremental_pairs_from_blocks
+    over energy tuple bands (pairs only from blocks the batch touches) +
+    exact shingle-Jaccard verify + merge_clusters (contracted-graph CC).
+    The ORACLE is the from-scratch full-corpus detector + transitive
+    closure replayed from the raw WAV bytes in DuckDB, so a hash match
+    proves the incremental audio path reproduces the batch detector's
+    clustering exactly.
+
+    Blocking is uncapped (cap = 2^30) for the same reason as
+    incremental_dedup_clusters: under append-only emission a bucket can
+    be under-cap in the committed half but over-cap in the union, making
+    the capped incremental result legitimately diverge from a
+    from-scratch run; emission-time cap behavior is pinned by
+    tests/test_audio_lsh.py and tests/test_incremental.py instead."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+        pairs_from_blocks,
+    )
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        connected_components,
+        merge_clusters,
+    )
+
+    clips = _audio_lsh_aux(spark, sf_dir)
+    # one Arrow decode per clip feeds blocking AND both verify sides
+    feats = AL.with_energy_signatures(clips, CFG).persist()
+    is_base = F.col("clip_id").endswith("b")
+    old_f, new_f = feats.where(is_base), feats.where(~is_base)
+
+    def _verify(pairs):
+        s1 = feats.select(
+            F.col("clip_id").alias("id1"), F.col("shingles").alias("_sh1"))
+        s2 = feats.select(
+            F.col("clip_id").alias("id2"), F.col("shingles").alias("_sh2"))
+        jac = (
+            F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+            / F.size(F.array_union("_sh1", "_sh2"))
+        )
+        return (
+            pairs.join(s1, "id1").join(s2, "id2")
+            .where(jac >= AL.JACCARD_THRESHOLD)
+            .select("id1", "id2")
+        )
+
+    old_blocks = AL.explode_energy_bands(old_f, CFG)
+    new_blocks = AL.explode_energy_bands(new_f, CFG)
+    prev = connected_components(
+        _verify(pairs_from_blocks(
+            old_blocks, ["band_id", "bkey"], _NOCAP, "en")),
+        old_f.select("clip_id"), CFG,
+    )
+    inc = _verify(incremental_pairs_from_blocks(
+        new_blocks, old_blocks, ["band_id", "bkey"], _NOCAP, "en"))
+    return merge_clusters(prev, inc, new_f.select("clip_id"), CFG)
+
+
 _MM_AUX_DONE: set[str] = set()
 
 
@@ -1776,6 +1859,7 @@ QUERIES_SQL_CHECKED = {
     "audio_content_near_dups": q_audio_content_near_dups,
     "audio_content_clusters": q_audio_content_clusters,
     "audio_eval_planted_recall": q_audio_eval_planted_recall,
+    "incremental_audio_clusters": q_incremental_audio_clusters,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle
