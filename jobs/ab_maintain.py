@@ -144,7 +144,12 @@ def main() -> None:
     store = os.path.join(root, "intake")
     n_total = n_boot + n_pend_batches * per_batch
     clips, _ = make_clips(n_total, seed=31)
-    ing = BatchIngestor(spark, store, cfg)
+    # TEXT-ONLY store: this harness A/Bs the backlog SHAPE (combined vs
+    # per-batch loop), and run_loop replays the pre-r4 text-only body --
+    # an audio-bearing store would make the comparison apples-to-oranges
+    # (the combined job would additionally run the audio axis).  The
+    # audio axis has its own on/off harness: jobs/ab_audio_axis.py.
+    ing = BatchIngestor(spark, store, cfg, audio=False)
     ing.process(spark.createDataFrame(clips.iloc[:n_boot]), 0)
 
     # bootstrap ONE workdir, then snapshot it per variant

@@ -1140,9 +1140,12 @@ fam(pos, a, b) AS (VALUES {_UHASH_VALUES}),
 sig AS (SELECT clip_id, f.pos AS pos,
                CAST(min((f.a::BIGINT * shingle + f.b) % {CFG.modulo_prime}) AS INT) AS sv
         FROM shg CROSS JOIN fam f GROUP BY clip_id, f.pos),
+qual AS (SELECT clip_id FROM shg GROUP BY clip_id
+         HAVING count(*) >= {AL.MIN_PROFILE_SHINGLES}),
 band AS (SELECT clip_id, (pos // {CFG.rows_per_band})::int AS band_id,
                 string_agg(sv::VARCHAR, ',' ORDER BY pos) AS bkey
-         FROM sig GROUP BY clip_id, (pos // {CFG.rows_per_band})::int),
+         FROM sig JOIN qual USING (clip_id)
+         GROUP BY clip_id, (pos // {CFG.rows_per_band})::int),
 sizes AS (SELECT band_id, bkey, count(*) AS n FROM band GROUP BY band_id, bkey),
 elig AS (SELECT band_id, bkey FROM sizes WHERE n > 1 AND n <= {cap}),
 pruned AS (SELECT b.clip_id, b.band_id, b.bkey

@@ -46,9 +46,13 @@ Scale notes (10^12 clips): the kernel is one linear Arrow pass over
 (clip_id, bytes) -- `bytes` is pruned out immediately after; signatures
 are ~H*4 bytes/row.  The banding shuffle keys on (band_id, band_key)
 exactly like the text detectors, with the same bounded-bucket cap
-(`cfg.bucket_cap`) protecting against degenerate energy profiles (e.g.
-silence: every all-zero clip shares one symbol sequence -- its bucket is
-capped and dropped, not exploded).  The verify join carries only the
+(`cfg.bucket_cap`) protecting against hot buckets, and a LOW-INFORMATION
+floor (``MIN_PROFILE_SHINGLES``) excluding degenerate profiles from
+blocking entirely -- silence, constant tones, and sub-300 ms clips
+quantize to tiny shingle sets over which Jaccard carries no evidence
+(measured: 14,453 -> 48 false cross-transcript pairs on an adversarial
+flat-tone corpus, zero recall loss on the enveloped planted fixture,
+whose minimum set size is exactly the floor).  The verify join carries only the
 shingle arrays (~n_frames ints), not audio bytes.  Thresholds/constants
 were tuned on the deterministic fixture sweep in tests/test_audio_lsh.py:
 trim pairs land at J ~0.71-0.82, 40 dB-SNR noise pairs at J >= 0.5,
@@ -85,6 +89,17 @@ SYM_BASE = 512
 # emitted pairs must clear this exact-Jaccard bar (trim ~0.78, noise >= 0.5,
 # cross-corpus <= 0.06 on the tuned fixture -- wide margins both sides).
 JACCARD_THRESHOLD = 0.35
+# LOW-INFORMATION PROFILE FLOOR: a clip participates in energy-LSH blocking
+# only if its distinct-shingle set has at least this many elements.  Jaccard
+# over tiny sets carries no evidence (two unrelated flat tones quantize to
+# 1-5 shingles and meet ANY threshold at J=1.0): on an adversarial corpus of
+# 539 flat synth tones the detector emitted 14,453 cross-transcript verified
+# pairs -- ALL false -- without the floor, 48 with it, while the enveloped
+# planted fixture (min set size 10) loses nothing and keeps recall 1.0.
+# Clips below the floor (silence, constant tones, < ~300 ms of audio) are
+# still deduped by the byte-exact content class; they simply cannot claim
+# CONTENT-level identity from an energy contour this short.
+MIN_PROFILE_SHINGLES = 10
 
 
 def frame_energy_symbols(
@@ -227,10 +242,15 @@ def explode_energy_bands(
 ) -> DataFrame:
     """(id, band_id, bkey) blocking rows for the incremental path --
     the energy analog of minhash.explode_bands, emitting the tuple band
-    keys of :func:`energy_band_keys`.  Undecodable rows (empty sig) emit
-    nothing."""
+    keys of :func:`energy_band_keys`.  Undecodable rows (empty sig) and
+    low-information profiles (< ``MIN_PROFILE_SHINGLES`` distinct
+    shingles -- silence, flat tones, sub-300 ms clips) emit nothing:
+    Jaccard over tiny shingle sets cannot evidence content identity."""
     return (
-        feats.where("decode_ok")
+        feats.where(
+            F.col("decode_ok")
+            & (F.size("shingles") >= MIN_PROFILE_SHINGLES)
+        )
         .select(id_col, F.posexplode(energy_band_keys(cfg)).alias("band_id", "bkey"))
     )
 

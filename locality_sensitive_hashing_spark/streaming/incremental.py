@@ -159,10 +159,15 @@ class BatchIngestor:
     read plus a tiny listing, with no operator intervention.
     """
 
-    def __init__(self, spark: SparkSession, output_dir: str, cfg: Config):
+    def __init__(self, spark: SparkSession, output_dir: str, cfg: Config,
+                 audio: bool = True):
         self.spark = spark
         self.output_dir = output_dir
         self.cfg = cfg
+        # audio=False: text-only deployment -- skip the per-payload decode
+        # kernel and the energy table entirely; maintain_clusters detects
+        # the absent energy/ dir and runs text-only against such a store
+        self.audio = audio
         self._markers = os.path.join(output_dir, "_batches")
         os.makedirs(self._markers, exist_ok=True)
 
@@ -219,26 +224,28 @@ class BatchIngestor:
         # energy store stays one-row-per-distinct-audio and incremental
         # audio blocking (jobs/maintain_clusters._energy_pairs) sees
         # disjoint new/old key sets.
-        audio = (
-            batch_df.select(
-                F.substring(F.sha2(F.col("bytes"), 256), 1, 32).alias(
-                    "audio_key"
-                ),
-                "bytes",
+        if self.audio:
+            audio = (
+                batch_df.select(
+                    F.substring(F.sha2(F.col("bytes"), 256), 1, 32).alias(
+                        "audio_key"
+                    ),
+                    "bytes",
+                )
+                .dropDuplicates(["audio_key"])
             )
-            .dropDuplicates(["audio_key"])
-        )
-        prior_e = self._other_subdirs("energy", sub)
-        if prior_e:
-            existing_a = self.spark.read.parquet(*prior_e).select("audio_key")
-            audio = audio.join(existing_a, "audio_key", "left_anti")
-        from locality_sensitive_hashing_spark.operators.audio_lsh import (
-            with_energy_signatures,
-        )
+            prior_e = self._other_subdirs("energy", sub)
+            if prior_e:
+                existing_a = self.spark.read.parquet(*prior_e).select(
+                    "audio_key")
+                audio = audio.join(existing_a, "audio_key", "left_anti")
+            from locality_sensitive_hashing_spark.operators.audio_lsh import (
+                with_energy_signatures,
+            )
 
-        with_energy_signatures(audio, self.cfg, id_col="audio_key").select(
-            "audio_key", "decode_ok", "shingles", "sig"
-        ).write.mode("overwrite").parquet(out("energy"))
+            with_energy_signatures(audio, self.cfg, id_col="audio_key").select(
+                "audio_key", "decode_ok", "shingles", "sig"
+            ).write.mode("overwrite").parquet(out("energy"))
         keyed.unpersist()
         open(self._marker(batch_id), "w").close()  # commit point
         n_markers = sum(

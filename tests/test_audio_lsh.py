@@ -187,10 +187,10 @@ def test_content_clusters_group_variants_with_source(spark, cfg, planted_corpus)
 
 def test_silence_hot_bucket_is_capped_not_exploded(spark, cfg):
     """The degenerate energy profile: N digital-silence clips all quantize
-    to the identical all-zero symbol sequence, so every band key collides
-    into ONE bucket.  With N > bucket_cap that bucket must be dropped
-    (bounded fan-out), emitting ZERO pairs instead of N^2/2 -- the
-    audio-axis analogue of the text path's hot-bucket cap."""
+    to the identical all-zero symbol sequence (one distinct shingle), so
+    they are excluded from blocking by the MIN_PROFILE_SHINGLES floor --
+    and even for qualified profiles the bucket cap bounds fan-out, so
+    either guard alone emits ZERO silence pairs instead of N^2/2."""
     n = cfg.bucket_cap + 36
     rng = np.random.default_rng(11)
     silent = A.encode_wav(np.zeros(8000 // 2), 8000, "pcm_s16le")
@@ -211,6 +211,38 @@ def test_silence_hot_bucket_is_capped_not_exploded(spark, cfg):
         AL.with_energy_signatures(df, cfg), cfg
     ).toPandas()
     assert not cands.id1.str.startswith("s").any()
+
+
+def test_low_information_profiles_never_pair(spark, cfg):
+    """Two constant tones at the SAME amplitude but DIFFERENT frequencies
+    are different audio with IDENTICAL frame-energy profiles (sine energy
+    over a 200-sample frame is ~amp^2*N/2 regardless of frequency): their
+    shingle sets are tiny and equal, so without the MIN_PROFILE_SHINGLES
+    floor they verify at J=1.0 -- a structural false positive no Jaccard
+    threshold can reject.  The floor must exclude them from blocking
+    while an enveloped near-dup pair in the same run still pairs."""
+    rng = np.random.default_rng(7)
+    t = np.arange(8000) / 8000.0
+    rows = [
+        ("toneA", A.encode_wav(0.5 * np.sin(2 * np.pi * 440 * t), 8000,
+                               "pcm_s16le")),
+        ("toneB", A.encode_wav(0.5 * np.sin(2 * np.pi * 523 * t), 8000,
+                               "pcm_s16le")),
+    ]
+    pcm = A.synth_pcm(rng, 8000, 500) * np.interp(
+        np.arange(4000), np.linspace(0, 3999, 10), rng.uniform(0.05, 1.0, 10)
+    )
+    rows.append(("env0b", A.encode_wav(pcm, 8000, "pcm_s16le")))
+    rows.append(("env0t", A.encode_wav(pcm[800:], 8000, "pcm_s16le")))
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["clip_id", "bytes"]))
+    feats = AL.with_energy_signatures(df, cfg).toPandas().set_index("clip_id")
+    # the premise: the tones decode fine, share their (tiny) shingle set,
+    # and fall below the participation floor
+    assert feats.loc["toneA"].decode_ok and feats.loc["toneB"].decode_ok
+    assert set(feats.loc["toneA"].shingles) == set(feats.loc["toneB"].shingles)
+    assert len(feats.loc["toneA"].shingles) < AL.MIN_PROFILE_SHINGLES
+    got = AL.audio_near_dups(df, cfg).toPandas()
+    assert set(zip(got.id1, got.id2)) == {("env0b", "env0t")}
 
 
 def test_single_python_crossing(spark, cfg, planted_corpus):
