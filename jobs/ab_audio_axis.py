@@ -107,12 +107,24 @@ def main() -> None:
             for r in MJ.read_current(spark, wd).collect()
         }
 
+    # how far apart are the two clusterings? compare as PARTITIONS (label
+    # values differ freely): count text_keys whose co-cluster set changed
+    def groups(a):
+        g: dict = {}
+        for k, v in a.items():
+            g.setdefault(v, set()).add(k)
+        return {k: frozenset(g[v]) for k, v in a.items()}
+
+    ga, gn = groups(assigns["audio"]), groups(assigns["noaudio"])
+    n_moved = sum(1 for k in ga if ga[k] != gn[k])
     print(json.dumps({
         "n_boot": n_boot, "n_pend_batches": n_pend_batches,
         "per_batch": per_batch, "cores": int(cores),
         "wall_s": results,
         "n_assigned": len(assigns["audio"]),
         "assignments_identical": assigns["audio"] == assigns["noaudio"],
+        "n_keys_with_changed_co_cluster_set": n_moved,
+        "n_clusters": {v: len(set(assigns[v].values())) for v in assigns},
     }))
     shutil.rmtree(root, ignore_errors=True)
 
