@@ -15,12 +15,15 @@ the incremental operators:
   blocking groups the set touches (`incremental_pairs_from_blocks` over
   the detectors the intake store materializes: MinHash band buckets
   from the signature store, SimHash pigeonhole chunks from the
-  fingerprint store, and frame-energy tuple bands from the per-payload
-  energy store), verified by est-Jaccard-OR-Hamming for the text axis
-  and exact shingle-Jaccard for the audio axis -- the batch pipeline's
-  screen minus the suffix-array detector, whose anchor candidacy
-  without its LCS verify would create false edges (running the SA
-  verify belongs to the full batch pipeline).  The AUDIO axis adds two
+  fingerprint store, winnowing-anchor blocks from the anchor store,
+  and frame-energy tuple bands from the per-payload energy store),
+  verified by the batch pipeline's FULL text_ok for the text axis
+  (est-Jaccard OR Hamming OR lazy exact-LCS -- the suffix-array build
+  runs only for pairs failing both cheap tests, exactly verify.py's
+  discipline) and exact shingle-Jaccard for the audio axis.  Stores
+  written before the anchor table existed run without the substring
+  term (candidacy without the LCS verify would create false edges, so
+  the two ship together).  The AUDIO axis adds two
   text-key edge classes (`_audio_text_edges`): byte-identical payloads
   shared across transcripts (star edges over the keyed store -- the
   incremental counterpart of the batch pipeline's audio content
@@ -182,20 +185,28 @@ def main() -> int:
         prior_fp = batch_paths(args.store, "fingerprints", sorted(done))
         # audio axis is present iff the intake store materialized the
         # energy table (stores written before it existed stay readable:
-        # the job simply runs text-only against them)
+        # the job simply runs text-only against them); same presence
+        # contract for the substring axis' anchor table
         has_audio = os.path.isdir(os.path.join(args.store, "energy"))
+        has_sa = os.path.isdir(os.path.join(args.store, "anchors"))
         if has_audio:
             en = spark.read.parquet(*batch_paths(args.store, "energy", todo))
             keyed_new = spark.read.parquet(
                 *batch_paths(args.store, "keyed", todo))
+        if has_sa:
+            anch = spark.read.parquet(
+                *batch_paths(args.store, "anchors", todo))
         if store is None:
             # bootstrap: no standing assignment -- the pending set
             # clusters from scratch (its own in-set pairs via the same
             # blocking + screen) and becomes base v1
-            pairs = _batch_pairs(
-                cfg, sigs, sigs.limit(0), fps, fps.limit(0)
-            ).localCheckpoint()  # feeds endpoint broadcast + final join
-            edges = _screened_edges(pairs, sigs, sigs, fps, fps, est, cfg)
+            pairs = _batch_pairs(cfg, sigs, sigs.limit(0), fps, fps.limit(0))
+            if has_sa:
+                pairs = pairs.unionByName(
+                    _sa_pairs(cfg, anch, anch.limit(0))).distinct()
+            pairs = pairs.localCheckpoint()  # endpoint broadcast + final join
+            edges = _screened_edges(
+                pairs, sigs, sigs, fps, fps, est, cfg, lcs=has_sa)
             if has_audio:
                 apairs = _energy_pairs(cfg, en, en.limit(0)).localCheckpoint()
                 edges = edges.unionByName(_audio_text_edges(
@@ -207,11 +218,15 @@ def main() -> int:
         else:
             old_sigs = spark.read.parquet(*prior_sig)
             old_fps = spark.read.parquet(*prior_fp)
-            pairs = _batch_pairs(
-                cfg, sigs, old_sigs, fps, old_fps
-            ).localCheckpoint()  # feeds endpoint broadcast + final join
+            pairs = _batch_pairs(cfg, sigs, old_sigs, fps, old_fps)
+            if has_sa:
+                old_anch = spark.read.parquet(
+                    *batch_paths(args.store, "anchors", sorted(done)))
+                pairs = pairs.unionByName(
+                    _sa_pairs(cfg, anch, old_anch)).distinct()
+            pairs = pairs.localCheckpoint()  # endpoint broadcast + final join
             edges = _screened_edges(
-                pairs, sigs, old_sigs, fps, old_fps, est, cfg
+                pairs, sigs, old_sigs, fps, old_fps, est, cfg, lcs=has_sa
             )
             if has_audio:
                 old_en = spark.read.parquet(
@@ -347,11 +362,31 @@ def _audio_text_edges(apairs, new_en, old_en, keyed_all, keyed_pending, cfg):
     return stars.unionByName(near).distinct()
 
 
+def _sa_pairs(cfg, new_anchors, old_anchors):
+    """Substring-axis incremental candidates: winnowing-anchor blocks
+    (suffix_array.with_anchors materialized in the intake store, one
+    text_key per distinct text) restricted to anchors the pending set
+    touches -- the incremental counterpart of sa_anchor_pairs.  Anchor
+    candidacy is only safe together with its exact-LCS verify, which
+    `_screened_edges(lcs=True)` supplies (the same lazy shared-substring
+    term the batch pipeline's text_ok carries, verify.py:105-149)."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+    )
+
+    sa = incremental_pairs_from_blocks(
+        new_anchors, old_anchors, ["anchor"], cfg.bucket_cap, "sa",
+        id_col="text_key",
+    )
+    return sa.select("id1", "id2")
+
+
 def _batch_pairs(cfg, new_sigs, old_sigs, new_fps, old_fps):
     """Two-detector incremental candidates: MinHash band buckets +
     SimHash pigeonhole chunks, both restricted to blocking groups the
-    batch touches (the SA detector stays batch-pipeline-only -- its
-    candidacy is only safe together with its LCS verify)."""
+    batch touches (the SA detector joins via :func:`_sa_pairs` when the
+    intake store materializes the anchor table -- its candidacy is only
+    safe together with the LCS verify `_screened_edges(lcs=True)` adds)."""
     from pyspark.sql import functions as F
 
     from locality_sensitive_hashing_spark.operators.candidates import (
@@ -377,11 +412,15 @@ def _batch_pairs(cfg, new_sigs, old_sigs, new_fps, old_fps):
     )
 
 
-def _screened_edges(pairs, new_sigs, old_sigs, new_fps, old_fps, est, cfg):
+def _screened_edges(pairs, new_sigs, old_sigs, new_fps, old_fps, est, cfg,
+                    lcs=False):
     """The text verdict screen over the candidate pairs: est-Jaccard >=
-    threshold OR Hamming(fingerprints) <= t -- the batch pipeline's
-    text_ok minus the lazy-LCS term (SA detector absent here). One
-    Arrow screen + one JVM bit_count per pair.
+    threshold OR Hamming(fingerprints) <= t, plus -- when ``lcs=True``
+    (intake store carries the anchor table) -- the lazy exact-LCS term,
+    making this the batch pipeline's FULL text_ok (verify.py:142-146).
+    One Arrow screen + one JVM bit_count per pair; the suffix-array
+    build runs ONLY for pairs failing both cheap tests (filter below
+    the Arrow Project, the verify.py:125-141 hoisting discipline).
 
     ``pairs`` is batch-scale while the signature/fingerprint stores are
     corpus-scale, so joining them directly would shuffle the corpus.
@@ -407,9 +446,10 @@ def _screened_edges(pairs, new_sigs, old_sigs, new_fps, old_fps, est, cfg):
     # contract), so a plain union is one-row-per-key already; the
     # broadcast endpoint semi-join cuts it to batch-scale before any
     # shuffle-side use
+    sig_cols = ["text_key", "sig"] + (["norm"] if lcs else [])
     all_sigs = (
-        old_sigs.select("text_key", "sig")
-        .unionByName(new_sigs.select("text_key", "sig"))
+        old_sigs.select(*sig_cols)
+        .unionByName(new_sigs.select(*sig_cols))
         .join(F.broadcast(eps), "text_key")
     )
     all_fps = (
@@ -417,20 +457,38 @@ def _screened_edges(pairs, new_sigs, old_sigs, new_fps, old_fps, est, cfg):
         .unionByName(new_fps.select("text_key", "fingerprint"))
         .join(F.broadcast(eps), "text_key")
     )
-    s1 = all_sigs.select(F.col("text_key").alias("id1"), F.col("sig").alias("_s1"))
-    s2 = all_sigs.select(F.col("text_key").alias("id2"), F.col("sig").alias("_s2"))
+    s1c = [F.col("text_key").alias("id1"), F.col("sig").alias("_s1")] + (
+        [F.col("norm").alias("_n1")] if lcs else [])
+    s2c = [F.col("text_key").alias("id2"), F.col("sig").alias("_s2")] + (
+        [F.col("norm").alias("_n2")] if lcs else [])
+    s1 = all_sigs.select(*s1c)
+    s2 = all_sigs.select(*s2c)
     f1 = all_fps.select(
         F.col("text_key").alias("id1"), F.col("fingerprint").alias("_f1"))
     f2 = all_fps.select(
         F.col("text_key").alias("id2"), F.col("fingerprint").alias("_f2"))
-    return (
-        pairs.join(s1, "id1").join(s2, "id2").join(f1, "id1").join(f2, "id2")
-        .where(
-            (est(F.col("_s1"), F.col("_s2")) >= cfg.jaccard_threshold)
-            | (hamming_distance(F.col("_f1"), F.col("_f2")) <= cfg.hamming_t)
-        )
+    joined = pairs.join(s1, "id1").join(s2, "id2").join(f1, "id1").join(
+        f2, "id2")
+    cheap_ok = (
+        (est(F.col("_s1"), F.col("_s2")) >= cfg.jaccard_threshold)
+        | (hamming_distance(F.col("_f1"), F.col("_f2")) <= cfg.hamming_t)
+    )
+    passed = joined.where(cheap_ok).select("id1", "id2")
+    if not lcs:
+        return passed
+    # lazy LCS: suffix-array build only where the verdict depends on it --
+    # filter FIRST, Arrow Project above it (a `when(cond, udf)` column
+    # would hoist the UDF into an eager ArrowEvalPython over every pair)
+    from locality_sensitive_hashing_spark.operators.suffix_array import lcs_udf
+
+    lcs_fn = lcs_udf(cfg.sa_min_len)
+    lcs_pass = (
+        joined.where(~cheap_ok)
+        .select("id1", "id2", lcs_fn(F.col("_n1"), F.col("_n2")).alias("_lcs"))
+        .where(F.col("_lcs") >= cfg.sa_min_len)
         .select("id1", "id2")
     )
+    return passed.unionByName(lcs_pass)
 
 
 if __name__ == "__main__":

@@ -37,7 +37,7 @@ from locality_sensitive_hashing_spark.operators.simhash import with_fingerprint
 from locality_sensitive_hashing_spark.operators.textgroup import with_content_keys
 from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA
 
-STORE_TABLES = ("keyed", "signatures", "fingerprints", "energy")
+STORE_TABLES = ("keyed", "signatures", "fingerprints", "anchors", "energy")
 
 _BATCH_MANIFEST = "MANIFEST"
 
@@ -160,7 +160,7 @@ class BatchIngestor:
     """
 
     def __init__(self, spark: SparkSession, output_dir: str, cfg: Config,
-                 audio: bool = True):
+                 audio: bool = True, substring: bool = True):
         self.spark = spark
         self.output_dir = output_dir
         self.cfg = cfg
@@ -168,6 +168,11 @@ class BatchIngestor:
         # kernel and the energy table entirely; maintain_clusters detects
         # the absent energy/ dir and runs text-only against such a store
         self.audio = audio
+        # substring=False: skip the winnowing-anchor table (stores written
+        # before the SA axis existed look exactly like this); the
+        # maintenance job detects the absent anchors/ dir and runs the
+        # est-Jaccard-OR-Hamming screen without the substring term
+        self.substring = substring
         self._markers = os.path.join(output_dir, "_batches")
         os.makedirs(self._markers, exist_ok=True)
 
@@ -217,6 +222,20 @@ class BatchIngestor:
         with_fingerprint(
             texts, text_col="norm", id_col="text_key"
         ).write.mode("overwrite").parquet(out("fingerprints"))
+        # substring axis: winnowing anchors per NEW distinct text (same
+        # anti-join contract as signatures, so the anchor store stays
+        # one-text_key-per-row across batches and incremental anchor
+        # blocking sees disjoint new/old key sets).  Exploded (text_key,
+        # anchor) -- already the blocking-table shape
+        # jobs/maintain_clusters._sa_pairs consumes.
+        if self.substring:
+            from locality_sensitive_hashing_spark.operators.suffix_array import (
+                with_anchors,
+            )
+
+            with_anchors(
+                texts, self.cfg, norm_col="norm", id_col="text_key"
+            ).write.mode("overwrite").parquet(out("anchors"))
         # audio axis: one frame-energy row per NEW distinct payload
         # (audio_key = sha2(bytes), so every representative of a key has
         # identical bytes -- any row is THE canonical input).  Same
@@ -269,7 +288,9 @@ def incremental_signatures(
     Output layout under ``output_dir`` (read via :func:`read_store`):
     ``keyed/b<id>/`` (clip_id, text_key, audio_key), ``signatures/b<id>/``
     (text_key, norm, sig, band_hashes), ``fingerprints/b<id>/``
-    (text_key, fingerprint), ``energy/b<id>/`` (audio_key, decode_ok,
+    (text_key, fingerprint), ``anchors/b<id>/`` (text_key, anchor --
+    winnowing anchors, the substring-axis blocking table, one text_key
+    per new distinct text), ``energy/b<id>/`` (audio_key, decode_ok,
     shingles, sig -- frame-energy LSH features, one row per new distinct
     payload), plus ``_batches/<id>`` commit markers --
     replay semantics per :class:`BatchIngestor`.

@@ -47,12 +47,15 @@ def _run_job(store, workdir, *extra):
 
 
 def _reference(spark, store_dir, ids):
-    """From-scratch: capped blocking pairs over ALL committed signatures
-    AND fingerprints (both text detectors the job uses), est-Jaccard-OR-
-    Hamming screen, PLUS the audio axis (exact-payload star edges over
-    the keyed store and Jaccard-verified energy-LSH near-dups, rebuilt
-    with the non-incremental blocking variant), full CC -- what the
-    incremental job must equal."""
+    """From-scratch: capped blocking pairs over ALL committed signatures,
+    fingerprints AND winnowing anchors (the three text detectors the job
+    uses), the batch pipeline's full text_ok screen (est-Jaccard OR
+    Hamming OR exact-LCS -- computed eagerly for every pair here, the
+    job's lazy evaluation must not change the verdict), PLUS the audio
+    axis (exact-payload star edges over the keyed store and
+    Jaccard-verified energy-LSH near-dups, rebuilt with the
+    non-incremental blocking variant), full CC -- what the incremental
+    job must equal."""
     from locality_sensitive_hashing_spark.operators import audio_lsh as AL
     from locality_sensitive_hashing_spark.operators.audio_lsh import (
         explode_energy_bands,
@@ -61,16 +64,19 @@ def _reference(spark, store_dir, ids):
         explode_chunks,
         hamming_distance,
     )
+    from locality_sensitive_hashing_spark.operators.suffix_array import lcs_udf
     from locality_sensitive_hashing_spark.streaming.incremental import read_batch
 
-    sigs, fps, en, keyed = None, None, None, None
+    sigs, fps, anch, en, keyed = None, None, None, None, None
     for i in ids:
         bs = read_batch(spark, store_dir, "signatures", i)
         bf = read_batch(spark, store_dir, "fingerprints", i)
+        ba = read_batch(spark, store_dir, "anchors", i)
         be = read_batch(spark, store_dir, "energy", i)
         bk = read_batch(spark, store_dir, "keyed", i)
         sigs = bs if sigs is None else sigs.unionByName(bs)
         fps = bf if fps is None else fps.unionByName(bf)
+        anch = ba if anch is None else anch.unionByName(ba)
         en = be if en is None else en.unionByName(be)
         keyed = bk if keyed is None else keyed.unionByName(bk)
     mh = pairs_from_blocks(
@@ -81,20 +87,32 @@ def _reference(spark, store_dir, ids):
         explode_chunks(fps, CFG, id_col="text_key"), ["chunk_id", "chunk_val"],
         CFG.bucket_cap, "sh", id_col="text_key",
     )
-    pairs = mh.select("id1", "id2").unionByName(
-        sh.select("id1", "id2")).distinct()
+    sa = pairs_from_blocks(
+        anch, ["anchor"], CFG.bucket_cap, "sa", id_col="text_key",
+    )
+    pairs = (
+        mh.select("id1", "id2")
+        .unionByName(sh.select("id1", "id2"))
+        .unionByName(sa.select("id1", "id2"))
+        .distinct()
+    )
     est = estimated_jaccard_udf()
-    s1 = sigs.select(F.col("text_key").alias("id1"), F.col("sig").alias("_s1"))
-    s2 = sigs.select(F.col("text_key").alias("id2"), F.col("sig").alias("_s2"))
+    lcs = lcs_udf(CFG.sa_min_len)
+    s1 = sigs.select(F.col("text_key").alias("id1"), F.col("sig").alias("_s1"),
+                     F.col("norm").alias("_n1"))
+    s2 = sigs.select(F.col("text_key").alias("id2"), F.col("sig").alias("_s2"),
+                     F.col("norm").alias("_n2"))
     f1 = fps.select(F.col("text_key").alias("id1"),
                     F.col("fingerprint").alias("_f1"))
     f2 = fps.select(F.col("text_key").alias("id2"),
                     F.col("fingerprint").alias("_f2"))
     edges = (
         pairs.join(s1, "id1").join(s2, "id2").join(f1, "id1").join(f2, "id2")
+        .withColumn("_lcs", lcs(F.col("_n1"), F.col("_n2")))
         .where(
             (est(F.col("_s1"), F.col("_s2")) >= CFG.jaccard_threshold)
             | (hamming_distance(F.col("_f1"), F.col("_f2")) <= CFG.hamming_t)
+            | (F.col("_lcs") >= CFG.sa_min_len)
         )
         .select("id1", "id2")
     )
@@ -322,6 +340,89 @@ def test_maintain_job_audio_axis_cross_batch(spark, cfg):
     assert len({assign[key_of[c]] for c in ("c0", "c1")}) == 2
     # and the job still equals the from-scratch reference on this corpus
     assert assign == _assign(_reference(spark, store, [0, 1]))
+
+
+def test_maintain_job_substring_axis_cross_batch(spark, cfg):
+    """The substring axis pairs what neither the cheap text screen nor
+    the audio axis can: a transcript republished EMBEDDED inside a much
+    longer one, under a completely different recording, in a LATER
+    batch.  est-Jaccard is diluted far below threshold by the fresh
+    text, SimHash Hamming is far above t, and the payloads differ -- so
+    only winnowing-anchor blocking + exact-LCS verify can merge them.
+    A store ingested WITHOUT the anchor table (pre-SA-axis layout) must
+    keep them apart -- the text-only fallback tier."""
+    import numpy as np
+
+    import locality_sensitive_hashing_spark.audio as A
+    from locality_sensitive_hashing_spark import hashing as H
+    from locality_sensitive_hashing_spark.fixtures import synth_env_pcm
+    from locality_sensitive_hashing_spark.sources.tables import CLIPS_SCHEMA
+    from locality_sensitive_hashing_spark.streaming.incremental import (
+        read_store,
+    )
+
+    rng = np.random.default_rng(37)
+    sr = 8000
+    inner = ("quantum marmalade survey helicopter dusk ribbon elk "
+             "cathedral ninety pewter")
+    outer = ("archive mirror uploaded fresh catalogue caption beyond "
+             "the silver meridian tonight " + inner +
+             " while distant generators hummed across the frozen "
+             "shipyard basin until morning")
+    bystander = "seven lanterns drifted over the quiet harbor wall"
+    # the pair must be invisible to BOTH cheap text tests -- pin that the
+    # fixture really exercises the substring term, not an accident of
+    # the screen
+    n_in, n_out = H.normalize_text(inner), H.normalize_text(outer)
+    sh_in = set(H.shingle_set(n_in, CFG.shingle_k))
+    sh_out = set(H.shingle_set(n_out, CFG.shingle_k))
+    jac = len(sh_in & sh_out) / len(sh_in | sh_out)
+    assert jac < CFG.jaccard_threshold - 0.1, jac
+    ham = H.hamming64(H.simhash64(n_in), H.simhash64(n_out))
+    assert ham > CFG.hamming_t, ham
+    assert H.longest_common_substring_len(n_in, n_out) >= CFG.sa_min_len
+
+    rows0 = [
+        ("s0", A.encode_wav(synth_env_pcm(rng, sr, 500), sr, "pcm_s16le"),
+         sr, 500, "pcm_s16le", inner),
+        ("s1", A.encode_wav(synth_env_pcm(rng, sr, 500), sr, "pcm_s16le"),
+         sr, 500, "pcm_s16le", bystander),
+    ]
+    rows1 = [
+        ("s2", A.encode_wav(synth_env_pcm(rng, sr, 600), sr, "pcm_s16le"),
+         sr, 600, "pcm_s16le", outer),
+    ]
+
+    root = tempfile.mkdtemp(prefix="lsh_maintain_sa_")
+    store = os.path.join(root, "intake")
+    wd = os.path.join(root, "clusters")
+    os.makedirs(wd)
+    ing = BatchIngestor(spark, store, cfg)
+    ing.process(spark.createDataFrame(rows0, CLIPS_SCHEMA), 0)
+    _run_job(store, wd)
+    ing.process(spark.createDataFrame(rows1, CLIPS_SCHEMA), 1)
+    _run_job(store, wd)
+
+    key_of = {r.clip_id: r.text_key
+              for r in read_store(spark, store, "keyed").collect()}
+    assign = _assign(MJ.read_current(spark, wd))
+    assert assign[key_of["s2"]] == assign[key_of["s0"]]  # substring merged
+    assert assign[key_of["s1"]] == key_of["s1"]  # bystander untouched
+    # and the job still equals the from-scratch three-detector reference
+    assert assign == _assign(_reference(spark, store, [0, 1]))
+
+    # pre-anchor-store fallback: same corpus ingested WITHOUT the anchor
+    # table runs text-only+audio and must NOT merge the substring pair
+    store2 = os.path.join(root, "intake_nosa")
+    wd2 = os.path.join(root, "clusters_nosa")
+    os.makedirs(wd2)
+    ing2 = BatchIngestor(spark, store2, cfg, substring=False)
+    ing2.process(spark.createDataFrame(rows0, CLIPS_SCHEMA), 0)
+    ing2.process(spark.createDataFrame(rows1, CLIPS_SCHEMA), 1)
+    assert not os.path.isdir(os.path.join(store2, "anchors"))
+    _run_job(store2, wd2)
+    assign2 = _assign(MJ.read_current(spark, wd2))
+    assert assign2[key_of["s2"]] != assign2[key_of["s0"]]
 
 
 def test_maintain_job_crash_before_manifest_resumes(spark, cfg, monkeypatch):
