@@ -92,6 +92,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "simhash_fingerprints": ["simhash_tokens"],
     "simhash_candidates": ["simhash_fps"],
     "sa_substring_candidates": ["sa_anchors"],
+    "incremental_substring_clusters": ["sa_anchors"],
     "full_pipeline_clusters": ["pipeline_edges", "pipeline_nodes"],
     "dedup_keep_list": ["pipeline_edges", "pipeline_nodes"],
     "eval_planted_recall": ["pipeline_edges", "pipeline_nodes"],
@@ -881,6 +882,32 @@ pos AS (SELECT id1, id2, t1, t2,
         FROM p)
 SELECT DISTINCT id1, id2, 'sa' AS detector
 FROM pos WHERE strpos(t2, substring(t1, i, {CFG.sa_min_len})) > 0
+""",
+    # from-scratch full-corpus substring closure with UNCAPPED anchor
+    # blocking: the target the incremental (split-batch) Spark path must
+    # reproduce exactly -- see q_incremental_substring_clusters
+    "incremental_substring_clusters": f"""
+WITH RECURSIVE a AS (SELECT clip_id, anchor FROM {_aux_rp('sa_anchors')}),
+cand AS (SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2
+         FROM a l JOIN a r USING (anchor) WHERE l.clip_id < r.clip_id),
+n AS (SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS clip_id, {NORM_SQL} AS norm
+      FROM documents),
+p AS (SELECT c.id1, c.id2, n1.norm AS t1, n2.norm AS t2
+      FROM cand c JOIN n n1 ON n1.clip_id = c.id1 JOIN n n2 ON n2.clip_id = c.id2),
+pos AS (SELECT id1, id2, t1, t2,
+        unnest(generate_series(1, greatest(length(t1) - {CFG.sa_min_len - 1}, 0))) AS i
+        FROM p),
+edges AS (SELECT DISTINCT id1, id2 FROM pos
+          WHERE strpos(t2, substring(t1, i, {CFG.sa_min_len})) > 0),
+sym AS (SELECT id1 AS src, id2 AS dst FROM edges
+        UNION SELECT id2, id1 FROM edges),
+nodes AS (SELECT clip_id AS node FROM n),
+reach(node, lbl) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS doc_key, min(lbl) AS cluster_key FROM reach GROUP BY node
 """,
     "ann_ivf_topk": f"""
 WITH idx AS (SELECT vec_id AS neighbor_id, cell FROM {_aux_rp('ivf_index')}),
@@ -1743,6 +1770,80 @@ def q_incremental_audio_clusters(spark, sf_dir):
     return merge_clusters(prev, inc, new_f.select("clip_id"), CFG)
 
 
+def q_incremental_substring_clusters(spark, sf_dir):
+    """Incremental SUBSTRING-axis dedup == from-scratch substring
+    clustering, hash-checked in the driver channel (the maintenance
+    loop's third text detector, jobs/maintain_clusters._sa_pairs): the
+    corpus splits into a committed half and an intake batch; the
+    committed half clusters from its own winnowing-anchor pairs verified
+    by exact LCS >= sa_min_len, then the batch folds in via
+    incremental_pairs_from_blocks over the anchor table (pairs only from
+    anchor blocks the batch touches) + the same LCS verify +
+    merge_clusters (contracted-graph CC).  Aux: the winnowing-anchor
+    table (the UDF kernel output, shared with sa_substring_candidates);
+    the ORACLE re-derives uncapped anchor candidacy from it, replays the
+    LCS >= L verify as its exact SQL equivalent (the pair shares an
+    L-gram of the normalized text -- LCS(t1,t2) >= L iff some L-gram of
+    t1 occurs in t2), and closes transitively, so a hash match proves
+    the incremental substring path reproduces the from-scratch
+    detector's clustering exactly.
+
+    Blocking is uncapped (cap = 2^30) for the same reason as
+    incremental_dedup_clusters: under append-only emission a bucket can
+    be under-cap in the committed half but over-cap in the union, making
+    the capped incremental result legitimately diverge from a
+    from-scratch run; emission-time cap behavior is pinned by
+    tests/test_incremental.py instead."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+        pairs_from_blocks,
+    )
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        connected_components,
+        merge_clusters,
+    )
+    from locality_sensitive_hashing_spark.operators.suffix_array import (
+        lcs_udf,
+        with_anchors,
+    )
+
+    docs = _docs_norm(spark, sf_dir).select(
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("clip_id"),
+        "norm",
+    )
+    anchors = with_anchors(docs, CFG, norm_col="norm", id_col="clip_id")
+    _aux_write(anchors, sf_dir, "sa_anchors")
+    split_key = f"{INCR_SPLIT:08d}"  # lpad keys order like the ints
+    old_a = anchors.where(F.col("clip_id") < split_key)
+    new_a = anchors.where(F.col("clip_id") >= split_key)
+
+    n1 = docs.select(F.col("clip_id").alias("id1"), F.col("norm").alias("_n1"))
+    n2 = docs.select(F.col("clip_id").alias("id2"), F.col("norm").alias("_n2"))
+    lcs = lcs_udf(CFG.sa_min_len)
+
+    def _verify(pairs):
+        return (
+            pairs.join(n1, "id1").join(n2, "id2")
+            .select("id1", "id2", lcs(F.col("_n1"), F.col("_n2")).alias("_lcs"))
+            .where(F.col("_lcs") >= CFG.sa_min_len)
+            .select("id1", "id2")
+        )
+
+    prev = connected_components(
+        _verify(pairs_from_blocks(old_a, ["anchor"], _NOCAP, "sa")),
+        docs.where(F.col("clip_id") < split_key).select("clip_id"), CFG,
+    )
+    inc = _verify(incremental_pairs_from_blocks(
+        new_a, old_a, ["anchor"], _NOCAP, "sa"))
+    merged = merge_clusters(
+        prev, inc,
+        docs.where(F.col("clip_id") >= split_key).select("clip_id"), CFG,
+    )
+    return merged.select(
+        F.col("clip_id").alias("doc_key"), F.col("cluster_id").alias("cluster_key")
+    )
+
+
 _MM_AUX_DONE: set[str] = set()
 
 
@@ -1863,6 +1964,7 @@ QUERIES_SQL_CHECKED = {
     "audio_content_clusters": q_audio_content_clusters,
     "audio_eval_planted_recall": q_audio_eval_planted_recall,
     "incremental_audio_clusters": q_incremental_audio_clusters,
+    "incremental_substring_clusters": q_incremental_substring_clusters,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle
