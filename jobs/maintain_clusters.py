@@ -419,8 +419,11 @@ def _screened_edges(pairs, new_sigs, old_sigs, new_fps, old_fps, est, cfg,
     (intake store carries the anchor table) -- the lazy exact-LCS term,
     making this the batch pipeline's FULL text_ok (verify.py:142-146).
     One Arrow screen + one JVM bit_count per pair; the suffix-array
-    build runs ONLY for pairs failing both cheap tests (filter below
-    the Arrow Project, the verify.py:125-141 hoisting discipline).
+    build runs ONLY for pairs failing both cheap tests -- enforced
+    INSIDE the kernel (lcs_refuted_udf), because verify.py's
+    filter-below-Project discipline only survives when the cheap
+    metrics come from a materialized stage; in a single query Catalyst
+    re-fuses the UDFs (see the lcs branch below).
 
     ``pairs`` is batch-scale while the signature/fingerprint stores are
     corpus-scale, so joining them directly would shuffle the corpus.
@@ -476,15 +479,29 @@ def _screened_edges(pairs, new_sigs, old_sigs, new_fps, old_fps, est, cfg,
     passed = joined.where(cheap_ok).select("id1", "id2")
     if not lcs:
         return passed
-    # lazy LCS: suffix-array build only where the verdict depends on it --
-    # filter FIRST, Arrow Project above it (a `when(cond, udf)` column
-    # would hoist the UDF into an eager ArrowEvalPython over every pair)
-    from locality_sensitive_hashing_spark.operators.suffix_array import lcs_udf
+    # lazy LCS: suffix-array build only where the verdict depends on it.
+    # Plan-level separation (refutation filter below an lcs Project) is
+    # NOT stable -- Catalyst pushes a column filter back through the
+    # projection and ExtractPythonUDFs then fuses the est and lcs UDFs
+    # into ONE eager ArrowEvalPython -- so the est-refutation check is
+    # fused INTO the kernel (lcs_refuted_udf: same bit-exact (B, H) est
+    # compare, SA build only for est-refuted rows, -1 otherwise), while
+    # the Hamming refutation stays a JVM bit_count predicate Catalyst
+    # may push freely. Emission stays disjoint from `passed`: this
+    # branch requires ham > t AND est < threshold.
+    from locality_sensitive_hashing_spark.operators.suffix_array import (
+        lcs_refuted_udf,
+    )
 
-    lcs_fn = lcs_udf(cfg.sa_min_len)
+    lcs_fn = lcs_refuted_udf(cfg.sa_min_len, cfg.jaccard_threshold)
     lcs_pass = (
-        joined.where(~cheap_ok)
-        .select("id1", "id2", lcs_fn(F.col("_n1"), F.col("_n2")).alias("_lcs"))
+        joined.where(
+            hamming_distance(F.col("_f1"), F.col("_f2")) > cfg.hamming_t)
+        .select(
+            "id1", "id2",
+            lcs_fn(F.col("_s1"), F.col("_s2"),
+                   F.col("_n1"), F.col("_n2")).alias("_lcs"),
+        )
         .where(F.col("_lcs") >= cfg.sa_min_len)
         .select("id1", "id2")
     )

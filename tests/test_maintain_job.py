@@ -283,6 +283,83 @@ def test_screened_edges_corpus_restriction_broadcasts(spark):
     assert [(r.id1, r.id2) for r in edges.collect()] == [("a", "b")]
 
 
+def test_screened_edges_lcs_branch_is_lazy(spark):
+    """Laziness contract of the substring term: with lcs=True the exact
+    LCS (suffix-array build) must evaluate ONLY for pairs failing both
+    cheap tests. Plan-level separation is NOT stable -- an earlier
+    revision kept the refutation filter "below the lcs Project" and
+    Catalyst pushed the filter back through the projection, fusing est
+    and lcs into ONE ArrowEvalPython that SA-built every pair (this test
+    caught it) -- so the est refutation lives INSIDE the kernel
+    (lcs_refuted_udf) and the Hamming refutation is a JVM bit_count
+    predicate. Observable plan shape: exactly TWO ArrowEvalPython nodes
+    (est on the passed branch, the fused lazy kernel on the lcs branch),
+    no row-at-a-time Python, Hamming still JVM-side on both branches."""
+    import re
+
+    shared = "the quick brown fox jumps over the lazy dog tonight"
+    sigs = spark.createDataFrame(
+        [
+            ("a", [1, 2, 3, 4], "alpha text"),
+            ("b", [1, 2, 3, 4], "beta text"),
+            ("c", [5, 6, 7, 8], "intro " + shared),
+            ("d", [9, 10, 11, 12], shared + " outro"),
+        ],
+        "text_key string, sig array<int>, norm string",
+    )
+    fps = spark.createDataFrame(
+        [("a", 5), ("b", 5), ("c", 0), ("d", (1 << 40) - 1)],
+        "text_key string, fingerprint long",
+    )
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("c", "d")], "id1 string, id2 string"
+    ).localCheckpoint()
+    est = estimated_jaccard_udf()
+    edges = MJ._screened_edges(
+        pairs, sigs.limit(0), sigs, fps.limit(0), fps, est, CFG, lcs=True
+    )
+    plan = edges._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan, plan  # never row-at-a-time
+    assert len(re.findall(r"ArrowEvalPython", plan)) == 2, plan
+    # the lcs-branch eval is the FUSED 4-arg kernel (sig + norm
+    # carriers), not a bare 2-arg lcs whose refutation Catalyst could
+    # have optimized away
+    assert re.search(r"ArrowEvalPython \[compute\(_s1#\d+, _s2#\d+, _n1", plan), plan
+    assert "bit_count" in plan, plan  # hamming stayed JVM on both branches
+    # (a,b) passes the cheap screen (identical sigs), (c,d) fails both
+    # (disjoint sigs, Hamming 40 > t) and merges only via LCS >= 32
+    got = sorted((r.id1, r.id2) for r in edges.collect())
+    assert got == [("a", "b"), ("c", "d")], got
+
+
+def test_lcs_refuted_kernel_skips_sa_when_est_passes(spark):
+    """The kernel-level laziness itself: rows whose est-Jaccard passes
+    the threshold return -1 WITHOUT computing the (present) long common
+    substring; refuted rows return the exact LCS. (Called directly with
+    Arrow-shaped inputs -- ndarray signature cells, as Spark hands the
+    kernel -- so the skip is observable without a plan in the way.)"""
+    import numpy as np
+    import pandas as pd
+
+    from locality_sensitive_hashing_spark.operators.suffix_array import (
+        lcs_refuted_udf,
+    )
+
+    shared = "x" * 40
+    fn = lcs_refuted_udf(32, 0.5).func
+    sig = lambda *v: np.array(v, dtype=np.int64)  # noqa: E731
+    out = fn(
+        pd.Series([sig(1, 2, 3, 4), sig(1, 2, 3, 4)]),
+        pd.Series([sig(1, 2, 3, 4), sig(9, 9, 9, 9)]),
+        pd.Series(["left " + shared, "left " + shared]),
+        pd.Series([shared + " right", shared + " right"]),
+    ).tolist()
+    # row 0: est 1.0 >= 0.5 -> SA skipped despite the 40-char overlap;
+    # row 1: est 0.0 < 0.5 -> exact LCS computed
+    assert out[0] == -1, out
+    assert out[1] >= 40, out
+
+
 def test_maintain_job_audio_axis_cross_batch(spark, cfg):
     """The audio axis pairs what no text detector can: a byte-identical
     payload republished under an unrelated transcript in a LATER batch
