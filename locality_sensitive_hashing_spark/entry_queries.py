@@ -93,6 +93,9 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "simhash_candidates": ["simhash_fps"],
     "sa_substring_candidates": ["sa_anchors"],
     "incremental_substring_clusters": ["sa_anchors"],
+    "incremental_maintenance_clusters": [
+        "maint_clips", "maint_shingles", "maint_fps", "maint_anchors",
+    ],
     "full_pipeline_clusters": ["pipeline_edges", "pipeline_nodes"],
     "dedup_keep_list": ["pipeline_edges", "pipeline_nodes"],
     "eval_planted_recall": ["pipeline_edges", "pipeline_nodes"],
@@ -1112,8 +1115,11 @@ FROM hdr h LEFT JOIN feat f USING (clip_id)
 # table is the corpus itself (audio_lsh_clips).
 # CTE list WITHOUT the leading WITH so the cluster/eval oracles can embed
 # it under WITH RECURSIVE (same trick as _PIPE_CLOSURE above).
-_ALSH_CTES = f"""raw AS (SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
-             FROM {_aux_rp('audio_lsh_clips')}),
+# Parameterized on the corpus aux table so the maintenance-loop oracle can
+# replay the same chain over its own corpus (maint_clips).
+def _alsh_ctes(src: str = "audio_lsh_clips") -> str:
+    return f"""raw AS (SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+             FROM {_aux_rp(src)}),
 hdr AS (SELECT clip_id, hx,
     (nb >= 44 AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
      AND substr(hx,25,8)='666D7420'
@@ -1133,7 +1139,7 @@ smp AS (SELECT clip_id, i,
       FROM idx),
 nrg AS (SELECT clip_id, (i // {AL.FRAME_N})::int AS f, CAST(sum(v*v) AS BIGINT) AS en
         FROM smp GROUP BY clip_id, (i // {AL.FRAME_N})::int),
-sym AS (SELECT clip_id, f,
+sym AS MATERIALIZED (SELECT clip_id, f,
           CASE WHEN en = 0 THEN 0
                ELSE (bl * {1 << AL.SUB_BITS}
                      + CAST((en * {1 << AL.SUB_BITS}) >> (bl - 1) AS BIGINT)
@@ -1145,21 +1151,27 @@ sym AS (SELECT clip_id, f,
               FROM nrg))
 """
 
+
+_ALSH_CTES = _alsh_ctes()
+
+
 # decode chain + the full LSH pair derivation, ending in `vpairs`
 # (threshold-filtered verified pairs) -- shared by the near-dup, cluster,
 # and planted-recall oracles.  Parameterized by the bucket cap so the
 # incremental-equality oracle can run uncapped (cap semantics under
 # append-only emission legitimately diverge from a from-scratch run --
-# same reasoning as q_incremental_dedup_clusters).
-def _alsh_pairs_sql(cap: int) -> str:
-    return _ALSH_CTES + f""",
+# same reasoning as q_incremental_dedup_clusters) and by the corpus aux
+# table (see _alsh_ctes).
+def _alsh_pairs_sql(cap: int, src: str = "audio_lsh_clips") -> str:
+    return _alsh_ctes(src) + f""",
 nf AS (SELECT clip_id, count(*) AS n_frames FROM sym GROUP BY clip_id),
 sh0 AS (SELECT clip_id,
           (q::BIGINT * {AL.SYM_BASE ** 2}
            + (lead(q, 1) OVER w)::BIGINT * {AL.SYM_BASE}
            + (lead(q, 2) OVER w)) AS shingle
         FROM sym WINDOW w AS (PARTITION BY clip_id ORDER BY f)),
-shg AS (SELECT DISTINCT clip_id, shingle FROM sh0 WHERE shingle IS NOT NULL
+shg AS MATERIALIZED (
+        SELECT DISTINCT clip_id, shingle FROM sh0 WHERE shingle IS NOT NULL
         UNION
         SELECT clip_id, 0::BIGINT AS shingle FROM nf
         WHERE n_frames > 0 AND n_frames < {AL.SHINGLE_K}),
@@ -1185,7 +1197,7 @@ inter AS (SELECT p.id1, p.id2, count(*) AS ni
           FROM pairs p JOIN shg s1 ON s1.clip_id = p.id1
                        JOIN shg s2 ON s2.clip_id = p.id2 AND s2.shingle = s1.shingle
           GROUP BY p.id1, p.id2),
-vpairs AS (SELECT id1, id2, jaccard FROM (
+vpairs AS MATERIALIZED (SELECT id1, id2, jaccard FROM (
   SELECT p.id1, p.id2,
          coalesce(i.ni, 0) * 1.0 / (c1.nc + c2.nc - coalesce(i.ni, 0)) AS jaccard
   FROM pairs p JOIN card c1 ON c1.clip_id = p.id1
@@ -1202,7 +1214,7 @@ _ALSH_PAIRS = _alsh_pairs_sql(CFG.bucket_cap)
 # re-derived on the audio axis
 def _alsh_clusters_sql(cap: int) -> str:
     return f"""{_alsh_pairs_sql(cap)},
-edge_sym AS (SELECT id1 AS src, id2 AS dst FROM vpairs
+edge_sym AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM vpairs
              UNION SELECT id2, id1 FROM vpairs),
 anodes AS (SELECT clip_id AS node FROM raw),
 reach(node, lbl) AS (
@@ -1210,7 +1222,8 @@ reach(node, lbl) AS (
     UNION
     SELECT e.dst, r.lbl FROM reach r JOIN edge_sym e ON e.src = r.node
 ),
-acl AS (SELECT node AS clip_id, min(lbl) AS cluster_id FROM reach GROUP BY node)"""
+acl AS MATERIALIZED (SELECT node AS clip_id, min(lbl) AS cluster_id
+                     FROM reach GROUP BY node)"""
 
 
 _ALSH_CLUSTERS = _alsh_clusters_sql(CFG.bucket_cap)
@@ -1285,6 +1298,102 @@ j AS (SELECT cl.clip_id, cl.cluster_id, t.n_chars,
 SELECT clip_id, cluster_id, CAST(n_chars AS INT) AS n_chars,
        rn = 1 AS keep
 FROM j
+""",
+})
+
+# The maintenance-loop certification oracle: a FROM-SCRATCH three-axis
+# closure over the maint corpus, entirely in DuckDB.  Reuses the audio
+# full-replay chain (_alsh_pairs_sql over maint_clips -- WAV decode,
+# frame energies, LSH, exact Jaccard in `vpairs`, plus the seed-pinned
+# `fam` VALUES), then adds: text classes via sha256(normalized
+# transcript); MinHash signatures replayed from the committed shingle
+# hashes with banding as tuple keys; SimHash pigeonhole chunks +
+# bit_count Hamming over the committed fingerprints; anchor-block
+# candidacy with the LCS >= L term as its exact SQL equivalent (some
+# L-gram of t1 occurs in t2), evaluated ONLY for pairs failing both
+# cheap screens (the lazy kernel's short-circuit); star edges from
+# blob-grouped byte equality; recursive closure over text classes,
+# mapped back to clips.  See q_incremental_maintenance_clusters.
+ORACLE_SQL.update({
+    "incremental_maintenance_clusters":
+        "WITH RECURSIVE " + _alsh_pairs_sql(_NOCAP, "maint_clips") + f""",
+tnormed AS (SELECT clip_id, {_NORM_TR} AS tnorm FROM {_aux_rp('maint_clips')}),
+tkm AS (SELECT clip_id, substring(sha256(tnorm), 1, 32) AS text_key, tnorm
+        FROM tnormed),
+tcl AS (SELECT DISTINCT text_key, tnorm FROM tkm),
+tsh AS (SELECT text_key, shingle FROM {_aux_rp('maint_shingles')}),
+txv AS (SELECT text_key,
+        CAST({_UVIEW.format(c='shingle')} % {CFG.modulo_prime} AS BIGINT) AS x
+        FROM tsh),
+tsig AS (SELECT text_key, f.pos AS pos,
+         CAST(min((f.a * x + f.b) % {CFG.modulo_prime}) AS INT) AS sv
+         FROM txv CROSS JOIN fam f GROUP BY text_key, f.pos),
+tbd AS (SELECT text_key, (pos // {CFG.rows_per_band})::int AS band_id,
+        string_agg(sv::VARCHAR, ',' ORDER BY pos) AS bkey
+        FROM tsig GROUP BY text_key, (pos // {CFG.rows_per_band})::int),
+mhc AS (SELECT DISTINCT l.text_key AS id1, r.text_key AS id2
+        FROM tbd l JOIN tbd r USING (band_id, bkey)
+        WHERE l.text_key < r.text_key),
+tfpt AS (SELECT text_key, fingerprint FROM {_aux_rp('maint_fps')}),
+pwc(chunk_id, p) AS (VALUES {_CHUNK_VALUES}),
+tuf AS (SELECT text_key, fingerprint,
+        {_UVIEW.format(c='fingerprint')} AS uf FROM tfpt),
+tch AS (SELECT text_key, chunk_id,
+        CAST((uf // p) % {1 << _CHUNK_W} AS BIGINT) AS cv
+        FROM tuf CROSS JOIN pwc),
+shc AS (SELECT DISTINCT l.text_key AS id1, r.text_key AS id2
+        FROM tch l JOIN tch r ON l.chunk_id = r.chunk_id AND l.cv = r.cv
+        WHERE l.text_key < r.text_key),
+tanc AS (SELECT text_key, anchor FROM {_aux_rp('maint_anchors')}),
+sac AS (SELECT DISTINCT l.text_key AS id1, r.text_key AS id2
+        FROM tanc l JOIN tanc r USING (anchor)
+        WHERE l.text_key < r.text_key),
+tcand AS (SELECT DISTINCT id1, id2 FROM (
+          SELECT id1, id2 FROM mhc UNION ALL SELECT id1, id2 FROM shc
+          UNION ALL SELECT id1, id2 FROM sac)),
+tmet AS (SELECT c.id1, c.id2,
+         sum(CASE WHEN a.sv = b.sv THEN 1 ELSE 0 END) AS neq
+         FROM tcand c JOIN tsig a ON a.text_key = c.id1
+                      JOIN tsig b ON b.text_key = c.id2 AND b.pos = a.pos
+         GROUP BY c.id1, c.id2),
+tcheap AS (SELECT m.id1, m.id2,
+           m.neq * 1.0 / {CFG.num_hashes} >= {CFG.jaccard_threshold} AS est_ok,
+           bit_count(xor(f1.fingerprint, f2.fingerprint)) <= {CFG.hamming_t} AS ham_ok
+           FROM tmet m JOIN tfpt f1 ON f1.text_key = m.id1
+                        JOIN tfpt f2 ON f2.text_key = m.id2),
+tref AS (SELECT c.id1, c.id2, n1.tnorm AS t1, n2.tnorm AS t2
+         FROM tcheap c JOIN tcl n1 ON n1.text_key = c.id1
+                        JOIN tcl n2 ON n2.text_key = c.id2
+         WHERE NOT c.est_ok AND NOT c.ham_ok),
+tlpos AS (SELECT id1, id2, t1, t2,
+          unnest(generate_series(1, greatest(length(t1) - {CFG.sa_min_len - 1}, 0))) AS i
+          FROM tref),
+tlcs AS (SELECT DISTINCT id1, id2 FROM tlpos
+         WHERE strpos(t2, substring(t1, i, {CFG.sa_min_len})) > 0),
+tedge AS (SELECT id1, id2 FROM tcheap WHERE est_ok OR ham_ok
+          UNION SELECT id1, id2 FROM tlcs),
+btk AS (SELECT DISTINCT a.bytes AS pay, k.text_key
+        FROM {_aux_rp('maint_clips')} a JOIN tkm k USING (clip_id)),
+star AS (SELECT DISTINCT l.text_key AS id1, r.text_key AS id2
+         FROM btk l JOIN btk r ON l.pay = r.pay AND l.text_key < r.text_key),
+anear AS (SELECT DISTINCT least(k1.text_key, k2.text_key) AS id1,
+                 greatest(k1.text_key, k2.text_key) AS id2
+          FROM vpairs v JOIN tkm k1 ON k1.clip_id = v.id1
+                        JOIN tkm k2 ON k2.clip_id = v.id2
+          WHERE k1.text_key <> k2.text_key),
+alledge AS (SELECT id1, id2 FROM tedge UNION SELECT id1, id2 FROM star
+            UNION SELECT id1, id2 FROM anear),
+msym AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM alledge
+         UNION SELECT id2, id1 FROM alledge),
+mnodes AS (SELECT DISTINCT text_key AS node FROM tkm),
+mreach(node, lbl) AS (
+    SELECT node, node FROM mnodes
+    UNION
+    SELECT s.dst, r.lbl FROM mreach r JOIN msym s ON s.src = r.node
+),
+mcl AS (SELECT node, min(lbl) AS cid FROM mreach GROUP BY node)
+SELECT k.clip_id, m.cid AS cluster_key
+FROM tkm k JOIN mcl m ON m.node = k.text_key
 """,
 })
 
@@ -1844,6 +1953,199 @@ def q_incremental_substring_clusters(spark, sf_dir):
     )
 
 
+_MAINT_AUX_DONE: set[str] = set()
+MAINT_LIMIT = 200
+MAINT_REPUBLISH_EVERY = 11
+
+
+def _maint_clips(spark: SparkSession, sf_dir: str):
+    """The maintenance-loop certification corpus: the audio-content dup
+    corpus (fixtures.audio_dup_clips_df: base ``b`` + trim ``t`` + noise
+    ``z``) plus byte-identical republications under unrelated transcripts
+    (``r``, every 11th doc -- the exact-payload star-edge class), with
+    raw (clip_id, bytes, transcript) committed ONCE per process as the
+    ``maint_clips`` aux table: the single input both the Spark path and
+    the full-replay DuckDB oracle derive from."""
+    from locality_sensitive_hashing_spark.fixtures import audio_dup_clips_df
+
+    clips = audio_dup_clips_df(
+        spark, sf_dir, seed=CFG.seed, limit=MAINT_LIMIT,
+        republish_every=MAINT_REPUBLISH_EVERY,
+    )
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    with _AUX_LOCK:
+        if key not in _MAINT_AUX_DONE:
+            _aux_write(clips.select("clip_id", "bytes", "transcript"),
+                       sf_dir, "maint_clips")
+            _MAINT_AUX_DONE.add(key)
+    return clips
+
+
+def q_incremental_maintenance_clusters(spark, sf_dir):
+    """THE MAINTENANCE LOOP certified end-to-end in the driver channel:
+    the incremental THREE-AXIS fold (all three text detectors + the audio
+    axis, one intake batch folded into a committed base) must equal the
+    from-scratch closure, hash-checked in DuckDB.
+
+    Runs the SAME package operators jobs/maintain_clusters.py executes
+    (plans/maintenance.py).  The corpus splits into a committed half
+    (base clips ``...b``) and an intake batch (trim ``t`` / noise ``z`` /
+    republished ``r`` variants); the committed half bootstraps a standing
+    assignment from its own blocks (MinHash bands + SimHash pigeonhole
+    chunks + winnowing anchors, screened by the batch pipeline's full
+    text_ok: est-Jaccard OR Hamming OR lazy exact-LCS) plus the audio
+    axis (exact-payload star edges + energy-LSH near-dups); the batch
+    folds in via incremental blocking (pairs only from blocks the batch
+    touches) + the same screen + merge_clusters.  Cross-axis
+    TRANSITIVITY is what this query certifies beyond the per-axis
+    incremental queries: a trimmed re-master links to its source only
+    via audio content, the ``retake ...`` variant transcripts link to
+    each other only via text, and a republication links only via byte
+    identity -- the final clusters exist only if all the axes fold into
+    one component space across the batch boundary.
+
+    The ORACLE re-derives everything from scratch in DuckDB: text
+    classes via sha256(normalized transcript); MinHash signatures
+    replayed from the committed shingle hashes (seed-pinned family as
+    VALUES) with banding as tuple keys; SimHash chunks + bit_count
+    Hamming over the committed fingerprints; anchor-block candidacy with
+    the LCS >= L verify as its exact SQL equivalent (some L-gram of t1
+    occurs in t2), evaluated only for pairs failing both cheap screens
+    (the same short-circuit the lazy kernel applies); the full WAV
+    decode -> frame-energy -> LSH -> exact-Jaccard audio chain from raw
+    bytes; star edges from blob-grouped BYTE equality (no hash trusted);
+    and a recursive-CTE closure over text classes mapped back to clips.
+
+    Blocking is uncapped on both sides (cap semantics legitimately
+    diverge under append-only emission -- same reasoning as
+    incremental_dedup_clusters; emission-time caps are pinned by
+    tests/test_incremental.py).  Corpus contract: every normalized
+    transcript is >= shingle_k chars (documents at the driver scale are
+    >= 48 chars), so hashing.shingle_set's {0}-sentinel path for
+    sub-k texts never fires (the oracle does not replay it)."""
+    from dataclasses import replace as dc_replace
+
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        with_energy_signatures,
+    )
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        connected_components,
+        merge_clusters,
+    )
+    from locality_sensitive_hashing_spark.operators.minhash import (
+        estimated_jaccard_udf,
+        shingles_udf,
+        with_signatures,
+    )
+    from locality_sensitive_hashing_spark.operators.simhash import with_fingerprint
+    from locality_sensitive_hashing_spark.operators.suffix_array import with_anchors
+    from locality_sensitive_hashing_spark.operators.textgroup import (
+        with_content_keys,
+    )
+    from locality_sensitive_hashing_spark.plans.maintenance import (
+        audio_text_edges,
+        batch_pairs,
+        energy_pairs,
+        sa_pairs,
+        screened_edges,
+    )
+
+    cfgu = dc_replace(CFG, bucket_cap=_NOCAP)
+    clips = _maint_clips(spark, sf_dir)
+    keyed = with_content_keys(clips).localCheckpoint()
+    is_base = F.col("clip_id").endswith("b")
+    keyed_base = keyed.where(is_base)
+    keyed_new = keyed.where(~is_base)
+
+    # the intake store's anti-join contract: the batch materializes
+    # features only for text classes absent from the committed store
+    old_texts = keyed_base.groupBy("text_key").agg(F.min("norm").alias("norm"))
+    new_texts = (
+        keyed_new.groupBy("text_key").agg(F.min("norm").alias("norm"))
+        .join(old_texts.select("text_key"), "text_key", "left_anti")
+    )
+    _aux_write(
+        old_texts.unionByName(new_texts).select(
+            "text_key",
+            F.explode(shingles_udf(cfgu)(F.col("norm"))).alias("shingle"),
+        ),
+        sf_dir, "maint_shingles",
+    )
+
+    def _feats(texts):
+        sigs = with_signatures(texts, cfgu, text_col="norm",
+                               id_col="text_key", pre_normalized=True)
+        fps = with_fingerprint(texts, text_col="norm", id_col="text_key")
+        anch = with_anchors(texts, cfgu, norm_col="norm", id_col="text_key")
+        return (sigs.localCheckpoint(), fps.localCheckpoint(),
+                anch.localCheckpoint())
+
+    old_sigs, old_fps, old_anch = _feats(old_texts)
+    new_sigs, new_fps, new_anch = _feats(new_texts)
+    _aux_write(old_fps.unionByName(new_fps), sf_dir, "maint_fps")
+    _aux_write(old_anch.unionByName(new_anch), sf_dir, "maint_anchors")
+
+    # energy store: one row per distinct payload, same anti-join contract
+    pay = clips.select(
+        F.substring(F.sha2(F.col("bytes"), 256), 1, 32).alias("audio_key"),
+        "bytes", "clip_id",
+    )
+    old_pay = pay.where(is_base).dropDuplicates(["audio_key"])
+    new_pay = (
+        pay.where(~is_base).dropDuplicates(["audio_key"])
+        .join(old_pay.select("audio_key"), "audio_key", "left_anti")
+    )
+
+    def _en(p):
+        return with_energy_signatures(p, cfgu, id_col="audio_key").select(
+            "audio_key", "decode_ok", "shingles", "sig"
+        ).localCheckpoint()
+
+    old_en, new_en = _en(old_pay), _en(new_pay)
+
+    est = estimated_jaccard_udf()
+    # bootstrap: the committed half clusters from its own blocks (the
+    # job's store-is-empty path, jobs/maintain_clusters.py main())
+    pairs0 = (
+        batch_pairs(cfgu, old_sigs, old_sigs.limit(0), old_fps,
+                    old_fps.limit(0))
+        .unionByName(sa_pairs(cfgu, old_anch, old_anch.limit(0)))
+        .distinct().localCheckpoint()
+    )
+    edges0 = screened_edges(
+        pairs0, old_sigs, old_sigs, old_fps, old_fps, est, cfgu, lcs=True)
+    apairs0 = energy_pairs(cfgu, old_en, old_en.limit(0)).localCheckpoint()
+    edges0 = edges0.unionByName(audio_text_edges(
+        apairs0, old_en, old_en.limit(0), keyed_base, keyed_base, cfgu
+    )).distinct()
+    prev = connected_components(
+        edges0, old_texts.select(F.col("text_key").alias("clip_id")), cfgu)
+
+    # fold: the intake batch pairs only via blocks it touches, then
+    # merge_clusters (contracted-graph CC) -- the job's incremental path
+    pairs1 = (
+        batch_pairs(cfgu, new_sigs, old_sigs, new_fps, old_fps)
+        .unionByName(sa_pairs(cfgu, new_anch, old_anch))
+        .distinct().localCheckpoint()
+    )
+    edges1 = screened_edges(
+        pairs1, new_sigs, old_sigs, new_fps, old_fps, est, cfgu, lcs=True)
+    apairs1 = energy_pairs(cfgu, new_en, old_en).localCheckpoint()
+    edges1 = edges1.unionByName(audio_text_edges(
+        apairs1, new_en, old_en, keyed, keyed_new, cfgu
+    )).distinct()
+    merged = merge_clusters(
+        prev, edges1,
+        new_texts.select(F.col("text_key").alias("clip_id")), cfgu,
+    )
+    return (
+        keyed.select("clip_id", "text_key")
+        .join(merged.select(F.col("clip_id").alias("text_key"), "cluster_id"),
+              "text_key")
+        .select("clip_id", F.col("cluster_id").alias("cluster_key"))
+    )
+
+
 _MM_AUX_DONE: set[str] = set()
 
 
@@ -1965,6 +2267,7 @@ QUERIES_SQL_CHECKED = {
     "audio_eval_planted_recall": q_audio_eval_planted_recall,
     "incremental_audio_clusters": q_incremental_audio_clusters,
     "incremental_substring_clusters": q_incremental_substring_clusters,
+    "incremental_maintenance_clusters": q_incremental_maintenance_clusters,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

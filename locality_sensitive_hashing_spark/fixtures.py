@@ -403,7 +403,7 @@ def synth_env_pcm(rng: np.random.Generator, sr_hz: int, dur_ms: int,
 
 
 def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
-                       limit: int = 200):
+                       limit: int = 200, republish_every: int | None = None):
     """Audio-CONTENT duplicate corpus for the frame-energy LSH detector.
 
     One enveloped 500 ms s16le clip per document (doc_id < limit), plus
@@ -417,6 +417,12 @@ def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
     - ``...z`` (every 7th doc): same PCM plus white noise at 40 dB SNR --
       a re-recorded/re-mastered near-dup.  Also given an unrelated
       transcript.
+    - ``...r`` (every ``republish_every``-th doc, when set): the SAME
+      bytes republished under an unrelated transcript -- the
+      exact-payload star-edge class (maintenance.audio_text_edges class
+      (a)); only byte identity can pair it with its source.  Off by
+      default so the detector-fixture corpora (and their committed aux
+      snapshots) are unchanged.
 
     Synthesis runs IN EXECUTORS via mapInPandas with per-doc seeded
     substreams (stream [seed, doc_id, 11] -- disjoint from
@@ -444,6 +450,11 @@ def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
                 rows.append(
                     (f"a{doc_id:08d}b", raw, sr, dur, "pcm_s16le", str(text))
                 )
+                if republish_every and doc_id % republish_every == 0:
+                    rows.append((
+                        f"a{doc_id:08d}r", raw, sr, dur, "pcm_s16le",
+                        f"republication {doc_id} under a new title",
+                    ))
                 if doc_id % 5 == 0:
                     raw_t = A.encode_wav(pcm[800:], sr, "pcm_s16le")
                     rows.append((
