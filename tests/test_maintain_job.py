@@ -549,3 +549,69 @@ def test_maintain_job_crash_before_manifest_resumes(spark, cfg, monkeypatch):
     assert _assign(MJ.read_current(spark, wd)) == _assign(
         _reference(spark, store, [0, 1])
     )
+
+
+def test_streamed_store_feeds_maintenance_job(spark, cfg, tmp_path):
+    """END-TO-END streaming -> maintenance: the intake store built by the
+    REAL Structured Streaming query (readStream -> foreachBatch
+    BatchIngestor, availableNow trigger, checkpointed) must drive
+    jobs/maintain_clusters.py to the same assignment as the from-scratch
+    all-axis reference -- the complete continuous-dedup loop on its
+    production wiring, including a checkpoint-resumed second stream run
+    whose new batches the job folds in merge-on-read."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from locality_sensitive_hashing_spark.streaming.incremental import (
+        committed_batch_ids,
+        incremental_signatures,
+    )
+
+    schema = pa.schema([
+        ("clip_id", pa.string()), ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()), ("dur_ms", pa.int32()),
+        ("codec", pa.string()), ("transcript", pa.string()),
+    ])
+
+    def write(pdf, path):
+        pq.write_table(
+            pa.Table.from_pandas(pdf, schema=schema, preserve_index=False),
+            path,
+        )
+
+    root = str(tmp_path)
+    in_dir = os.path.join(root, "in")
+    store = os.path.join(root, "intake")
+    ckpt = os.path.join(root, "ckpt")
+    wd = os.path.join(root, "clusters")
+    os.makedirs(in_dir)
+    os.makedirs(wd)
+
+    clips, _ = make_clips(60, seed=33)
+    write(clips.iloc[:30], os.path.join(in_dir, "f0.parquet"))
+    q = incremental_signatures(spark, in_dir, store, cfg, checkpoint_dir=ckpt)
+    q.awaitTermination(120)
+    ids0 = sorted(committed_batch_ids(store))
+    assert ids0, "stream committed no batches"
+
+    _run_job(store, wd)
+    assert _assign(MJ.read_current(spark, wd)) == _assign(
+        _reference(spark, store, ids0)
+    )
+    base_v = MJ._read_state(wd)["base_v"]
+
+    # more clips land; the RESTARTED stream resumes from the checkpoint
+    # (already-ingested file not reprocessed) and commits only new batches
+    write(clips.iloc[30:], os.path.join(in_dir, "f1.parquet"))
+    q2 = incremental_signatures(spark, in_dir, store, cfg, checkpoint_dir=ckpt)
+    q2.awaitTermination(120)
+    ids1 = sorted(committed_batch_ids(store))
+    assert len(ids1) > len(ids0)
+
+    _run_job(store, wd)  # folds ONLY the new batches, base untouched
+    st = MJ._read_state(wd)
+    assert st["processed"] == ids1
+    assert st["base_v"] == base_v
+    assert _assign(MJ.read_current(spark, wd)) == _assign(
+        _reference(spark, store, ids1)
+    )
