@@ -615,3 +615,35 @@ def test_streamed_store_feeds_maintenance_job(spark, cfg, tmp_path):
     assert _assign(MJ.read_current(spark, wd)) == _assign(
         _reference(spark, store, ids1)
     )
+
+
+def test_maintain_job_all_dup_batch_is_identity(spark, cfg, tmp_path):
+    """A pending batch carrying ONLY already-known content (every
+    transcript and payload seen in committed batches -- production quiet
+    periods, replayed feeds) must fold as an identity: the store's
+    anti-join contract gives the batch zero new signature/anchor/energy
+    rows, the job still marks it processed and exits 0, and the standing
+    assignment is unchanged row-for-row (empty edge set + empty node set
+    through cluster_delta must not crash CC or rewrite anything)."""
+    store = os.path.join(str(tmp_path), "intake")
+    wd = os.path.join(str(tmp_path), "clusters")
+    os.makedirs(wd)
+
+    clips, _ = make_clips(40, seed=37)
+    ing = BatchIngestor(spark, store, cfg)
+    ing.process(spark.createDataFrame(clips), 0)
+    _run_job(store, wd)
+    before = _assign(MJ.read_current(spark, wd))
+    base_v = MJ._read_state(wd)["base_v"]
+
+    # batch 1 = the same clips under fresh clip_ids: same texts, same
+    # payloads -> the ingest anti-join emits zero new feature rows
+    dup = clips.copy()
+    dup["clip_id"] = dup["clip_id"] + "_re"
+    ing.process(spark.createDataFrame(dup), 1)
+    _run_job(store, wd)
+
+    st = MJ._read_state(wd)
+    assert st["processed"] == [0, 1]
+    assert st["base_v"] == base_v
+    assert _assign(MJ.read_current(spark, wd)) == before
