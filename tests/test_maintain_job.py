@@ -647,3 +647,60 @@ def test_maintain_job_all_dup_batch_is_identity(spark, cfg, tmp_path):
     assert st["processed"] == [0, 1]
     assert st["base_v"] == base_v
     assert _assign(MJ.read_current(spark, wd)) == before
+
+
+def test_continuous_dedup_cycles(spark, cfg, tmp_path):
+    """jobs/continuous_dedup.py: one CLI = drain the landing dir through
+    the checkpointed stream + fold pending batches.  Two cycles over a
+    growing landing dir must equal the from-scratch all-axis reference
+    after each, with the second cycle's stream skipping already-ingested
+    files via its checkpoint (no re-commit: batch count grows by the new
+    file only)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import jobs.continuous_dedup as CD
+    from locality_sensitive_hashing_spark.streaming.incremental import (
+        committed_batch_ids,
+    )
+
+    schema = pa.schema([
+        ("clip_id", pa.string()), ("bytes", pa.binary()),
+        ("sr_hz", pa.int32()), ("dur_ms", pa.int32()),
+        ("codec", pa.string()), ("transcript", pa.string()),
+    ])
+    root = str(tmp_path)
+    in_dir = os.path.join(root, "landing")
+    store = os.path.join(root, "intake")
+    wd = os.path.join(root, "clusters")
+    os.makedirs(in_dir)
+    os.makedirs(wd)
+
+    def cycle():
+        argv = ["continuous_dedup", "--in", in_dir, "--store", store,
+                "--clusters", wd, "--config-json", CFG_JSON]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            assert CD.main() == 0
+        finally:
+            sys.argv = old
+
+    clips, _ = make_clips(50, seed=41)
+    pq.write_table(pa.Table.from_pandas(
+        clips.iloc[:25], schema=schema, preserve_index=False),
+        os.path.join(in_dir, "f0.parquet"))
+    cycle()
+    ids0 = sorted(committed_batch_ids(store))
+    assert _assign(MJ.read_current(spark, wd)) == _assign(
+        _reference(spark, store, ids0))
+
+    pq.write_table(pa.Table.from_pandas(
+        clips.iloc[25:], schema=schema, preserve_index=False),
+        os.path.join(in_dir, "f1.parquet"))
+    cycle()
+    ids1 = sorted(committed_batch_ids(store))
+    assert len(ids1) == len(ids0) + 1  # checkpoint skipped f0
+    assert MJ._read_state(wd)["processed"] == ids1
+    assert _assign(MJ.read_current(spark, wd)) == _assign(
+        _reference(spark, store, ids1))
