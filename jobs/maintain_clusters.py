@@ -117,6 +117,36 @@ def read_current(spark, workdir: str):
     return _load_store(spark, workdir, state).current()
 
 
+class MaintenanceLocked(RuntimeError):
+    """Another maintenance run holds this workdir's lock."""
+
+
+def _acquire_lock(workdir: str):
+    """Exclusive non-blocking flock on <workdir>/.maintain.lock.
+
+    Two concurrent runs on one workdir would both read the same
+    ``next_v``, then race their ``base/vN`` / ``mapping/vN`` parquet
+    writes and the manifest rename -- the LAST manifest wins but may
+    reference data the OTHER run overwrote mid-write.  The manifest-last
+    protocol makes crashes safe, not concurrency; a scheduler retry
+    firing while the previous run is still alive is exactly this case.
+    The lock turns it into a loud no-op: the second run exits non-zero
+    with status=locked and the scheduler retries later.  The fd is held
+    (returned) until process exit; flock dies with the holder, so a
+    crashed run never wedges the workdir."""
+    import fcntl
+
+    os.makedirs(workdir, exist_ok=True)
+    fd = os.open(os.path.join(workdir, ".maintain.lock"),
+                 os.O_CREAT | os.O_RDWR, 0o600)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except BlockingIOError:
+        os.close(fd)
+        raise MaintenanceLocked(workdir)
+    return fd
+
+
 def main() -> int:
     ap = argparse.ArgumentParser(description="incremental cluster maintenance")
     ap.add_argument("--store", required=True,
@@ -132,6 +162,18 @@ def main() -> int:
     ap.add_argument("--config-json", default=None)
     args = ap.parse_args()
 
+    try:
+        _lock_fd = _acquire_lock(args.workdir)
+    except MaintenanceLocked:
+        print(json.dumps({"status": "locked", "workdir": args.workdir}))
+        return 2
+    try:
+        return _locked_main(args)
+    finally:
+        os.close(_lock_fd)  # releases the flock (also released on crash)
+
+
+def _locked_main(args) -> int:
     from pyspark.sql import functions as F
 
     from locality_sensitive_hashing_spark.config import Config

@@ -704,3 +704,36 @@ def test_continuous_dedup_cycles(spark, cfg, tmp_path):
     assert MJ._read_state(wd)["processed"] == ids1
     assert _assign(MJ.read_current(spark, wd)) == _assign(
         _reference(spark, store, ids1))
+
+
+def test_maintain_job_workdir_lock(spark, cfg, tmp_path):
+    """Concurrent maintenance runs on one workdir are a correctness
+    hazard (both read the same next_v, then race their parquet writes
+    under the manifest-last commit): the second run must refuse loudly
+    (exit 2, status=locked) while the lock is held, and the lock must
+    release when a run finishes so the next scheduled run proceeds."""
+    store = os.path.join(str(tmp_path), "intake")
+    wd = os.path.join(str(tmp_path), "clusters")
+    os.makedirs(wd)
+    clips, _ = make_clips(20, seed=43)
+    BatchIngestor(spark, store, cfg).process(spark.createDataFrame(clips), 0)
+
+    # a concurrent holder (flock conflicts across open file descriptions,
+    # same or different process) forces the job down the locked path
+    fd = MJ._acquire_lock(wd)
+    try:
+        argv = ["maintain_clusters", "--store", store, "--workdir", wd,
+                "--config-json", CFG_JSON]
+        old = sys.argv
+        sys.argv = argv
+        try:
+            assert MJ.main() == 2  # locked: loud no-op
+        finally:
+            sys.argv = old
+        assert not os.path.exists(os.path.join(wd, "state.json"))
+    finally:
+        os.close(fd)
+
+    # holder gone -> the run proceeds and commits
+    _run_job(store, wd)
+    assert MJ._read_state(wd)["processed"] == [0]
