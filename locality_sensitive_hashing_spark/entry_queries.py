@@ -102,6 +102,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "cluster_size_hist": ["pipeline_edges", "pipeline_nodes"],
     "ann_lsh_topk": ["ann_buckets"],
     "ann_ivf_topk": ["ivf_index", "ivf_probes"],
+    "ann_pq_topk": ["pq_codes"],
     "embedding_near_dups": ["neardup_buckets"],
     "audio_features": ["audio_clips"],
     "audio_energy_profile": ["audio_lsh_clips"],
@@ -165,6 +166,10 @@ _UVIEW = "(CAST({c} AS HUGEINT) + CASE WHEN {c} < 0 THEN " + _U64 + " ELSE 0 END
 # ~30 LSH-candidate pairs (and no pair sits near the boundary). The
 # operator's default stays 0.95 for real near-dup corpora.
 NEAR_DUP_THRESHOLD = 0.4
+
+# product quantization: subspaces x codewords; the driver fixture's
+# embeddings are dim 64 -> sub_dim 16 per subspace
+PQ_M, PQ_K = 4, 16
 
 # ---------------------------------------------------------------------------
 # shared SQL fragments (kept in one place so Spark & DuckDB stay in sync)
@@ -1397,6 +1402,43 @@ FROM tkm k JOIN mcl m ON m.node = k.text_key
 """,
 })
 
+# PQ-ADC oracle: only the encode argmin (pq_codes) is kernel aux; the
+# codebook is the k lowest-id vectors RE-SLICED relationally (code =
+# dense 0-based rank by vec_id), the per-query LUT and the m-lookup-sum
+# score are re-derived from raw embeddings, rounded to 6 dp before the
+# rank on both engines.  Subspace constants assume the driver fixture's
+# dim-64 embeddings (PQ_M=4 -> sub_dim 16); a dim change would fail
+# loudly as a row/hash mismatch, not silently.
+_PQ_SUB = 64 // PQ_M  # fixture embedding dim / subspaces
+ORACLE_SQL.update({
+    "ann_pq_topk": f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      generate_subscripts(embedding, 1) AS i FROM e),
+bidx AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         FROM e ORDER BY vec_id LIMIT {PQ_K}),
+books AS (SELECT b.code, ((u.i - 1) // {_PQ_SUB})::int AS m,
+                 ((u.i - 1) % {_PQ_SUB})::int AS j, u.v AS bv
+          FROM bidx b JOIN u ON u.vec_id = b.vec_id),
+q AS (SELECT vec_id AS query_id, ((i - 1) // {_PQ_SUB})::int AS m,
+             ((i - 1) % {_PQ_SUB})::int AS j, v AS qv FROM u),
+lut AS (SELECT query_id, b.m, b.code, sum(qv * bv) AS part
+        FROM q JOIN books b ON b.m = q.m AND b.j = q.j
+        GROUP BY query_id, b.m, b.code),
+pqc AS (SELECT vec_id, m, code FROM {_aux_rp('pq_codes')}),
+sc AS (SELECT l.query_id, c.vec_id AS neighbor_id,
+              round(sum(l.part), 6) AS score
+       FROM pqc c JOIN lut l ON l.m = c.m AND l.code = c.code
+       WHERE c.vec_id <> l.query_id GROUP BY l.query_id, c.vec_id),
+ranked AS (SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+           FROM sc)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
+})
+
 
 # ---------------------------------------------------------------------------
 # kernel-backed queries, SQL-checked via aux tables (see module docstring)
@@ -1686,6 +1728,31 @@ def q_ann_ivf_topk(spark, sf_dir):
     _aux_write(index_cells, sf_dir, "ivf_index")
     _aux_write(probe_cells, sf_dir, "ivf_probes")
     return ivf_topk(emb, k=3, index_cells=index_cells, probe_cells=probe_cells)
+
+
+def q_ann_pq_topk(spark, sf_dir):
+    """Product-quantization ADC top-3 (third ANN scale path: the
+    MEMORY-bound one -- m_sub byte codes per vector instead of the float
+    vector, broadcast codebooks, per-query lookup-table scoring; at
+    10^12 vectors the codes fit where the floats cannot).  Aux:
+    ``pq_codes`` -- the encode kernel's per-subspace argmin (float
+    argmin near-ties are not cross-engine reproducible, the same
+    contract as ``ivf_index``).  Everything else the oracle re-derives
+    relationally from the raw embeddings: the codebook (the k lowest-id
+    vectors re-sliced -- deterministic, so it needs NO aux), the
+    per-query LUT of subspace partial dots, the m-lookup-sum ADC score
+    (rounded to 6 dp BEFORE ranking on both sides), and the rank."""
+    from locality_sensitive_hashing_spark.operators.ann import (
+        pq_codebooks,
+        pq_topk,
+        with_pq_codes,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    books = pq_codebooks(emb, PQ_M, PQ_K)
+    codes = with_pq_codes(emb, books)
+    _aux_write(codes, sf_dir, "pq_codes")
+    return pq_topk(emb, k=3, m_sub=PQ_M, k_codes=PQ_K, codes=codes)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -2259,6 +2326,7 @@ QUERIES_SQL_CHECKED = {
     "cluster_size_hist": q_cluster_size_hist,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "audio_features": q_audio_features,
     "audio_energy_profile": q_audio_energy_profile,

@@ -478,3 +478,150 @@ def embedding_near_dup_pairs(
         .where(F.col("cosine") >= threshold)
         .select("id1", "id2", "cosine")
     )
+
+
+# --------------------------------------------------------------------------
+# Product quantization (Jegou/Douze/Schmid, TPAMI 2011): the MEMORY-bound
+# ANN scale path.  At 10^12 vectors a float32 corpus is ~0.25 PB; PQ codes
+# at m_sub bytes/vector are ~4 TB -- the difference between "fits in the
+# cluster's page cache" and "every scan is cold".  Search is asymmetric
+# distance computation (ADC): per query, one tiny (m_sub x k_codes) lookup
+# table of partial inner products against the BROADCAST codebooks; each
+# stored vector's approximate score is m_sub table lookups, no float
+# vector ever read.  At production scale ADC composes with IVF (probe
+# cells first, ADC-score only candidates); the exhaustive form below is
+# the certification surface.
+# --------------------------------------------------------------------------
+
+
+def pq_codebooks(
+    emb: DataFrame, m_sub: int = 4, k_codes: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m_sub, k_codes, sub_dim) PQ codebooks from the k_codes lowest-id
+    vectors, sliced into m_sub contiguous subspaces.
+
+    Deterministic on purpose (same contract as :func:`ivf_centroids`):
+    the hash-checked driver query needs a codebook both engines can
+    derive exactly -- the DuckDB oracle re-slices the same first-k rows
+    relationally, so the codebook itself needs NO aux table.  A
+    production deployment would k-means each subspace
+    (:func:`kmeans_centroids` on the slice); everything downstream --
+    broadcast books, byte codes, LUT scoring -- is identical, and that
+    is the part that has to scale.  Collect is codebook-sized.
+    """
+    rows = (
+        emb.orderBy(id_col).limit(k_codes)
+        .select(F.col(vec_col).cast("array<double>")).collect()
+    )
+    X = np.array([r[0] for r in rows], dtype=np.float64)  # (k, dim)
+    k, dim = X.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    return X.reshape(k, m_sub, sub).transpose(1, 0, 2)  # (m, k, sub)
+
+
+def pq_encode_udf(books: np.ndarray):
+    """pandas UDF: vector -> array<int> of m_sub codeword ids.
+
+    argmin_c ||x_m - c||^2 per subspace, computed as
+    argmin(||c||^2 - 2 x_m . c) with one matmul per (batch, subspace)
+    against the broadcast books -- no per-row Python.
+    """
+    B = books  # (m, k, sub)
+    cc = (B * B).sum(axis=2)  # (m, k) codeword self-dots
+
+    @F.pandas_udf("array<int>")
+    def compute(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        V = np.vstack([np.asarray(x, dtype=np.float64) for x in v])
+        m, k, sub = B.shape
+        Vs = V.reshape(len(V), m, sub)
+        codes = np.empty((len(V), m), dtype=np.int64)
+        for j in range(m):
+            d = cc[j][None, :] - 2.0 * (Vs[:, j, :] @ B[j].T)  # (n, k)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return compute
+
+
+def with_pq_codes(
+    emb: DataFrame, books: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, m, code) exploded PQ codes -- the compressed index table
+    (m_sub small ints per vector; at scale, a byte column)."""
+    udf = pq_encode_udf(books)
+    return emb.select(
+        F.col(id_col),
+        F.posexplode(udf(F.col(vec_col).cast("array<double>"))).alias(
+            "m", "code"),
+    )
+
+
+def pq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """Exhaustive PQ-ADC top-k by approximate inner product.
+
+    Shape (all JVM once the codes exist): the per-query lookup table
+    (query_id, m, code, part = q_m . c) is built relationally -- exploded
+    query components joined to the BROADCAST codebook literal
+    (m_sub*k_codes*sub_dim rows, model-sized) -- then each stored
+    vector's score is a broadcast join of its m_sub code rows against
+    the LUT plus a sum: no float vector is read on the index side, no
+    UDF in the scoring path.  Scores round to 6 dp BEFORE ranking so the
+    rank order is reproducible across engines (the DuckDB oracle ranks
+    the identically-rounded value).
+
+    At 10^12 x Q this exhaustive scoring is the PQ trade (scan codes,
+    not vectors); for sublinear candidate counts compose with IVF:
+    restrict `codes` to the probed cells' vectors first.
+    """
+    spark = emb.sparkSession
+    books = pq_codebooks(emb, m_sub, k_codes, id_col, vec_col)
+    if codes is None:
+        codes = with_pq_codes(emb, books, id_col, vec_col)
+    m, kc, sub = books.shape
+    ebooks = spark.createDataFrame(
+        [(int(j), int(c), int(d), float(books[j, c, d]))
+         for j in range(m) for c in range(kc) for d in range(sub)],
+        "m int, code int, j int, bv double",
+    )
+    u = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i0", "qv"),
+    ).select(
+        "query_id",
+        (F.col("i0") / sub).cast("int").alias("m"),
+        (F.col("i0") % sub).alias("j"),
+        "qv",
+    )
+    lut = (
+        u.join(F.broadcast(ebooks), ["m", "j"])
+        .groupBy("query_id", "m", "code")
+        .agg(F.sum(F.col("qv") * F.col("bv")).alias("part"))
+    )
+    sc = (
+        codes.withColumnRenamed(id_col, "neighbor_id")
+        .join(F.broadcast(lut), ["m", "code"])
+        .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )

@@ -202,3 +202,31 @@ def test_kmeans_ivf_beats_first_n_on_skewed_ids(spark):
     C1 = kmeans_centroids(emb, 10, seed=7)
     C2 = kmeans_centroids(emb, 10, seed=7)
     assert np.allclose(C1, C2)
+
+
+def test_pq_codes_and_cluster_recall(emb_df):
+    """Product quantization: (a) codebook rows are their own nearest
+    codeword in every subspace (exact-zero distance beats every
+    near-copy), (b) exhaustive PQ-ADC top-1 lands in the query's true
+    cluster on the clustered corpus -- the approximation must preserve
+    the coarse neighborhood structure even with a first-N codebook."""
+    from locality_sensitive_hashing_spark.operators.ann import (
+        pq_codebooks,
+        pq_topk,
+        with_pq_codes,
+    )
+
+    books = pq_codebooks(emb_df, m_sub=4, k_codes=16)
+    assert books.shape == (4, 16, 4)
+    codes = with_pq_codes(emb_df, books).toPandas()
+    assert len(codes) == 60 * 4  # one row per (vector, subspace)
+    own = codes[codes.vec_id < 16]
+    assert (own.code == own.vec_id).all()
+
+    pq = pq_topk(emb_df, k=1, m_sub=4, k_codes=16).toPandas()
+    assert len(pq) == 60
+    hits = sum(
+        1 for r in pq.itertuples()
+        if r.neighbor_id // 5 == r.query_id // 5
+    )
+    assert hits / len(pq) >= 0.9, f"PQ cluster recall {hits / len(pq)}"
