@@ -103,6 +103,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "ann_lsh_topk": ["ann_buckets"],
     "ann_ivf_topk": ["ivf_index", "ivf_probes"],
     "ann_pq_topk": ["pq_codes"],
+    "ann_ivfpq_topk": ["ivf_index", "ivf_probes", "pq_codes"],
     "embedding_near_dups": ["neardup_buckets"],
     "audio_features": ["audio_clips"],
     "audio_energy_profile": ["audio_lsh_clips"],
@@ -1437,6 +1438,39 @@ ranked AS (SELECT query_id, neighbor_id, score,
 SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
 FROM ranked WHERE rank <= 3
 """,
+    # IVF+PQ: probed candidacy (ivf aux) x ADC scoring (pq oracle CTEs)
+    "ann_ivfpq_topk": f"""
+WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 200),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      generate_subscripts(embedding, 1) AS i FROM e),
+bidx AS (SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS code
+         FROM e ORDER BY vec_id LIMIT {PQ_K}),
+books AS (SELECT b.code, ((u.i - 1) // {_PQ_SUB})::int AS m,
+                 ((u.i - 1) % {_PQ_SUB})::int AS j, u.v AS bv
+          FROM bidx b JOIN u ON u.vec_id = b.vec_id),
+q AS (SELECT vec_id AS query_id, ((i - 1) // {_PQ_SUB})::int AS m,
+             ((i - 1) % {_PQ_SUB})::int AS j, v AS qv FROM u),
+lut AS (SELECT query_id, b.m, b.code, sum(qv * bv) AS part
+        FROM q JOIN books b ON b.m = q.m AND b.j = q.j
+        GROUP BY query_id, b.m, b.code),
+pqc AS (SELECT vec_id, m, code FROM {_aux_rp('pq_codes')}),
+idx AS (SELECT vec_id AS neighbor_id, cell FROM {_aux_rp('ivf_index')}),
+probes AS (SELECT vec_id AS query_id, cell FROM {_aux_rp('ivf_probes')}),
+cand AS (SELECT DISTINCT p.query_id, i.neighbor_id
+         FROM probes p JOIN idx i USING (cell)
+         WHERE p.query_id <> i.neighbor_id),
+sc AS (SELECT c.query_id, c.neighbor_id, round(sum(l.part), 6) AS score
+       FROM cand c JOIN pqc pc ON pc.vec_id = c.neighbor_id
+                    JOIN lut l ON l.query_id = c.query_id
+                             AND l.m = pc.m AND l.code = pc.code
+       GROUP BY c.query_id, c.neighbor_id),
+ranked AS (SELECT query_id, neighbor_id, score,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY score DESC, neighbor_id) AS rank
+           FROM sc)
+SELECT query_id, neighbor_id, score, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 3
+""",
 })
 
 
@@ -1753,6 +1787,37 @@ def q_ann_pq_topk(spark, sf_dir):
     codes = with_pq_codes(emb, books)
     _aux_write(codes, sf_dir, "pq_codes")
     return pq_topk(emb, k=3, m_sub=PQ_M, k_codes=PQ_K, codes=codes)
+
+
+def q_ann_ivfpq_topk(spark, sf_dir):
+    """IVF + PQ composition (the production ANN deployment: coarse cells
+    prune candidates to ~N*nprobe/n_cells per query, PQ-ADC scores the
+    survivors from byte codes -- sublinear candidate count AND no float
+    vector read on the index side).  Aux: the IVF cell index + probe
+    lists and the PQ codes (all three kernel argmin/argmax outputs, the
+    same contracts as ann_ivf_topk / ann_pq_topk); the oracle re-derives
+    probed candidacy, the relational codebook + per-query LUT, the
+    m-lookup-sum score (rounded before ranking), and the rank."""
+    from locality_sensitive_hashing_spark.operators.ann import (
+        ivf_centroids,
+        ivf_pq_topk,
+        pq_codebooks,
+        with_ivf_cells,
+        with_pq_codes,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings").where(F.col("vec_id") < 200)
+    C = ivf_centroids(emb, n_cells=16)
+    index_cells = with_ivf_cells(emb, C, 1)
+    probe_cells = with_ivf_cells(emb, C, 2)
+    books = pq_codebooks(emb, PQ_M, PQ_K)
+    codes = with_pq_codes(emb, books)
+    _aux_write(index_cells, sf_dir, "ivf_index")
+    _aux_write(probe_cells, sf_dir, "ivf_probes")
+    _aux_write(codes, sf_dir, "pq_codes")
+    return ivf_pq_topk(emb, k=3, m_sub=PQ_M, k_codes=PQ_K,
+                       index_cells=index_cells, probe_cells=probe_cells,
+                       codes=codes)
 
 
 def q_embedding_near_dups(spark, sf_dir):
@@ -2327,6 +2392,7 @@ QUERIES_SQL_CHECKED = {
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "audio_features": q_audio_features,
     "audio_energy_profile": q_audio_energy_profile,

@@ -562,6 +562,37 @@ def with_pq_codes(
     )
 
 
+def pq_query_lut(
+    emb: DataFrame, books: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(query_id, m, code, part) ADC lookup table, built RELATIONALLY:
+    exploded query components joined to the broadcast codebook literal
+    (m*k*sub rows, model-sized) and partial-summed per (query, subspace,
+    codeword).  No UDF; one shuffle keyed by the query id."""
+    spark = emb.sparkSession
+    m, kc, sub = books.shape
+    ebooks = spark.createDataFrame(
+        [(int(j), int(c), int(d), float(books[j, c, d]))
+         for j in range(m) for c in range(kc) for d in range(sub)],
+        "m int, code int, j int, bv double",
+    )
+    u = emb.select(
+        F.col(id_col).alias("query_id"),
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i0", "qv"),
+    ).select(
+        "query_id",
+        (F.col("i0") / sub).cast("int").alias("m"),
+        (F.col("i0") % sub).alias("j"),
+        "qv",
+    )
+    return (
+        u.join(F.broadcast(ebooks), ["m", "j"])
+        .groupBy("query_id", "m", "code")
+        .agg(F.sum(F.col("qv") * F.col("bv")).alias("part"))
+    )
+
+
 def pq_topk(
     emb: DataFrame,
     k: int = 3,
@@ -587,34 +618,67 @@ def pq_topk(
     not vectors); for sublinear candidate counts compose with IVF:
     restrict `codes` to the probed cells' vectors first.
     """
-    spark = emb.sparkSession
     books = pq_codebooks(emb, m_sub, k_codes, id_col, vec_col)
     if codes is None:
         codes = with_pq_codes(emb, books, id_col, vec_col)
-    m, kc, sub = books.shape
-    ebooks = spark.createDataFrame(
-        [(int(j), int(c), int(d), float(books[j, c, d]))
-         for j in range(m) for c in range(kc) for d in range(sub)],
-        "m int, code int, j int, bv double",
-    )
-    u = emb.select(
-        F.col(id_col).alias("query_id"),
-        F.posexplode(F.col(vec_col).cast("array<double>")).alias("i0", "qv"),
-    ).select(
-        "query_id",
-        (F.col("i0") / sub).cast("int").alias("m"),
-        (F.col("i0") % sub).alias("j"),
-        "qv",
-    )
-    lut = (
-        u.join(F.broadcast(ebooks), ["m", "j"])
-        .groupBy("query_id", "m", "code")
-        .agg(F.sum(F.col("qv") * F.col("bv")).alias("part"))
-    )
+    lut = pq_query_lut(emb, books, id_col, vec_col)
     sc = (
         codes.withColumnRenamed(id_col, "neighbor_id")
         .join(F.broadcast(lut), ["m", "code"])
         .where(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.round(F.sum("part"), 6).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.col("neighbor_id"))
+    return (
+        sc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "score", "rank")
+    )
+
+
+def ivf_pq_topk(
+    emb: DataFrame,
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 2,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    index_cells: DataFrame | None = None,
+    probe_cells: DataFrame | None = None,
+    codes: DataFrame | None = None,
+) -> DataFrame:
+    """IVF + PQ: the production ANN composition.  The coarse quantizer
+    prunes candidates to ~N * nprobe / n_cells per query (IVF), and each
+    surviving candidate is scored by m_sub LUT lookups over its byte
+    codes (PQ-ADC) -- sublinear candidate count AND no float vector read
+    on the index side.  Rounds scores to 6 dp before ranking, same
+    cross-engine contract as :func:`pq_topk`."""
+    if index_cells is None or probe_cells is None:
+        C = ivf_centroids(emb, n_cells, id_col, vec_col)
+        if index_cells is None:
+            index_cells = with_ivf_cells(emb, C, 1, id_col, vec_col)
+        if probe_cells is None:
+            probe_cells = with_ivf_cells(emb, C, nprobe, id_col, vec_col)
+    books = pq_codebooks(emb, m_sub, k_codes, id_col, vec_col)
+    if codes is None:
+        codes = with_pq_codes(emb, books, id_col, vec_col)
+    lut = pq_query_lut(emb, books, id_col, vec_col)
+    cand = (
+        probe_cells.select(F.col(id_col).alias("query_id"), "cell")
+        .join(index_cells.select(F.col(id_col).alias("neighbor_id"), "cell"),
+              "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    sc = (
+        cand.join(codes.withColumnRenamed(id_col, "neighbor_id"),
+                  "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "m", "code"])
         .groupBy("query_id", "neighbor_id")
         .agg(F.round(F.sum("part"), 6).alias("score"))
     )

@@ -230,3 +230,23 @@ def test_pq_codes_and_cluster_recall(emb_df):
         if r.neighbor_id // 5 == r.query_id // 5
     )
     assert hits / len(pq) >= 0.9, f"PQ cluster recall {hits / len(pq)}"
+
+
+def test_ivf_pq_topk_prunes_and_keeps_cluster_recall(emb_df):
+    """IVF+PQ composition: probed candidacy must actually prune (fewer
+    scored pairs than all-pairs) while ADC over the survivors still
+    finds a same-cluster top-1 for nearly every query."""
+    from locality_sensitive_hashing_spark.operators.ann import ivf_pq_topk
+
+    full = ivf_pq_topk(emb_df, k=60, n_cells=12, nprobe=2,
+                       m_sub=4, k_codes=16).toPandas()
+    n = emb_df.count()
+    assert len(full) < n * (n - 1)  # candidacy pruned
+
+    top1 = ivf_pq_topk(emb_df, k=1, n_cells=12, nprobe=2,
+                       m_sub=4, k_codes=16).toPandas()
+    hits = sum(
+        1 for r in top1.itertuples()
+        if r.neighbor_id // 5 == r.query_id // 5
+    )
+    assert hits / len(top1) >= 0.9, f"IVF+PQ cluster recall {hits / len(top1)}"
