@@ -68,8 +68,14 @@ def main() -> int:
     q.awaitTermination()
 
     # stage 2: fold pending batches (maintain_clusters.main is the tested
-    # resumable job; invoked in-process with its own argv)
-    import jobs.maintain_clusters as MJ
+    # resumable job; invoked in-process with its own argv).  Under
+    # spark-submit the primary script's own directory (jobs/) is what
+    # lands on sys.path, so the sibling imports flat there; from the
+    # repo root (tests, ad-hoc runs) it imports as a package module.
+    try:
+        import jobs.maintain_clusters as MJ
+    except ModuleNotFoundError:
+        import maintain_clusters as MJ
 
     argv = ["maintain_clusters", "--store", args.store,
             "--workdir", args.clusters,
