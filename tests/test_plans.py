@@ -164,3 +164,32 @@ def test_pair_metrics_single_arrow_hop_hamming_jvm(spark):
     assert "bit_count" in plan, plan  # hamming stayed JVM
     # the interpreted HOF fold is gone from the hot path
     assert "aggregate(" not in plan and "zip_with" not in plan, plan
+
+
+def test_pq_scoring_path_is_jvm_with_broadcast_model(spark):
+    """PQ-ADC scoring plan: the codebook literal and the per-query LUT
+    join BROADCAST (model-scale sides never shuffle the code table's
+    partitioning), and the scoring path contains NO Python beyond the
+    single encode kernel -- at 10^12 codes the index side is scanned,
+    its floats never read, and nothing but the final per-query top-k
+    window touches a shuffle keyed by the scores."""
+    import numpy as np
+    import pandas as pd
+
+    from locality_sensitive_hashing_spark.operators.ann import pq_topk
+
+    rng = np.random.default_rng(7)
+    emb = spark.createDataFrame(pd.DataFrame({
+        "vec_id": range(40),
+        "embedding": [rng.standard_normal(16).tolist() for _ in range(40)],
+    }))
+    plan = _plan(pq_topk(emb, k=2, m_sub=4, k_codes=8))
+    assert plan.count("BroadcastHashJoin") >= 2  # ebooks join + LUT join
+    assert "SortMergeJoin" not in plan  # nothing model-scale shuffles
+    # exactly ONE Python node: the encode kernel (the formatted plan
+    # prints each node twice -- tree line + detail line).  The codebook
+    # literal enters as a plain local-RDD scan, not a Python eval, and
+    # LUT + scoring + rank are all JVM.
+    assert plan.count("BatchEvalPython") == 0  # never row-at-a-time
+    tree = [ln for ln in plan.splitlines() if "+- ArrowEvalPython" in ln]
+    assert len(tree) == 1
