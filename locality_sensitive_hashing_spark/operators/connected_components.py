@@ -6,10 +6,15 @@ practice). Union-find is inherently sequential, so the Spark-native
 equivalent is hash-partitioned min-label propagation (BASELINE.json
 "iterative DataFrame connected-components (hash-partitioned label
 propagation)"): every node starts labeled with itself; each round every
-node takes the min label among itself and its neighbors; convergence in
-O(diameter) rounds. Duplicate clusters have tiny diameters (chains of
-near-dups), so rounds stay single-digit; an iteration cap + convergence
-assertion guard pathological graphs.
+node takes the min label among itself and its neighbors, then composes
+the label through itself (POINTER JUMPING: label <- label(label), one
+extra self-join per round), so the effective propagation radius squares
+each round -- convergence in O(log diameter) rounds, not O(diameter).
+Duplicate clusters usually have tiny diameters (chains of near-dups),
+but capped-LSH pair graphs at bench scale measured diameters > 25
+(BENCH/MAINTAIN.md), which plain propagation cannot cover under a sane
+iteration cap; an iteration cap + convergence assertion still guard
+pathological graphs.
 
 The fixed point labels every node with the minimum clip_id in its
 component -- exactly the oracle's union-find cluster_id convention
@@ -95,8 +100,26 @@ def connected_components(
                 F.min("_old").alias("_old"),
             )
         )
+        # POINTER JUMPING: label <- label(label).  Labels are always node
+        # ids of the same component (min over member ids, monotonically
+        # non-increasing), and every node has a row in ``agg``, so the
+        # lookup join is inner and 1:1.  Composing the label through
+        # itself squares the effective propagation radius each round --
+        # O(log diameter) rounds instead of O(diameter).  Found the hard
+        # way: the maintenance bootstrap over the 90k-clip bench corpus
+        # builds capped-LSH pair graphs with diameter > 25, which blew
+        # the iteration cap under plain neighbor propagation
+        # (BENCH/MAINTAIN.md); dup chains in the flagship path are
+        # short, so this was invisible at fixture scale.
+        lk = agg.select(
+            F.col("clip_id").alias("_lk"), F.col("cluster_id").alias("_lkc")
+        )
+        jumped = (
+            agg.join(lk, agg.cluster_id == F.col("_lk"))
+            .select("clip_id", F.col("_lkc").alias("cluster_id"), "_old")
+        )
         obs = Observation()
-        observed = agg.observe(
+        observed = jumped.observe(
             obs,
             F.sum(
                 (F.col("cluster_id") < F.col("_old")).cast("long")

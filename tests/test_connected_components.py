@@ -72,3 +72,19 @@ def test_long_path_converges(spark, cfg):
     edges = [(nodes[i], nodes[i + 1]) for i in range(11)]
     got = _run(spark, cfg, edges, nodes)
     assert set(got.values()) == {"n00"}
+
+
+def test_path_diameter_far_beyond_iteration_cap(spark, cfg):
+    """Path of 2000 nodes (diameter 1999 >> cc_max_iters=25): plain
+    neighbor propagation needs ~2000 rounds and used to blow the cap --
+    measured for real on the maintenance bootstrap's capped-LSH pair
+    graph at bench scale (BENCH/MAINTAIN.md).  Pointer jumping
+    (label <- label(label), radius squares per round) must close it in
+    O(log d) ~ 11 rounds, well inside the cap, with the exact min-label
+    fixed point."""
+    n = 2000
+    nodes = [f"p{i:05d}" for i in range(n)]
+    edges = [(nodes[i], nodes[i + 1]) for i in range(n - 1)]
+    got = _run(spark, cfg, edges, nodes)
+    assert set(got.values()) == {nodes[0]}
+    assert len(got) == n
