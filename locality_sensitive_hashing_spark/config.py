@@ -70,12 +70,18 @@ class Config:
     # intake store: fold per-batch commit markers into _batches/MANIFEST
     # once this many markers accumulate (streaming/incremental.py)
     compact_every: int = 64
+    # intake key index (streaming/keyindex.py): kb = pmod(xxhash64(key), P)
+    # bucket count.  Pure IO-pruning knob -- the probe is an exact
+    # anti-join whatever P is; size P >= ~16x the per-batch distinct keys
+    # so a probe touches <= 1-exp(-1/16) ~ 6% of base buckets
+    key_index_buckets: int = 64
 
     # knobs that tune EXECUTION but cannot change any result row; excluded
     # from config_id so flipping them never invalidates committed stages,
     # golden fixtures, or resume manifests
     _EXECUTION_ONLY = ("shuffle_partitions", "cc_max_iters",
-                       "cc_reliable_checkpoint", "compact_every")
+                       "cc_reliable_checkpoint", "compact_every",
+                       "key_index_buckets")
 
     def __post_init__(self) -> None:
         if self.num_hashes != self.bands * self.rows_per_band:

@@ -204,21 +204,47 @@ class BatchIngestor:
         def out(table: str) -> str:
             return os.path.join(self.output_dir, table, sub)
 
+        from locality_sensitive_hashing_spark.streaming.keyindex import (
+            KeyIndexUnavailable,
+            key_index_probe,
+            write_batch_index,
+        )
+
         keyed = with_content_keys(batch_df).cache()
         keyed.select("clip_id", "text_key", "audio_key").write.mode(
             "overwrite"
         ).parquet(out("keyed"))
         texts = keyed.groupBy("text_key").agg(F.min("norm").alias("norm"))
         # incremental dedup vs every OTHER committed batch (signatures are
-        # immutable per config, so append-only subdirs stay consistent)
+        # immutable per config, so append-only subdirs stay consistent).
+        # Membership goes through the bucketed key index when every
+        # committed batch is covered -- probe IO is touched-buckets of
+        # the folded base + batch-scale pending deltas, NOT the corpus
+        # key column (streaming/keyindex.py); a legacy store without
+        # full coverage falls back to the corpus-scan anti-join until
+        # the next fold backfills it.
         prior = self._other_subdirs("signatures", sub)
         if prior:
-            existing = self.spark.read.parquet(*prior).select("text_key")
-            texts = texts.join(existing, "text_key", "left_anti")
+            try:
+                texts = key_index_probe(
+                    self.spark, self.output_dir, "text", texts,
+                    self.cfg.key_index_buckets, exclude_id=int(batch_id),
+                )
+            except KeyIndexUnavailable:
+                existing = self.spark.read.parquet(*prior).select("text_key")
+                texts = texts.join(existing, "text_key", "left_anti")
         with_signatures(
             texts, self.cfg, text_col="norm", id_col="text_key",
             pre_normalized=True,
         ).write.mode("overwrite").parquet(out("signatures"))
+        # the batch's key-index delta = exactly the keys just committed
+        # to the signature store (read back, so index and store cannot
+        # drift); written before the marker, same crash semantics
+        write_batch_index(
+            self.spark.read.parquet(out("signatures")).select("text_key"),
+            self.output_dir, "text", int(batch_id),
+            self.cfg.key_index_buckets,
+        )
         with_fingerprint(
             texts, text_col="norm", id_col="text_key"
         ).write.mode("overwrite").parquet(out("fingerprints"))
@@ -255,9 +281,15 @@ class BatchIngestor:
             )
             prior_e = self._other_subdirs("energy", sub)
             if prior_e:
-                existing_a = self.spark.read.parquet(*prior_e).select(
-                    "audio_key")
-                audio = audio.join(existing_a, "audio_key", "left_anti")
+                try:
+                    audio = key_index_probe(
+                        self.spark, self.output_dir, "audio", audio,
+                        self.cfg.key_index_buckets, exclude_id=int(batch_id),
+                    )
+                except KeyIndexUnavailable:
+                    existing_a = self.spark.read.parquet(*prior_e).select(
+                        "audio_key")
+                    audio = audio.join(existing_a, "audio_key", "left_anti")
             from locality_sensitive_hashing_spark.operators.audio_lsh import (
                 with_energy_signatures,
             )
@@ -265,6 +297,11 @@ class BatchIngestor:
             with_energy_signatures(audio, self.cfg, id_col="audio_key").select(
                 "audio_key", "decode_ok", "shingles", "sig"
             ).write.mode("overwrite").parquet(out("energy"))
+            write_batch_index(
+                self.spark.read.parquet(out("energy")).select("audio_key"),
+                self.output_dir, "audio", int(batch_id),
+                self.cfg.key_index_buckets,
+            )
         keyed.unpersist()
         open(self._marker(batch_id), "w").close()  # commit point
         n_markers = sum(
@@ -272,6 +309,23 @@ class BatchIngestor:
         )
         if n_markers >= self.cfg.compact_every:
             compact_batches(self.output_dir)
+            # same rhythm for the key index: fold pending deltas (and
+            # any legacy batches' keys -- the migration) into the base,
+            # bounding probe cost at O(touched buckets + compact_every
+            # batch-scale deltas)
+            from locality_sensitive_hashing_spark.streaming.keyindex import (
+                fold_key_index,
+            )
+
+            fold_key_index(
+                self.spark, self.output_dir, "text",
+                self.cfg.key_index_buckets,
+            )
+            if self.audio:
+                fold_key_index(
+                    self.spark, self.output_dir, "audio",
+                    self.cfg.key_index_buckets,
+                )
 
 
 def incremental_signatures(
