@@ -614,6 +614,88 @@ def q_incremental_relabel_view(spark, sf_dir):
     )
 
 
+# key-index membership query: committed batches 0/1 fold into the base,
+# batch 2 stays a pending delta, probe = dup range + new range
+KIDX_B0, KIDX_B1, KIDX_B2 = 175, 350, 400
+KIDX_DUP_HI = 50
+
+
+def q_keyindex_membership(spark, sf_dir):
+    """The intake key index (streaming/keyindex.py) certified in the
+    driver channel END-TO-END THROUGH REAL INGESTION: three
+    documents-as-clips batches go through BatchIngestor's commit
+    protocol into a temp store with compact_every=2, so batch 1's
+    commit triggers the marker compaction AND the key-index fold (base
+    covers batches 0-1) while batch 2 remains a pending kb-sorted
+    delta; the probe (docs [0,50) -- committed dups -- union docs
+    [400,...) -- mostly new) then exercises BOTH index layers via
+    key_index_probe.  Result: (text_key, is_new) for every distinct
+    probe text.  The ORACLE recomputes membership relationally from the
+    documents table alone (text_key = sha256 prefix of the normalized
+    text, committed = keys of docs [0,400)), so a hash match proves the
+    bucketed probe -- touched-kb pruning, base + delta union, exact
+    anti-join -- equals ground-truth set membership."""
+    import dataclasses
+    import shutil as _sh
+    import tempfile as _tf
+
+    from locality_sensitive_hashing_spark.operators.textgroup import (
+        with_content_keys,
+    )
+    from locality_sensitive_hashing_spark.streaming.incremental import (
+        BatchIngestor,
+    )
+    from locality_sensitive_hashing_spark.streaming.keyindex import (
+        _read_manifest,
+        key_index_probe,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+
+    def clips(lo, hi):
+        return docs.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).select(
+            F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("clip_id"),
+            F.lit(b"").alias("bytes"), F.lit(8000).alias("sr_hz"),
+            F.lit(10).alias("dur_ms"), F.lit("pcm_s16le").alias("codec"),
+            F.col("text").alias("transcript"),
+        )
+
+    store = _tf.mkdtemp(prefix="lsh_qkidx_")
+    try:
+        cfg = dataclasses.replace(CFG, compact_every=2)
+        ing = BatchIngestor(spark, store, cfg, audio=False, substring=False)
+        ing.process(clips(0, KIDX_B0), 0)
+        ing.process(clips(KIDX_B0, KIDX_B1), 1)  # -> compaction + fold
+        ing.process(clips(KIDX_B1, KIDX_B2), 2)  # -> pending delta b2
+        base, covered = _read_manifest(store, "text")
+        assert base is not None and covered == {0, 1}, (base, covered)
+        probe = (
+            with_content_keys(
+                clips(0, KIDX_DUP_HI).unionByName(clips(KIDX_B2, 1 << 30))
+            )
+            .groupBy("text_key").agg(F.min("norm").alias("norm"))
+        )
+        new = key_index_probe(
+            spark, store, "text", probe, cfg.key_index_buckets
+        )
+        result = (
+            probe.join(
+                new.select("text_key", F.lit(True).alias("_n")),
+                "text_key", "left",
+            )
+            .select(
+                "text_key",
+                F.coalesce("_n", F.lit(False)).alias("is_new"),
+            )
+            .localCheckpoint()  # materialize before the store is removed
+        )
+    finally:
+        _sh.rmtree(store, ignore_errors=True)
+    return result
+
+
 # ---------------------------------------------------------------------------
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
@@ -814,6 +896,17 @@ ORACLE_SQL.update({
 SELECT lpad(CAST(doc_id AS VARCHAR), 8, '0') AS clip_id,
        substring(sha256({NORM_SQL}), 1, 32) AS text_key
 FROM documents
+""",
+    "keyindex_membership": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+k AS (SELECT doc_id, substring(sha256(norm), 1, 32) AS text_key FROM n),
+committed AS (SELECT DISTINCT text_key FROM k WHERE doc_id < {KIDX_B2}),
+probe AS (
+  SELECT DISTINCT text_key FROM k
+  WHERE doc_id < {KIDX_DUP_HI} OR doc_id >= {KIDX_B2}
+)
+SELECT p.text_key, (c.text_key IS NULL) AS is_new
+FROM probe p LEFT JOIN committed c USING (text_key)
 """,
     "streaming_dedup_state": f"""
 WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
@@ -2374,6 +2467,7 @@ QUERIES_SQL_CHECKED = {
     "sql_dedup_clusters": q_sql_dedup_clusters,
     "incremental_dedup_clusters": q_incremental_dedup_clusters,
     "incremental_relabel_view": q_incremental_relabel_view,
+    "keyindex_membership": q_keyindex_membership,
     "mismatched_transcripts": q_mismatched_transcripts,
     "keep_best_quality": q_keep_best_quality,
     "ann_topk_per_query": q_ann_topk_per_query,
