@@ -182,17 +182,22 @@ def key_index_probe(
         .distinct()
         .collect()
     ]
+
+    def pruned(path: str) -> DataFrame:
+        df = spark.read.parquet(path)
+        # a probe touching most buckets gets no pruning from an IN list
+        # that long -- it only bloats the plan (at production P the list
+        # would be millions of literals); scan unfiltered instead, the
+        # anti-join is exact either way
+        if len(touched) <= buckets // 2:
+            df = df.where(F.col("kb").isin(touched))
+        return df
+
     parts = []
     if base_path is not None:
-        parts.append(
-            spark.read.parquet(base_path).where(F.col("kb").isin(touched))
-        )
+        parts.append(pruned(base_path))
     for i in sorted(pending):
-        parts.append(
-            spark.read.parquet(
-                os.path.join(output_dir, prefix, f"b{i}")
-            ).where(F.col("kb").isin(touched))
-        )
+        parts.append(pruned(os.path.join(output_dir, prefix, f"b{i}")))
     idx = parts[0]
     for p in parts[1:]:
         idx = idx.unionByName(p)
