@@ -113,6 +113,9 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "incremental_audio_clusters": ["audio_lsh_clips"],
     "mismatched_transcripts": ["mm_clips"],
     "keep_best_quality": ["pipeline_edges", "pipeline_nodes", "mm_clips"],
+    "detector_attribution": [
+        "attr_bands", "attr_fps", "attr_anchors", "attr_shingles", "mm_clips",
+    ],
 }
 
 
@@ -2447,6 +2450,197 @@ def q_keep_best_quality(spark, sf_dir):
     )
 
 
+def q_detector_attribution(spark, sf_dir):
+    """Per-detector LINEAGE over the flagship's text tier (O16
+    provenance + O20 screen, certified per detector): for each detector
+    d in {minhash, simhash, sa}, over the committed ``text_verified``
+    stage --
+
+      n_candidates         candidate text pairs whose provenance
+                           contains d
+      n_text_ok            of those, pairs passing the text screen
+      n_exclusive          pairs ONLY d found (detectors == [d])
+      n_exclusive_text_ok  exclusive pairs that also passed
+
+    The exclusive columns are the per-tier contribution ledger a
+    production corpus needs to tune detector budgets: an axis whose
+    exclusive-verified count is ~0 is pure overhead at 100 TB.
+
+    Aux: kernel outputs re-derived deterministically from the COMMITTED
+    signatures/fingerprints stages (band hashes, fingerprints, winnowing
+    anchors, the per-text shingle-hash set) plus the raw mm_clips rows.
+    The ORACLE replays the entire downstream derivation relationally:
+    the three capped candidacies (band buckets / pigeonhole chunks +
+    Hamming verify / shared anchors, all at bucket_cap), the union
+    provenance (which detectors found each pair, and how many), MinHash
+    signatures from the shingle hashes via the seed-pinned universal-
+    hash VALUES, est-Jaccard as the equal-component fraction, the lazy
+    exact-LCS short-circuit (evaluated only where 'sa' candidacy met
+    both cheap screens failing, as verify_text_pairs does), text_ok,
+    and the per-detector aggregation. Unlike the cluster-closure
+    oracles, nothing here trusts the pipeline's pair set: candidacy and
+    provenance are re-derived from the kernel tables themselves."""
+    from locality_sensitive_hashing_spark.operators.minhash import (
+        explode_bands,
+        shingles_udf,
+    )
+    from locality_sensitive_hashing_spark.operators.suffix_array import (
+        with_anchors,
+    )
+
+    _, io, _ = _flagship(spark, sf_dir)
+    _mm_aux(spark, sf_dir)  # raw transcripts: oracle re-derives norms
+    sigs = io.read("signatures")  # text_key, norm, sig, band_hashes
+    fps = io.read("fingerprints")  # text_key, fingerprint
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    with _AUX_LOCK:
+        if key not in _ATTR_AUX_DONE:
+            _aux_write(
+                explode_bands(sigs, id_col="text_key").select(
+                    "text_key", "band_id", "band_hash"
+                ),
+                sf_dir, "attr_bands",
+            )
+            _aux_write(fps.select("text_key", "fingerprint"), sf_dir, "attr_fps")
+            _aux_write(
+                with_anchors(
+                    sigs.select("text_key", "norm"), CFG,
+                    norm_col="norm", id_col="text_key",
+                ),
+                sf_dir, "attr_anchors",
+            )
+            _aux_write(
+                sigs.select(
+                    "text_key",
+                    F.explode(shingles_udf(CFG)(F.col("norm"))).alias("shingle"),
+                ),
+                sf_dir, "attr_shingles",
+            )
+            _ATTR_AUX_DONE.add(key)
+
+    tv = io.read("text_verified")
+    one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
+    ex = tv.select(
+        F.explode("detectors").alias("detector"),
+        F.size("detectors").alias("_nd"),
+        "text_ok",
+    )
+    return ex.groupBy("detector").agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("text_ok"), one).otherwise(zero)).alias("n_text_ok"),
+        F.sum(F.when(F.col("_nd") == 1, one).otherwise(zero)).alias("n_exclusive"),
+        F.sum(
+            F.when((F.col("_nd") == 1) & F.col("text_ok"), one).otherwise(zero)
+        ).alias("n_exclusive_text_ok"),
+    )
+
+
+_ATTR_AUX_DONE: set[str] = set()
+
+# detector_attribution oracle: candidacy, provenance, screen, and the
+# per-detector rollup all re-derived relationally (see the query
+# docstring). The per-pair screen mirrors verify_text_pairs exactly:
+# est_ok OR ham_ok OR (lazy LCS, computed only for 'sa' pairs failing
+# both cheap tests, as its exact SQL equivalent -- some sa_min_len-gram
+# of t1 occurs in t2).
+ORACLE_SQL.update({
+    "detector_attribution": f"""
+WITH bnd AS (SELECT text_key, band_id, band_hash FROM {_aux_rp('attr_bands')}),
+bsz AS (SELECT band_id, band_hash, count(*) AS n FROM bnd GROUP BY band_id, band_hash),
+bel AS (SELECT band_id, band_hash FROM bsz WHERE n > 1 AND n <= {CFG.bucket_cap}),
+bpr AS (SELECT x.text_key, x.band_id, x.band_hash
+        FROM bnd x JOIN bel USING (band_id, band_hash)),
+mhc AS (SELECT DISTINCT l.text_key AS id1, r.text_key AS id2
+        FROM bpr l JOIN bpr r USING (band_id, band_hash)
+        WHERE l.text_key < r.text_key),
+fpt AS (SELECT text_key, fingerprint FROM {_aux_rp('attr_fps')}),
+pwc(chunk_id, p) AS (VALUES {_CHUNK_VALUES}),
+ufv AS (SELECT text_key, fingerprint,
+        {_UVIEW.format(c='fingerprint')} AS uf FROM fpt),
+chk AS (SELECT text_key, chunk_id,
+        CAST((uf // p) % {1 << _CHUNK_W} AS BIGINT) AS cv
+        FROM ufv CROSS JOIN pwc),
+csz AS (SELECT chunk_id, cv, count(*) AS n FROM chk GROUP BY chunk_id, cv),
+cel AS (SELECT chunk_id, cv FROM csz WHERE n > 1 AND n <= {CFG.bucket_cap}),
+cpr AS (SELECT c.text_key, c.chunk_id, c.cv FROM chk c JOIN cel USING (chunk_id, cv)),
+sh0 AS (SELECT DISTINCT l.text_key AS id1, r.text_key AS id2
+        FROM cpr l JOIN cpr r USING (chunk_id, cv)
+        WHERE l.text_key < r.text_key),
+shc AS (SELECT c.id1, c.id2 FROM sh0 c
+        JOIN fpt f1 ON f1.text_key = c.id1 JOIN fpt f2 ON f2.text_key = c.id2
+        WHERE bit_count(xor(f1.fingerprint, f2.fingerprint)) <= {CFG.hamming_t}),
+anc AS (SELECT text_key, anchor FROM {_aux_rp('attr_anchors')}),
+asz AS (SELECT anchor, count(*) AS n FROM anc GROUP BY anchor),
+ael AS (SELECT anchor FROM asz WHERE n > 1 AND n <= {CFG.bucket_cap}),
+apr AS (SELECT x.text_key, x.anchor FROM anc x JOIN ael USING (anchor)),
+sac AS (SELECT DISTINCT l.text_key AS id1, r.text_key AS id2
+        FROM apr l JOIN apr r USING (anchor) WHERE l.text_key < r.text_key),
+det AS (SELECT id1, id2, 'minhash' AS d FROM mhc
+        UNION ALL SELECT id1, id2, 'simhash' FROM shc
+        UNION ALL SELECT id1, id2, 'sa' FROM sac),
+prv AS (SELECT id1, id2,
+        max(CASE WHEN d = 'minhash' THEN 1 ELSE 0 END) = 1 AS has_mh,
+        max(CASE WHEN d = 'simhash' THEN 1 ELSE 0 END) = 1 AS has_sh,
+        max(CASE WHEN d = 'sa' THEN 1 ELSE 0 END) = 1 AS has_sa,
+        count(DISTINCT d) AS nd
+        FROM det GROUP BY id1, id2),
+shg AS (SELECT text_key, shingle FROM {_aux_rp('attr_shingles')}),
+fam(pos, a, b) AS (VALUES {_UHASH_VALUES}),
+xv AS (SELECT text_key,
+       CAST({_UVIEW.format(c='shingle')} % {CFG.modulo_prime} AS BIGINT) AS x
+       FROM shg),
+tsg AS (SELECT text_key, fm.pos AS pos,
+        CAST(min((fm.a * x + fm.b) % {CFG.modulo_prime}) AS INT) AS sv
+        FROM xv CROSS JOIN fam fm GROUP BY text_key, fm.pos),
+met AS (SELECT p.id1, p.id2,
+        sum(CASE WHEN s1.sv = s2.sv THEN 1 ELSE 0 END) AS neq
+        FROM prv p JOIN tsg s1 ON s1.text_key = p.id1
+                   JOIN tsg s2 ON s2.text_key = p.id2 AND s2.pos = s1.pos
+        GROUP BY p.id1, p.id2),
+cheap AS (SELECT p.id1, p.id2, p.has_mh, p.has_sh, p.has_sa, p.nd,
+          m.neq * 1.0 / {CFG.num_hashes} >= {CFG.jaccard_threshold} AS est_ok,
+          bit_count(xor(f1.fingerprint, f2.fingerprint)) <= {CFG.hamming_t} AS ham_ok
+          FROM prv p JOIN met m ON m.id1 = p.id1 AND m.id2 = p.id2
+                     JOIN fpt f1 ON f1.text_key = p.id1
+                     JOIN fpt f2 ON f2.text_key = p.id2),
+tcl AS (SELECT DISTINCT substring(sha256({_NORM_TR}), 1, 32) AS text_key,
+               {_NORM_TR} AS tnorm FROM {_aux_rp('mm_clips')}),
+refp AS (SELECT c.id1, c.id2, n1.tnorm AS t1, n2.tnorm AS t2
+         FROM cheap c JOIN tcl n1 ON n1.text_key = c.id1
+                      JOIN tcl n2 ON n2.text_key = c.id2
+         WHERE c.has_sa AND NOT c.est_ok AND NOT c.ham_ok),
+lpos AS (SELECT id1, id2, t1, t2,
+         unnest(generate_series(1, greatest(length(t1) - {CFG.sa_min_len - 1}, 0))) AS i
+         FROM refp),
+lok AS (SELECT DISTINCT id1, id2 FROM lpos
+        WHERE strpos(t2, substring(t1, i, {CFG.sa_min_len})) > 0),
+scr AS (SELECT c.*, (c.est_ok OR c.ham_ok OR l.id1 IS NOT NULL) AS text_ok
+        FROM cheap c LEFT JOIN lok l ON l.id1 = c.id1 AND l.id2 = c.id2)
+SELECT * FROM (
+  SELECT 'minhash' AS detector,
+    CAST(count(*) FILTER (WHERE has_mh) AS BIGINT) AS n_candidates,
+    CAST(count(*) FILTER (WHERE has_mh AND text_ok) AS BIGINT) AS n_text_ok,
+    CAST(count(*) FILTER (WHERE has_mh AND nd = 1) AS BIGINT) AS n_exclusive,
+    CAST(count(*) FILTER (WHERE has_mh AND nd = 1 AND text_ok) AS BIGINT) AS n_exclusive_text_ok
+  FROM scr
+  UNION ALL
+  SELECT 'simhash',
+    CAST(count(*) FILTER (WHERE has_sh) AS BIGINT),
+    CAST(count(*) FILTER (WHERE has_sh AND text_ok) AS BIGINT),
+    CAST(count(*) FILTER (WHERE has_sh AND nd = 1) AS BIGINT),
+    CAST(count(*) FILTER (WHERE has_sh AND nd = 1 AND text_ok) AS BIGINT)
+  FROM scr
+  UNION ALL
+  SELECT 'sa',
+    CAST(count(*) FILTER (WHERE has_sa) AS BIGINT),
+    CAST(count(*) FILTER (WHERE has_sa AND text_ok) AS BIGINT),
+    CAST(count(*) FILTER (WHERE has_sa AND nd = 1) AS BIGINT),
+    CAST(count(*) FILTER (WHERE has_sa AND nd = 1 AND text_ok) AS BIGINT)
+  FROM scr
+) WHERE n_candidates > 0
+""",
+})
+
 
 QUERIES_SQL_CHECKED = {
     "normalize_transcripts": q_normalize,
@@ -2496,6 +2690,7 @@ QUERIES_SQL_CHECKED = {
     "incremental_audio_clusters": q_incremental_audio_clusters,
     "incremental_substring_clusters": q_incremental_substring_clusters,
     "incremental_maintenance_clusters": q_incremental_maintenance_clusters,
+    "detector_attribution": q_detector_attribution,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle
