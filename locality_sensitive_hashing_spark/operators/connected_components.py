@@ -264,15 +264,20 @@ class ClusterStore:
     - ``delta``: (clip_id, cluster_id) for clips added since the last
       fold, kept current as later batches merge components (batch-scale;
       re-materialized per batch via localCheckpoint, which is what a
-      production store does by committing the delta parquet per batch).
+      production store does by committing the delta parquet per batch);
+    - ``gone``: (clip_id) node tombstones from retractions since the
+      last fold (retraction-scale) -- the equality-delete half of the
+      merge-on-read contract (:meth:`retract`).
 
     Read path (:meth:`current`): ``base`` relabeled through the broadcast
-    ``mapping`` (map-side hash join -- base is scanned, never shuffled)
-    unioned with ``delta``.  Per-batch write (:meth:`apply_batch`) costs
+    ``mapping`` (map-side hash join -- base is scanned, never shuffled),
+    anti-joined against the broadcast ``gone`` tombstones, unioned with
+    ``delta``.  Per-batch write (:meth:`apply_batch`) costs
     O(batch + touched components).  :meth:`fold` is the ONLY
-    corpus-linear step -- applying the composed mapping and absorbing the
-    delta into a new base -- and is a policy decision (every K batches /
-    when the mapping grows past broadcast size), not a per-batch tax.
+    corpus-linear step -- applying the composed mapping, dropping the
+    tombstoned rows, and absorbing the delta into a new base -- and is a
+    policy decision (every K batches / when the pending broadcast state
+    grows past budget), not a per-batch tax.
     The view and the folded table are identical by construction (pinned
     by test and by the SQL-checked ``incremental_relabel_view`` query).
     """
@@ -281,15 +286,22 @@ class ClusterStore:
         self.base = base
         self.mapping: DataFrame | None = None
         self.delta: DataFrame | None = None
+        self.gone: DataFrame | None = None
 
     def current(self) -> DataFrame:
         """The up-to-date assignment as a LAZY view: one broadcast join
-        over base + a batch-scale union; no corpus shuffle, no rewrite."""
+        over base + a broadcast anti-join + a batch-scale union; no
+        corpus shuffle, no rewrite.  Order matters: tombstones hide
+        base-side rows BEFORE the delta union, so a retraction-relabeled
+        survivor (hidden from base, re-added via delta with its
+        post-split label) reads back exactly once."""
         cur = (
             self.base
             if self.mapping is None
             else apply_mapping(self.base, self.mapping)
         )
+        if self.gone is not None:
+            cur = cur.join(F.broadcast(self.gone), "clip_id", "left_anti")
         if self.delta is not None:
             cur = cur.unionByName(self.delta)
         return cur
@@ -314,28 +326,115 @@ class ClusterStore:
         )
         self.delta = upd.localCheckpoint()
 
+    def retract(self, dead: DataFrame, edges_fn, cfg: Config,
+                touched: DataFrame | None = None) -> None:
+        """Remove DEAD nodes and split their clusters, merge-on-read
+        (the equality-delete direction of the incremental contract --
+        the hard one, because removing a cut vertex must SPLIT a
+        cluster, which no label remap can express).
+
+        ``dead``: (clip_id) nodes whose content no longer exists (for
+        the maintenance loop: text_keys with zero surviving clips after
+        a clip-level retraction).  ``edges_fn(survivors)`` recomputes
+        the verified (id1, id2) edges among the given survivor node set
+        from the committed feature stores restricted to it -- every
+        endpoint MUST be in ``survivors``.  ``touched``: (clip_id)
+        additional SURVIVING nodes whose incident edges may have
+        changed -- their clusters are recomputed too.  The maintenance
+        loop passes the retracted clips' text_keys here: a clip
+        retraction can sever an audio star edge between two text_keys
+        that BOTH survive (the shared payload's last copy under one of
+        the transcripts is gone), so the dead-node set alone does not
+        locate every cluster that must split.
+
+        Soundness of the LOCAL recompute: edges are a pure function of
+        the two endpoints' committed content, so deleting nodes only
+        ever REMOVES edges -- components can split but never gain
+        members, and any edge between two different standing clusters
+        would contradict the standing assignment being the closure of
+        the verified-edge graph (the invariant every equality test
+        pins).  Recomputing inside the affected clusters is therefore
+        exactly from-scratch over the surviving corpus, at
+        O(retracted + affected-cluster members) cost, never corpus
+        cost.  Labels agree too: min-label CC over the surviving
+        members of an affected component yields min SURVIVING id per
+        split component -- the same label a from-scratch run assigns.
+
+        State effects (all retraction-scale): every member of an
+        affected cluster enters ``gone`` (hiding its base-side row);
+        the batch-scale ``delta`` is pruned of hidden rows eagerly; the
+        relabeled survivors re-enter via ``delta``.  Retracting ids
+        with no standing assignment (already retracted, or never seen)
+        is a natural no-op, so replaying a retraction is idempotent.
+        """
+        dead = dead.select("clip_id").localCheckpoint()
+        probe = (
+            dead
+            if touched is None
+            else dead.unionByName(touched.select("clip_id")).distinct()
+        )
+        cur = self.current()
+        affected = (
+            cur.join(F.broadcast(probe), "clip_id", "left_semi")
+            .select("cluster_id")
+            .distinct()
+            .localCheckpoint()
+        )
+        members = (
+            cur.join(F.broadcast(affected), "cluster_id", "left_semi")
+            .localCheckpoint()
+        )
+        survivors = (
+            members.join(F.broadcast(dead), "clip_id", "left_anti")
+            .select("clip_id")
+            .localCheckpoint()
+        )
+        relabeled = connected_components(
+            edges_fn(survivors), survivors, cfg
+        ).localCheckpoint()
+        hide = members.select("clip_id").localCheckpoint()
+        self.gone = (
+            hide
+            if self.gone is None
+            else self.gone.unionByName(hide).distinct()
+        ).localCheckpoint()
+        d = (
+            relabeled
+            if self.delta is None
+            else self.delta.join(
+                F.broadcast(hide), "clip_id", "left_anti"
+            ).unionByName(relabeled)
+        )
+        self.delta = d.localCheckpoint()
+
     def fold(self) -> None:
         """The periodic corpus-linear compaction: materialize the view as
         the new base and clear the pending state.  In production this is
         the rewrite of the assignment table; here the localCheckpoint
-        stands in for that commit."""
+        stands in for that commit.  Tombstoned rows drop out of the new
+        base here -- this is where retractions are physically applied."""
         self.base = self.current().localCheckpoint()
         self.mapping = None
         self.delta = None
+        self.gone = None
 
     def maybe_fold(self, max_mapping_rows: int) -> bool:
-        """Fold iff the composed mapping outgrew its broadcast budget.
+        """Fold iff the pending broadcast state outgrew its budget.
 
-        The mapping is the only pending state every READ pays for (it is
-        broadcast and hash-probed per base row; the delta is just
-        unioned, the base is immutable), so the fold trigger is its row
-        count -- call after :meth:`apply_batch` with the deployment's
-        broadcast threshold.  The count is one job over an
-        already-checkpointed tiny table.  Returns True if it folded.
+        The mapping and the tombstone set are the pending state every
+        READ pays for (each is broadcast and hash-probed per base row;
+        the delta is just unioned, the base is immutable), so the fold
+        trigger is their combined row count -- call after
+        :meth:`apply_batch` / :meth:`retract` with the deployment's
+        broadcast threshold.  The counts are one job each over
+        already-checkpointed tiny tables.  Returns True if it folded.
         """
-        if self.mapping is None:
-            return False
-        if self.mapping.count() <= max_mapping_rows:
+        pending = 0
+        if self.mapping is not None:
+            pending += self.mapping.count()
+        if self.gone is not None:
+            pending += self.gone.count()
+        if pending == 0 or pending <= max_mapping_rows:
             return False
         self.fold()
         return True

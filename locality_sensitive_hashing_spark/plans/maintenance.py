@@ -270,3 +270,60 @@ def screened_edges(pairs: DataFrame, new_sigs: DataFrame, old_sigs: DataFrame,
         .select("id1", "id2")
     )
     return passed.unionByName(lcs_pass)
+
+
+def survivor_edges_builder(cfg: Config, est, sigs: DataFrame,
+                           fps: DataFrame, keyed: DataFrame | None = None,
+                           energy: DataFrame | None = None,
+                           anchors: DataFrame | None = None):
+    """Build the ``edges_fn`` a retraction needs
+    (:meth:`ClusterStore.retract`): given a survivor text_key set,
+    recompute ALL verified edges among it from the committed stores --
+    the same three text detectors + full text_ok screen and the same
+    audio star/near edge classes the maintenance loop folds forward,
+    restricted to the survivors.
+
+    Inputs are the (already tombstone-filtered) corpus-wide store
+    frames; the audio/substring axes run iff their frames are given --
+    the same presence contract as the job.  Scale shape: the survivor
+    set is affected-clusters-sized and BROADCAST; every store is
+    scanned once, semi-restricted map-side, never shuffled wholesale.
+    In-set candidacy reuses the incremental blocking operators with an
+    empty old side (the bootstrap shape), so cap semantics match the
+    forward path.
+    """
+    from pyspark.sql import functions as F
+
+    def edges_fn(survivors: DataFrame) -> DataFrame:
+        st = survivors.select(
+            F.col("clip_id").alias("text_key")
+        ).localCheckpoint()
+        sigs_s = sigs.join(F.broadcast(st), "text_key").localCheckpoint()
+        fps_s = fps.join(F.broadcast(st), "text_key").localCheckpoint()
+        pairs = batch_pairs(cfg, sigs_s, sigs_s.limit(0),
+                            fps_s, fps_s.limit(0))
+        has_sa = anchors is not None
+        if has_sa:
+            anch_s = anchors.join(F.broadcast(st), "text_key")
+            pairs = pairs.unionByName(
+                sa_pairs(cfg, anch_s, anch_s.limit(0))
+            ).distinct()
+        pairs = pairs.localCheckpoint()
+        edges = screened_edges(pairs, sigs_s, sigs_s.limit(0),
+                               fps_s, fps_s.limit(0), est, cfg, lcs=has_sa)
+        if energy is not None and keyed is not None:
+            keyed_s = keyed.join(
+                F.broadcast(st), "text_key"
+            ).localCheckpoint()
+            akeys = keyed_s.select("audio_key").distinct()
+            en_s = energy.join(
+                F.broadcast(akeys), "audio_key"
+            ).localCheckpoint()
+            apairs = energy_pairs(cfg, en_s, en_s.limit(0)).localCheckpoint()
+            edges = edges.unionByName(
+                audio_text_edges(apairs, en_s, en_s.limit(0),
+                                 keyed_s, keyed_s, cfg)
+            ).distinct()
+        return edges
+
+    return edges_fn

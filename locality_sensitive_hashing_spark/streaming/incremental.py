@@ -137,6 +137,110 @@ def read_store(spark: SparkSession, output_dir: str, table: str) -> DataFrame:
     return spark.read.parquet(*dirs)
 
 
+# -- Retractions (equality deletes) -----------------------------------------
+#
+# A retraction is a committed batch of clip_ids whose content must stop
+# influencing clustering (takedown / right-to-be-forgotten).  The data
+# stores stay IMMUTABLE -- feature parquet is never rewritten on the
+# retraction path (physical GC belongs to store compaction); instead the
+# retraction set is itself an append-only committed table that readers
+# subtract, with the same marker/manifest crash protocol as data batches.
+#
+# Key-level consequences are DERIVED, never stored: a text_key/audio_key
+# is DEAD iff no surviving keyed row carries it.  Deriving keeps
+# re-ingestion sound for free -- a later batch that lands a clip with a
+# dead key's content adds a surviving keyed row, the key stops being
+# dead, and the maintenance loop re-adds it as a node (revival); a
+# stored dead-key list would go stale exactly there.  Retraction is by
+# clip_id: a retracted clip_id stays retracted forever (re-publication
+# uses a fresh clip_id, the event-sourcing convention).
+
+_RETRACT_MANIFEST_DIR = "_retract"
+
+
+def committed_retraction_ids(output_dir: str) -> set[int]:
+    """The committed-retraction set: ``_retract/MANIFEST`` union
+    per-retraction marker files (same protocol as
+    :func:`committed_batch_ids`)."""
+    markers = os.path.join(output_dir, _RETRACT_MANIFEST_DIR)
+    ids: set[int] = set()
+    mf = os.path.join(markers, _BATCH_MANIFEST)
+    if os.path.isfile(mf):
+        with open(mf) as f:
+            ids.update(int(ln) for ln in f if ln.strip())
+    if os.path.isdir(markers):
+        ids.update(int(d) for d in os.listdir(markers) if d.isdigit())
+    return ids
+
+
+def commit_retraction(output_dir: str, clips_df: DataFrame,
+                      retraction_id: int | None = None) -> int:
+    """Commit one retraction batch (a DataFrame with a ``clip_id``
+    column) under ``retractions/r<id>/``, marker-last -- idempotent on
+    replay of a committed id.  Returns the id committed (auto-assigned
+    as max+1 when not given)."""
+    markers = os.path.join(output_dir, _RETRACT_MANIFEST_DIR)
+    os.makedirs(markers, exist_ok=True)
+    done = committed_retraction_ids(output_dir)
+    if retraction_id is None:
+        retraction_id = (max(done) + 1) if done else 0
+    rid = int(retraction_id)
+    if rid in done:
+        return rid  # replay of a committed retraction: no-op
+    clips_df.select("clip_id").write.mode("overwrite").parquet(
+        os.path.join(output_dir, "retractions", f"r{rid}")
+    )
+    open(os.path.join(markers, str(rid)), "w").close()  # commit point
+    return rid
+
+
+def read_retractions(spark: SparkSession, output_dir: str) -> DataFrame:
+    """All retracted clip_ids across committed retraction batches (one
+    column ``clip_id``, distinct).  Empty frame when none committed."""
+    ids = committed_retraction_ids(output_dir)
+    if not ids:
+        return spark.createDataFrame([], "clip_id string")
+    paths = [
+        os.path.join(output_dir, "retractions", f"r{i}") for i in sorted(ids)
+    ]
+    return spark.read.parquet(*paths).select("clip_id").distinct()
+
+
+def dead_keys(spark: SparkSession, output_dir: str,
+              key_col: str) -> DataFrame:
+    """Keys (``text_key`` or ``audio_key``) with ZERO surviving clips
+    under the committed retractions -- the node set whose content no
+    longer exists.
+
+    Scale shape: the candidate keys are the retracted clips' own keys
+    (retraction-scale, broadcast); the keyed store is scanned ONCE,
+    semi-restricted to candidates map-side, and only the candidate
+    slice is aggregated -- never a corpus-wide group-by.  A key some
+    surviving clip still carries (including one re-ingested AFTER the
+    retraction) is not dead, which is what makes revival automatic.
+    """
+    retracted = read_retractions(spark, output_dir)
+    empty = spark.createDataFrame([], f"{key_col} string")
+    if retracted.isEmpty():
+        return empty
+    try:
+        keyed = read_store(spark, output_dir, "keyed")
+    except FileNotFoundError:
+        return empty
+    candidates = (
+        keyed.join(F.broadcast(retracted), "clip_id", "left_semi")
+        .select(key_col)
+        .distinct()
+    )
+    slice_ = keyed.join(F.broadcast(candidates), key_col, "left_semi")
+    survivors = (
+        slice_.join(F.broadcast(retracted), "clip_id", "left_anti")
+        .select(key_col)
+        .distinct()
+    )
+    return candidates.join(survivors, key_col, "left_anti")
+
+
 class BatchIngestor:
     """Idempotent micro-batch processor behind incremental_signatures.
 

@@ -322,3 +322,147 @@ def test_incremental_pairs_untouched_buckets_not_scanned(spark):
     new = spark.createDataFrame([("n1", "k9")], "clip_id string, key string")
     inc = incremental_pairs_from_blocks(new, old, ["key"], 8, "d")
     assert inc.count() == 0  # k1 untouched; k9 has one member
+
+
+# ---------------------------------------------------------------------------
+# Retraction (equality deletes): ClusterStore.retract must reproduce
+# from-scratch CC over the SURVIVING corpus -- including genuine cluster
+# SPLITS when a cut vertex is retracted -- while touching only the
+# affected clusters, merge-on-read.
+
+
+def _truth_edges_fn(spark, truth):
+    """Model of content-determined edges: recompute among a survivor set
+    = restrict the ground-truth edge relation to it (exactly what the
+    maintenance job's detectors do against the committed feature
+    stores)."""
+
+    def fn(survivors):
+        surv = {r.clip_id for r in survivors.collect()}  # test-only
+        rows = [(a, b) for a, b in truth if a in surv and b in surv]
+        return spark.createDataFrame(rows, "id1 string, id2 string")
+
+    return fn
+
+
+def _df_n(spark, rows):
+    return spark.createDataFrame([(i,) for i in rows], "clip_id string")
+
+
+def test_retract_splits_bridge_cluster(spark):
+    """Retracting the bridge of a-b-c must SPLIT the cluster into {a}
+    and {c} -- the operation no label remap can express -- and leave an
+    unrelated cluster untouched, without its rows entering the pending
+    retraction state."""
+    truth = [("a", "b"), ("b", "c"), ("x", "y")]
+    nodes = ["a", "b", "c", "x", "y", "z"]
+    base = connected_components(
+        spark.createDataFrame(truth, "id1 string, id2 string"),
+        _df_n(spark, nodes), CFG,
+    )
+    store = ClusterStore(base)
+    store.retract(_df_n(spark, ["b"]), _truth_edges_fn(spark, truth), CFG)
+
+    got = _assign(store.current())
+    surv = [n for n in nodes if n != "b"]
+    exp = _assign(connected_components(
+        spark.createDataFrame([("x", "y")], "id1 string, id2 string"),
+        _df_n(spark, surv), CFG,
+    ))
+    assert got == exp
+    assert got["a"] == "a" and got["c"] == "c"  # split into singletons
+    assert got["x"] == got["y"] == "x"          # untouched cluster intact
+    # pending state is retraction-scale: only the affected cluster's
+    # members are tombstoned / re-added, never the unaffected ones
+    assert {r.clip_id for r in store.gone.collect()} == {"a", "b", "c"}
+    assert {r.clip_id for r in store.delta.collect()} == {"a", "c"}
+
+    store.fold()
+    assert _assign(store.current()) == exp
+    assert store.gone is None
+
+
+def test_retract_interleaved_equals_from_scratch(spark, seed=7):
+    """Random graph, retractions interleaved with batch folds: the view
+    must equal from-scratch CC over the surviving universe at every
+    step, and fold must not change a row."""
+    rng = np.random.default_rng(seed)
+    ids = [f"{i:04d}" for i in range(80)]
+    parts = [ids[:50], ids[50:80]]
+    truth = sorted({
+        (ids[a], ids[b]) if ids[a] < ids[b] else (ids[b], ids[a])
+        for a, b in rng.integers(0, 80, size=(60, 2)) if a != b
+    })
+
+    def edges_within(universe):
+        u = set(universe)
+        return [(a, b) for a, b in truth if a in u and b in u]
+
+    def df_e(rows):
+        return spark.createDataFrame(rows, "id1 string, id2 string")
+
+    store = ClusterStore(connected_components(
+        df_e(edges_within(parts[0])), _df_n(spark, parts[0]), CFG))
+
+    dead1 = list(rng.choice(parts[0], size=8, replace=False))
+    alive = [i for i in parts[0] if i not in set(dead1)]
+    store.retract(_df_n(spark, dead1), _truth_edges_fn(spark, truth), CFG)
+    exp1 = _assign(connected_components(
+        df_e(edges_within(alive)), _df_n(spark, alive), CFG))
+    assert _assign(store.current()) == exp1
+
+    # a later batch folds in on top of the post-retraction state (its
+    # edges avoid dead nodes, as the maintenance job's tombstone
+    # anti-joins guarantee)
+    universe2 = alive + parts[1]
+    new_e = [(a, b) for a, b in edges_within(universe2)
+             if a in set(parts[1]) or b in set(parts[1])]
+    store.apply_batch(df_e(new_e), _df_n(spark, parts[1]), CFG)
+    exp2 = _assign(connected_components(
+        df_e(edges_within(universe2)), _df_n(spark, universe2), CFG))
+    assert _assign(store.current()) == exp2
+
+    # second retraction reaches into base-era AND delta-era rows
+    dead2 = list(rng.choice(universe2, size=10, replace=False))
+    alive2 = [i for i in universe2 if i not in set(dead2)]
+    store.retract(_df_n(spark, dead2), _truth_edges_fn(spark, truth), CFG)
+    exp3 = _assign(connected_components(
+        df_e(edges_within(alive2)), _df_n(spark, alive2), CFG))
+    assert _assign(store.current()) == exp3
+    assert len(exp3) == len(alive2)
+
+    store.fold()
+    assert _assign(store.current()) == exp3
+
+
+def test_retract_idempotent_and_unknown_ids(spark):
+    """Replaying a retraction (crash-recovery semantics) and retracting
+    ids with no standing assignment are both no-ops."""
+    truth = [("a", "b"), ("b", "c")]
+    store = ClusterStore(connected_components(
+        spark.createDataFrame(truth, "id1 string, id2 string"),
+        _df_n(spark, ["a", "b", "c"]), CFG))
+    fn = _truth_edges_fn(spark, truth)
+    store.retract(_df_n(spark, ["b"]), fn, CFG)
+    once = _assign(store.current())
+    store.retract(_df_n(spark, ["b"]), fn, CFG)     # replay
+    assert _assign(store.current()) == once
+    store.retract(_df_n(spark, ["zz"]), fn, CFG)    # never existed
+    assert _assign(store.current()) == once
+    assert once == {"a": "a", "c": "c"}
+
+
+def test_maybe_fold_counts_tombstones(spark):
+    """The fold budget covers the tombstone set too -- both mapping and
+    gone are broadcast on every read, so both count against it."""
+    truth = [("a", "b")]
+    store = ClusterStore(connected_components(
+        spark.createDataFrame(truth, "id1 string, id2 string"),
+        _df_n(spark, ["a", "b", "c"]), CFG))
+    store.retract(_df_n(spark, ["b"]), _truth_edges_fn(spark, truth), CFG)
+    assert store.mapping is None and store.gone is not None
+    assert store.maybe_fold(10) is False   # 2 tombstones <= 10
+    assert store.gone is not None
+    assert store.maybe_fold(1) is True     # 2 tombstones > 1
+    assert store.gone is None and store.delta is None
+    assert _assign(store.current()) == {"a": "a", "c": "c"}
