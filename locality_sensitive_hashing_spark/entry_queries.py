@@ -116,6 +116,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "detector_attribution": [
         "attr_bands", "attr_fps", "attr_anchors", "attr_shingles", "mm_clips",
     ],
+    "semantic_dedup": ["semdedup_cells"],
 }
 
 
@@ -2642,6 +2643,140 @@ SELECT * FROM (
 })
 
 
+# ---------------------------------------------------------------------------
+# training-data curation tier (operators/curation.py): decontamination,
+# SemDeDup, deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+DECON_N = 8  # published practice: 8-gram collision screens (GPT-3 app. C)
+DECON_BENCH_MOD = 29  # deterministic synthetic eval set: doc_id % 29 == 0
+SEMDEDUP_TAU = 0.4  # same 6dp-rounded cosine bar as embedding_near_dups
+SEMDEDUP_CELLS = 8
+SEMDEDUP_CAP = 2048
+SAMPLE_RATES = {"en": 0.25, "es": 0.5, "de": 0.5, "fr": 0.5}
+SAMPLE_DEFAULT = 1.0  # strata outside the map (zh, unseen) kept whole
+SAMPLE_SALT = "mix-v1:"
+
+
+def q_decontamination(spark, sf_dir):
+    """Benchmark decontamination: per-document count of distinct
+    normalized word 8-grams shared with an eval set (the deterministic
+    synthetic benchmark = every doc_id % 29 == 0 document), plus the
+    contaminated flag. The benchmark n-gram set is BROADCAST (eval sets
+    are tiny next to a training corpus); the corpus side is one scan +
+    a partial-aggregated groupBy of the hits. The oracle replays the
+    normalization, the 8-gram window, the distinct-per-doc overlap
+    count, and the flag relationally."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        benchmark_ngrams,
+        contamination_report,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    grams = benchmark_ngrams(bench, DECON_N)
+    return contamination_report(docs, grams, DECON_N, min_hits=1)
+
+
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023): embedding-space dedup -- cell
+    assignment bounds the quadratic, exact 6dp-rounded cosine >= tau
+    within a cell forms the dup-pair graph, connected components label
+    each vector's semantic group (min vec_id), keep = representative.
+    Aux: the cell assignment (float argmin near-ties are not
+    cross-engine reproducible -- the same contract as ``ivf_index``);
+    the oracle re-derives capped within-cell candidacy, exact cosine,
+    the >= tau screen, and the recursive-CTE closure from raw
+    embeddings."""
+    from locality_sensitive_hashing_spark.operators.ann import (
+        ivf_centroids,
+        with_ivf_cells,
+    )
+    from locality_sensitive_hashing_spark.operators.curation import (
+        semantic_dedup,
+    )
+
+    emb = read_testdata(spark, sf_dir, "embeddings")
+    C = ivf_centroids(emb, n_cells=SEMDEDUP_CELLS)
+    cells = with_ivf_cells(emb, C, 1)
+    _aux_write(cells, sf_dir, "semdedup_cells")
+    return semantic_dedup(emb, cells, SEMDEDUP_TAU, CFG, cell_cap=SEMDEDUP_CAP)
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified Bernoulli sampling (data mixing): keep
+    decision u < rate(lang) with u = first 32 bits of a salted sha256 of
+    the doc id -- a pure Column expression (single Project over the
+    scan, NO exchange, no RNG state), so the 100 TB sample is
+    reproducible across runs, engines, and partitionings. The oracle
+    recomputes the identical hash arithmetic with DuckDB's sha256."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return stratified_sample(docs, SAMPLE_RATES, SAMPLE_DEFAULT, SAMPLE_SALT)
+
+
+_SAMPLE_RATE_SQL = "CASE " + " ".join(
+    f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
+) + f" ELSE {SAMPLE_DEFAULT} END"
+
+ORACLE_SQL.update({
+    "decontamination": f"""
+WITH nrm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+w AS (SELECT doc_id, norm,
+      unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {DECON_N - 1}, 0))) AS i
+      FROM nrm),
+g AS (SELECT DISTINCT doc_id,
+      array_to_string(list_slice(string_split(norm,' '), i, i + {DECON_N - 1}), ' ') AS ngram
+      FROM w),
+bench AS (SELECT DISTINCT ngram FROM g WHERE doc_id % {DECON_BENCH_MOD} = 0),
+hits AS (SELECT g.doc_id, count(*) AS nh FROM g JOIN bench USING (ngram) GROUP BY g.doc_id)
+SELECT d.doc_id, CAST(coalesce(h.nh, 0) AS BIGINT) AS n_hit_ngrams,
+       coalesce(h.nh, 0) >= 1 AS contaminated
+FROM documents d LEFT JOIN hits h USING (doc_id)
+""",
+    "semantic_dedup": f"""
+WITH RECURSIVE cells AS (SELECT vec_id, cell FROM {_aux_rp('semdedup_cells')}),
+sizes AS (SELECT cell, count(*) AS n FROM cells GROUP BY cell),
+elig AS (SELECT cell FROM sizes WHERE n > 1 AND n <= {SEMDEDUP_CAP}),
+pruned AS (SELECT c.vec_id, c.cell FROM cells c JOIN elig USING (cell)),
+cand AS (SELECT DISTINCT l.vec_id AS id1, r.vec_id AS id2
+         FROM pruned l JOIN pruned r USING (cell) WHERE l.vec_id < r.vec_id),
+u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+      generate_subscripts(embedding, 1) AS i FROM embeddings),
+nrm AS (SELECT vec_id, sqrt(sum(v * v)) AS nv FROM u GROUP BY vec_id),
+dots AS (SELECT c.id1, c.id2, sum(a.v * bb.v) AS dot
+         FROM cand c JOIN u a ON a.vec_id = c.id1
+                      JOIN u bb ON bb.vec_id = c.id2 AND bb.i = a.i
+         GROUP BY c.id1, c.id2),
+edges AS (SELECT d.id1, d.id2
+          FROM dots d JOIN nrm n1 ON n1.vec_id = d.id1
+                       JOIN nrm n2 ON n2.vec_id = d.id2
+          WHERE round(d.dot / (n1.nv * n2.nv), 6) >= {SEMDEDUP_TAU}),
+sym AS (SELECT id1 AS src, id2 AS dst FROM edges
+        UNION SELECT id2, id1 FROM edges),
+reach(node, lbl) AS (
+    SELECT vec_id, vec_id FROM embeddings
+    UNION
+    SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+)
+SELECT node AS vec_id, min(lbl) AS sem_group,
+       node = min(lbl) AS keep
+FROM reach GROUP BY node
+""",
+    "stratified_sample": f"""
+WITH u AS (SELECT doc_id, lang,
+  CAST(('0x' || substr(sha256('{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS uh
+  FROM documents)
+SELECT doc_id, lang,
+       CAST(uh AS DOUBLE) < ({_SAMPLE_RATE_SQL}) * 4294967296.0 AS sampled
+FROM u
+""",
+})
+
+
 QUERIES_SQL_CHECKED = {
     "normalize_transcripts": q_normalize,
     "shingle_explode": q_shingle_explode,
@@ -2691,6 +2826,9 @@ QUERIES_SQL_CHECKED = {
     "incremental_substring_clusters": q_incremental_substring_clusters,
     "incremental_maintenance_clusters": q_incremental_maintenance_clusters,
     "detector_attribution": q_detector_attribution,
+    "decontamination": q_decontamination,
+    "semantic_dedup": q_semantic_dedup,
+    "stratified_sample": q_stratified_sample,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle
