@@ -2718,11 +2718,36 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, SAMPLE_RATES, SAMPLE_DEFAULT, SAMPLE_SALT)
 
 
+def q_bpe_token_counts(spark, sf_dir):
+    """Token accounting both ways: whitespace tokens of normalized text
+    (the cheap corpus statistic) next to a GPT-2-style BPE-ish regex
+    count over RAW text (the one that tracks real tokenizer cost --
+    punctuation runs, contractions, digit groups each count). Both are
+    single JVM Project expressions over the scan; the oracle replays the
+    identical regex with DuckDB's RE2 (ASCII classes + alternation order
+    pinned so Java and RE2 agree, functions/text.py::BPE_REGEX)."""
+    docs = read_testdata(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        TX.token_count("text").alias("n_tokens_ws"),
+        TX.bpe_token_count("text").alias("n_tokens_bpe"),
+    )
+
+
 _SAMPLE_RATE_SQL = "CASE " + " ".join(
     f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
 ) + f" ELSE {SAMPLE_DEFAULT} END"
 
+_BPE_REGEX_SQL = TX.BPE_REGEX.replace("'", "''")
+
 ORACLE_SQL.update({
+    "bpe_token_counts": f"""
+WITH n AS (SELECT doc_id, text, {NORM_SQL} AS norm FROM documents)
+SELECT doc_id,
+       CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens_ws,
+       CAST(len(regexp_extract_all(text, '{_BPE_REGEX_SQL}')) AS INT) AS n_tokens_bpe
+FROM n
+""",
     "decontamination": f"""
 WITH nrm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
 w AS (SELECT doc_id, norm,
@@ -2829,6 +2854,7 @@ QUERIES_SQL_CHECKED = {
     "decontamination": q_decontamination,
     "semantic_dedup": q_semantic_dedup,
     "stratified_sample": q_stratified_sample,
+    "bpe_token_counts": q_bpe_token_counts,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

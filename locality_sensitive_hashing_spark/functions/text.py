@@ -75,6 +75,27 @@ def token_count(col: Column | str) -> Column:
     return F.size(word_tokens(normalize_text(col)))
 
 
+# GPT-2-style pre-tokenizer shape (contractions, space-prefixed word /
+# number / punctuation runs, whitespace runs), restricted to ASCII classes
+# so Java regex (Spark) and RE2 (DuckDB) agree alternative-for-alternative
+# -- both engines use leftmost-FIRST alternation, so the order below is
+# part of the contract (contractions before the punctuation run).
+BPE_REGEX = r"'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\sa-zA-Z0-9]+|\s+"
+
+
+def bpe_token_count(col: Column | str) -> Column:
+    """BPE-ish token count over RAW text (pretraining cost accounting).
+
+    Counts matches of the GPT-2-style pre-tokenization regex -- the
+    piece boundaries a byte-pair tokenizer refines, which tracks real
+    token counts far better than whitespace splitting on noisy text
+    (punctuation runs, contractions, digit groups each count). JVM-side
+    regexp_extract_all: one Project over the scan, no Python.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_REGEX), 0))
+
+
 def stopword_ratio(col: Column | str, stopwords: tuple[str, ...]) -> Column:
     """Fraction of tokens that are in `stopwords` (0.0 for empty text)."""
     toks = word_tokens(normalize_text(col))

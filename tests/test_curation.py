@@ -204,3 +204,33 @@ def test_sample_uniform_range_and_salt_independence(spark):
     assert (got.ua >= 0).all() and (got.ua < 2**32).all()
     corr = np.corrcoef(got.ua, got.ub)[0, 1]
     assert abs(corr) < 0.15
+
+
+# --------------------------------------------------------------------------
+# BPE-ish token counting (functions/text.py::bpe_token_count)
+# --------------------------------------------------------------------------
+
+def test_bpe_token_count_matches_python_regex(spark):
+    """Java regexp_extract_all must tokenize exactly like the Python re
+    module on the same pattern (the DuckDB oracle already pins RE2):
+    three engines, one count."""
+    import re
+
+    from locality_sensitive_hashing_spark.functions.text import (
+        BPE_REGEX,
+        bpe_token_count,
+    )
+
+    texts = [
+        "Hello, world! it's 42.5 degrees",
+        "", "  ", "don't--stop", "a1b2", "ALL CAPS!!!",
+        "tab\tnewline\nmix", "'s at start", "cafe au lait... 99 + 1 = 100",
+        "a" * 500, "!?!?!?", "word " * 50,
+    ]
+    df = spark.createDataFrame(pd.DataFrame({"i": range(len(texts)), "t": texts}))
+    got = (
+        df.select("i", bpe_token_count("t").alias("n"))
+        .toPandas().set_index("i")["n"]
+    )
+    for i, t in enumerate(texts):
+        assert got[i] == len(re.findall(BPE_REGEX, t)), repr(t)
