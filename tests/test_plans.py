@@ -193,3 +193,38 @@ def test_pq_scoring_path_is_jvm_with_broadcast_model(spark):
     assert plan.count("BatchEvalPython") == 0  # never row-at-a-time
     tree = [ln for ln in plan.splitlines() if "+- ArrowEvalPython" in ln]
     assert len(tree) == 1
+
+
+def test_stratified_sample_no_exchange(spark, clips_parquet):
+    """The deterministic sampler plans as a single Project over the scan:
+    zero Exchange nodes, zero Python -- the property that makes it free
+    at 100 TB (and re-runnable on any partitioning)."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        stratified_sample,
+    )
+
+    docs = spark.read.parquet(clips_parquet).select(
+        F.col("clip_id").alias("doc_id"), F.lit("en").alias("lang")
+    )
+    plan = _plan(stratified_sample(docs, {"en": 0.25}, 1.0, "s:"))
+    assert "Exchange" not in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_contamination_benchmark_side_broadcasts(spark, clips_parquet):
+    """Decontamination joins corpus n-grams against the benchmark set via
+    BROADCAST (the eval set is tiny next to the corpus): no sort-merge
+    join, no shuffle of the corpus n-gram stream into the join."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        benchmark_ngrams,
+        contamination_report,
+    )
+
+    docs = spark.read.parquet(clips_parquet).select(
+        F.col("clip_id").alias("doc_id"), F.col("transcript").alias("text")
+    )
+    grams = benchmark_ngrams(docs.limit(5), 3)
+    plan = _plan(contamination_report(docs, grams, 3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "EvalPython" not in plan, plan  # n-gram explode stays JVM-side
