@@ -2734,6 +2734,75 @@ def q_bpe_token_counts(spark, sf_dir):
     )
 
 
+# repetition & boilerplate screens (operators/curation.py; Gopher table
+# A1 analogues at word granularity + the C4/RefinedWeb corpus-frequency
+# boilerplate statistic).  Thresholds chosen so the sf0.01 corpus splits
+# non-degenerately (measured: trigram doc_freq max 7, min_df=3 marks
+# 2275 common grams / 43 heavy docs; top-2gram frac max 0.31, dup-3gram
+# frac max 0.071).
+HH_N = 3  # heavy-hitter / boilerplate n-gram order
+HH_TOPK = 20
+BOILER_MIN_DF = 3
+BOILER_HEAVY = 0.5
+REP_TOP_N = 2
+REP_DUP_N = 3
+REP_TOP_MAX = 0.2
+REP_DUP_MAX = 0.05
+
+
+def q_ngram_heavy_hitters(spark, sf_dir):
+    """Corpus n-gram heavy hitters: top-20 normalized word 3-grams by
+    DOCUMENT frequency (ties broken by ngram asc so the LIMIT set is
+    deterministic).  One explode + one partial-aggregated groupBy --
+    the boilerplate-discovery statistic (which templates/chrome strings
+    dominate the corpus) a curation pipeline inspects before setting
+    its thresholds."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        ngram_doc_freq,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return (
+        ngram_doc_freq(docs, HH_N)
+        .orderBy(F.desc("doc_freq"), "ngram")
+        .limit(HH_TOPK)
+    )
+
+
+def q_boilerplate_coverage(spark, sf_dir):
+    """Per-document boilerplate coverage: fraction of the doc's distinct
+    word 3-grams that are corpus-common (doc_freq >= 3), plus the heavy
+    flag at 0.5.  The common-gram set (bounded by gram volume / min_df)
+    is BROADCAST back for the per-doc count -- the corpus never
+    shuffles into that join.  The oracle replays normalization, the
+    3-gram window, the document-frequency table, the threshold, and the
+    rounded fraction relationally."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        boilerplate_coverage,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return boilerplate_coverage(
+        docs, HH_N, BOILER_MIN_DF, heavy_frac=BOILER_HEAVY
+    )
+
+
+def q_repetition_report(spark, sf_dir):
+    """Gopher-style within-document repetition screens: words covered by
+    the modal 2-gram (capped at 1), fraction of duplicated 3-gram
+    positions, and the discard flag.  dup frac and n_words are pure
+    Column expressions (zero exchange); the modal count is one
+    partial-aggregated groupBy(id, gram) -> max(id)."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return repetition_metrics(
+        docs, REP_TOP_N, REP_DUP_N, REP_TOP_MAX, REP_DUP_MAX
+    )
+
+
 _SAMPLE_RATE_SQL = "CASE " + " ".join(
     f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
 ) + f" ELSE {SAMPLE_DEFAULT} END"
@@ -2790,6 +2859,58 @@ reach(node, lbl) AS (
 SELECT node AS vec_id, min(lbl) AS sem_group,
        node = min(lbl) AS keep
 FROM reach GROUP BY node
+""",
+    "ngram_heavy_hitters": f"""
+WITH nrm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+w AS (SELECT doc_id, norm,
+      unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {HH_N - 1}, 0))) AS i FROM nrm),
+g AS (SELECT DISTINCT doc_id,
+      array_to_string(list_slice(string_split(norm,' '), i, i + {HH_N - 1}), ' ') AS ngram FROM w)
+SELECT ngram, count(*) AS doc_freq FROM g GROUP BY ngram
+ORDER BY doc_freq DESC, ngram LIMIT {HH_TOPK}
+""",
+    "boilerplate_coverage": f"""
+WITH nrm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+w AS (SELECT doc_id, norm,
+      unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {HH_N - 1}, 0))) AS i FROM nrm),
+g AS (SELECT DISTINCT doc_id,
+      array_to_string(list_slice(string_split(norm,' '), i, i + {HH_N - 1}), ' ') AS ngram FROM w),
+common AS (SELECT ngram FROM g GROUP BY ngram HAVING count(*) >= {BOILER_MIN_DF}),
+per AS (SELECT g.doc_id, count(*) AS nc FROM g JOIN common USING (ngram) GROUP BY g.doc_id),
+tot AS (SELECT doc_id, count(*) AS ng FROM g GROUP BY doc_id),
+m AS (SELECT d.doc_id,
+        CAST(coalesce(t.ng, 0) AS INT) AS n_grams,
+        CAST(coalesce(p.nc, 0) AS INT) AS n_common,
+        CASE WHEN coalesce(t.ng, 0) > 0
+             THEN round(coalesce(p.nc, 0) * 1.0 / t.ng, 6) ELSE 0.0 END AS common_frac
+      FROM documents d LEFT JOIN tot t USING (doc_id) LEFT JOIN per p USING (doc_id))
+SELECT doc_id, n_grams, n_common, common_frac,
+       common_frac >= {BOILER_HEAVY} AS boilerplate_heavy
+FROM m
+""",
+    "repetition_report": f"""
+WITH nrm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+tokc AS (SELECT doc_id, len(string_split(norm,' ')) AS n_words FROM nrm),
+bi AS (SELECT doc_id,
+       array_to_string(list_slice(string_split(norm,' '), i, i + {REP_TOP_N - 1}), ' ') AS g
+       FROM (SELECT doc_id, norm,
+             unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {REP_TOP_N - 1}, 0))) AS i FROM nrm)),
+topc AS (SELECT doc_id, max(c) AS top_c
+         FROM (SELECT doc_id, g, count(*) AS c FROM bi GROUP BY doc_id, g) GROUP BY doc_id),
+tri AS (SELECT doc_id, count(*) AS t, count(DISTINCT g) AS d
+        FROM (SELECT doc_id,
+              array_to_string(list_slice(string_split(norm,' '), i, i + {REP_DUP_N - 1}), ' ') AS g
+              FROM (SELECT doc_id, norm,
+                    unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {REP_DUP_N - 1}, 0))) AS i FROM nrm))
+        GROUP BY doc_id),
+m AS (SELECT k.doc_id, k.n_words,
+        round(least(1.0, coalesce(tc.top_c, 0) * {REP_TOP_N} * 1.0 / k.n_words), 6) AS top_ngram_frac,
+        CASE WHEN coalesce(tr.t, 0) > 0
+             THEN round((tr.t - tr.d) * 1.0 / tr.t, 6) ELSE 0.0 END AS dup_ngram_frac
+      FROM tokc k LEFT JOIN topc tc USING (doc_id) LEFT JOIN tri tr USING (doc_id))
+SELECT doc_id, CAST(n_words AS INT) AS n_words, top_ngram_frac, dup_ngram_frac,
+       (top_ngram_frac > {REP_TOP_MAX} OR dup_ngram_frac > {REP_DUP_MAX}) AS repetitive
+FROM m
 """,
     "stratified_sample": f"""
 WITH u AS (SELECT doc_id, lang,
@@ -2855,6 +2976,9 @@ QUERIES_SQL_CHECKED = {
     "semantic_dedup": q_semantic_dedup,
     "stratified_sample": q_stratified_sample,
     "bpe_token_counts": q_bpe_token_counts,
+    "ngram_heavy_hitters": q_ngram_heavy_hitters,
+    "boilerplate_coverage": q_boilerplate_coverage,
+    "repetition_report": q_repetition_report,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

@@ -39,6 +39,7 @@ from locality_sensitive_hashing_spark.config import Config
 from locality_sensitive_hashing_spark.functions.text import (
     normalize_text,
     word_shingles,
+    word_tokens,
 )
 from locality_sensitive_hashing_spark.operators.candidates import pairs_from_blocks
 from locality_sensitive_hashing_spark.operators.connected_components import (
@@ -225,4 +226,172 @@ def stratified_sample(
         F.col(id_col),
         F.col(stratum_col),
         (u.cast("double") < rate * F.lit(4294967296.0)).alias("sampled"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Repetition & boilerplate filters (Gopher / C4 / RefinedWeb style)
+# --------------------------------------------------------------------------
+
+def ngram_doc_freq(
+    docs: DataFrame, n: int, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """(ngram, doc_freq): corpus document frequency of distinct
+    normalized word n-grams.
+
+    The corpus-frequency table behind boilerplate detection (C4's
+    three-sentence dedup, RefinedWeb's repeated-line screens, operate on
+    exactly this statistic at their own granularities).  One explode +
+    one partial-aggregated groupBy -- the same shuffle shape as
+    ``shingle_counts``: map-side combine bounds shuffle rows by the
+    per-partition DISTINCT gram count, and the result is linear in
+    corpus n-gram volume.  ``array_distinct`` before the explode makes
+    the count a true DOCUMENT frequency (a gram repeated inside one doc
+    counts once).
+    """
+    return (
+        docs.select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(word_shingles(normalize_text(text_col), n))
+            ).alias("ngram"),
+        )
+        .groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+    )
+
+
+def boilerplate_coverage(
+    docs: DataFrame,
+    n: int,
+    min_df: int,
+    heavy_frac: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document boilerplate coverage: (id, n_grams, n_common,
+    common_frac, boilerplate_heavy).
+
+    ``common_frac`` is the fraction of the document's DISTINCT word
+    n-grams whose corpus document frequency is >= ``min_df`` -- the
+    template/boilerplate screen a web-scale pipeline runs to drop pages
+    that are mostly navigation chrome, license headers, or mirrored
+    templates.  Scale shape: the common-gram set is bounded by
+    (total distinct-gram occurrences) / min_df, so at a production
+    ``min_df`` it is tiny relative to the corpus and is BROADCAST back
+    for the per-doc count (the same corpus-never-shuffles-into-the-join
+    property as decontamination); the corpus pays one groupBy(ngram)
+    for the frequency table and one partial-aggregated groupBy(id) of
+    the (rare) common hits.
+    """
+    grams = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(normalize_text(text_col), n))
+        ).alias("ngram"),
+    )
+    common = (
+        grams.groupBy("ngram")
+        .agg(F.count("*").alias("doc_freq"))
+        .where(F.col("doc_freq") >= min_df)
+        .select("ngram")
+    )
+    per_doc = (
+        grams.join(F.broadcast(common), "ngram", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_common"))
+    )
+    totals = docs.select(
+        F.col(id_col),
+        F.size(
+            F.array_distinct(word_shingles(normalize_text(text_col), n))
+        ).cast("int").alias("n_grams"),
+    )
+    n_common = F.coalesce(F.col("n_common"), F.lit(0)).cast("int")
+    frac = F.when(
+        F.col("n_grams") > 0,
+        F.round(n_common.cast("double") / F.col("n_grams"), 6),
+    ).otherwise(F.lit(0.0))
+    return (
+        totals.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_grams"),
+            n_common.alias("n_common"),
+            frac.alias("common_frac"),
+            (frac >= heavy_frac).alias("boilerplate_heavy"),
+        )
+    )
+
+
+def repetition_metrics(
+    docs: DataFrame,
+    top_n: int = 2,
+    dup_n: int = 3,
+    top_frac_max: float = 0.2,
+    dup_frac_max: float = 0.05,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style WITHIN-document repetition screens (Rae et al. 2021
+    table A1 analogues at word granularity): (id, n_words,
+    top_ngram_frac, dup_ngram_frac, repetitive).
+
+    - ``top_ngram_frac``: words covered by the single most frequent
+      ``top_n``-gram, ``least(1, count * top_n / n_words)`` (overlapping
+      occurrences can cover more than the doc, hence the cap).  Only the
+      modal COUNT is needed, so there is no tie-break hazard.
+    - ``dup_ngram_frac``: fraction of ``dup_n``-gram POSITIONS whose
+      gram occurs more than once in the document,
+      ``(positions - distinct) / positions`` -- 0 for docs shorter than
+      ``dup_n`` words.
+    - ``repetitive``: either fraction over its threshold -- the discard
+      flag a pretraining pipeline applies before dedup.
+
+    Scale shape: ``dup_ngram_frac`` and ``n_words`` are pure Column
+    expressions over the scan (zero exchange); the modal count is one
+    partial-aggregated groupBy(id, gram) -> max per id -- shuffle rows
+    bounded by per-partition distinct (id, gram) pairs, i.e. corpus
+    token volume, never pairs.
+    """
+    norm = docs.select(F.col(id_col), normalize_text(text_col).alias("_nrm"))
+    toks = word_tokens(F.col("_nrm"))
+    base = norm.select(
+        F.col(id_col),
+        F.size(toks).cast("int").alias("n_words"),
+        F.greatest(F.size(toks) - F.lit(dup_n - 1), F.lit(0)).alias("_t"),
+        F.size(
+            F.array_distinct(word_shingles(F.col("_nrm"), dup_n))
+        ).alias("_d"),
+    )
+    top = (
+        norm.select(
+            F.col(id_col),
+            F.explode(word_shingles(F.col("_nrm"), top_n)).alias("g"),
+        )
+        .groupBy(id_col, "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy(id_col)
+        .agg(F.max("c").alias("top_c"))
+    )
+    top_frac = F.round(
+        F.least(
+            F.lit(1.0),
+            F.coalesce(F.col("top_c"), F.lit(0)).cast("double")
+            * top_n / F.col("n_words"),
+        ),
+        6,
+    )
+    dup_frac = F.when(
+        F.col("_t") > 0,
+        F.round((F.col("_t") - F.col("_d")).cast("double") / F.col("_t"), 6),
+    ).otherwise(F.lit(0.0))
+    return base.join(top, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_words"),
+        top_frac.alias("top_ngram_frac"),
+        dup_frac.alias("dup_ngram_frac"),
+        ((top_frac > top_frac_max) | (dup_frac > dup_frac_max)).alias(
+            "repetitive"
+        ),
     )

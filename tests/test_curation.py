@@ -234,3 +234,100 @@ def test_bpe_token_count_matches_python_regex(spark):
     )
     for i, t in enumerate(texts):
         assert got[i] == len(re.findall(BPE_REGEX, t)), repr(t)
+
+
+# --------------------------------------------------------------------------
+# repetition & boilerplate filters
+# --------------------------------------------------------------------------
+
+def test_ngram_doc_freq_is_document_frequency(spark):
+    """A gram repeated inside one doc counts ONCE; across docs it counts
+    per doc."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        ngram_doc_freq,
+    )
+
+    docs = _docs(spark, [
+        (1, "a b c a b c"),     # "a b c" twice IN-doc -> df contribution 1
+        (2, "a b c x y z"),
+        (3, "p q r s"),
+    ])
+    got = (
+        ngram_doc_freq(docs, 3).toPandas()
+        .set_index("ngram")["doc_freq"].to_dict()
+    )
+    assert got["a b c"] == 2
+    assert got["b c a"] == 1          # only doc 1
+    assert got["p q r"] == 1 and got["q r s"] == 1
+
+
+def test_boilerplate_coverage_fractions_and_edges(spark):
+    """Coverage = common distinct grams / distinct grams; zero-gram docs
+    report 0 / not heavy; the heavy flag compares the ROUNDED fraction."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        boilerplate_coverage,
+    )
+
+    docs = _docs(spark, [
+        (1, "a b c d"),        # grams {a b c, b c d}: both common -> 1.0
+        (2, "a b c x y"),      # {a b c, b c x, c x y}: 1/3 common
+        (3, "a b c d e"),      # {a b c, b c d, c d e}: 2/3 common
+        (4, "zz"),             # shorter than n -> 0 grams
+        (5, ""),               # empty -> 0 grams
+    ])
+    got = (
+        boilerplate_coverage(docs, 3, min_df=2, heavy_frac=0.5)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # common set: "a b c" (df 3), "b c d" (df 2)
+    assert got.loc[1, "n_grams"] == 2 and got.loc[1, "n_common"] == 2
+    assert got.loc[1, "common_frac"] == 1.0 and bool(got.loc[1, "boilerplate_heavy"])
+    assert got.loc[2, "n_grams"] == 3 and got.loc[2, "n_common"] == 1
+    assert got.loc[2, "common_frac"] == round(1 / 3, 6)
+    assert not got.loc[2, "boilerplate_heavy"]
+    assert got.loc[3, "common_frac"] == round(2 / 3, 6)
+    assert bool(got.loc[3, "boilerplate_heavy"])
+    for d in (4, 5):
+        assert got.loc[d, "n_grams"] == 0 and got.loc[d, "n_common"] == 0
+        assert got.loc[d, "common_frac"] == 0.0
+        assert not got.loc[d, "boilerplate_heavy"]
+    assert len(got) == 5
+
+
+def test_repetition_metrics_hand_computed(spark):
+    """Modal-2-gram coverage (capped at 1) and duplicated-3-gram-position
+    fraction against hand counts, including the degenerate shapes."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    docs = _docs(spark, [
+        # "a b" x3, "b a" x2; n_words 6 -> top = min(1, 3*2/6) = 1.0
+        # trigrams: 4 positions, 2 distinct -> dup = 0.5
+        (1, "a b a b a b"),
+        # all distinct: top 2-gram count 1 -> 2/5; dup 3-gram 0
+        (2, "v w x y z"),
+        # shorter than 3 words: dup positions 0 -> 0.0; top = 2/2 = 1.0
+        (3, "m m"),
+        # single word: no bigrams -> top_c NULL -> 0.0; n_words 1
+        (4, "solo"),
+        # empty: split('') = [''] -> n_words 1, everything 0
+        (5, ""),
+    ])
+    got = (
+        repetition_metrics(docs, 2, 3, 0.2, 0.05)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert got.loc[1, "n_words"] == 6
+    assert got.loc[1, "top_ngram_frac"] == 1.0
+    assert got.loc[1, "dup_ngram_frac"] == 0.5
+    assert bool(got.loc[1, "repetitive"])
+    assert got.loc[2, "top_ngram_frac"] == 0.4
+    assert got.loc[2, "dup_ngram_frac"] == 0.0
+    assert bool(got.loc[2, "repetitive"])  # 0.4 > 0.2: tiny docs flag high
+    assert got.loc[3, "top_ngram_frac"] == 1.0
+    assert got.loc[3, "dup_ngram_frac"] == 0.0
+    assert got.loc[4, "n_words"] == 1 and got.loc[4, "top_ngram_frac"] == 0.0
+    assert got.loc[5, "top_ngram_frac"] == 0.0
+    assert got.loc[5, "dup_ngram_frac"] == 0.0
+    assert not got.loc[5, "repetitive"]

@@ -228,3 +228,37 @@ def test_contamination_benchmark_side_broadcasts(spark, clips_parquet):
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan, plan
     assert "EvalPython" not in plan, plan  # n-gram explode stays JVM-side
+
+
+def test_boilerplate_common_set_broadcasts(spark, clips_parquet):
+    """The common-gram set (bounded by gram volume / min_df) joins back
+    to the per-doc gram stream via BROADCAST semi-join: the corpus never
+    sort-merges into the coverage join, and everything stays JVM-side."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        boilerplate_coverage,
+    )
+
+    docs = spark.read.parquet(clips_parquet).select(
+        F.col("clip_id").alias("doc_id"), F.col("transcript").alias("text")
+    )
+    plan = _plan(boilerplate_coverage(docs, 3, min_df=3))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_repetition_metrics_stays_jvm_partial_agged(spark, clips_parquet):
+    """Repetition screens: no Python anywhere, and the modal-gram count
+    carries a map-side partial aggregate before its exchange (the shape
+    that bounds shuffle rows by per-partition distinct (id, gram))."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        repetition_metrics,
+    )
+
+    docs = spark.read.parquet(clips_parquet).select(
+        F.col("clip_id").alias("doc_id"), F.col("transcript").alias("text")
+    )
+    plan = _plan(repetition_metrics(docs))
+    assert "EvalPython" not in plan, plan
+    assert "partial_count" in plan or "partial, count" in plan.lower() or (
+        "HashAggregate" in plan
+    ), plan
