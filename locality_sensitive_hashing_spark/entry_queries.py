@@ -106,6 +106,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "ann_ivfpq_topk": ["ivf_index", "ivf_probes", "pq_codes"],
     "embedding_near_dups": ["neardup_buckets"],
     "audio_features": ["audio_clips"],
+    "audio_quality_screen": ["audio_clips"],
     "audio_energy_profile": ["audio_lsh_clips"],
     "audio_content_near_dups": ["audio_lsh_clips"],
     "audio_content_clusters": ["audio_lsh_clips"],
@@ -1136,6 +1137,17 @@ SELECT cluster_size, count(*) AS n_clusters FROM s GROUP BY cluster_size
 })
 
 
+# audio quality screen thresholds: silence_max sits INSIDE the fixture
+# corpus' measured silence-ratio spread (0.002-0.016, median 0.0075) so
+# the flag splits non-degenerately; the clipping/duration terms are part
+# of the contract and exercised by synthetic unit fixtures.
+AQ_SILENCE_T = 0.004
+AQ_SILENCE_MAX = 0.01
+AQ_CLIP_MAX = 0.1
+AQ_MIN_DUR = 0.05
+AQ_MAX_DUR = 30.0
+
+
 # audio_features oracle: a FULL RIFF/WAV s16le decode in DuckDB SQL over
 # the committed clip blobs (aux table audio_clips) -- hex() the blob once,
 # FIXTURE CONTRACT (ADVICE r3): this oracle accepts ONLY canonical
@@ -1201,6 +1213,55 @@ SELECT h.clip_id,
   coalesce(f.peak, 0.0) AS peak,
   coalesce(f.clip_r, 0.0) AS clipping_ratio
 FROM hdr h LEFT JOIN feat f USING (clip_id)
+""",
+    "audio_quality_screen": f"""
+WITH raw AS (
+  SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+  FROM {_aux_rp('audio_clips')}
+), hdr AS (
+  SELECT clip_id, hx,
+    (nb >= 44
+     AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::bigint
+    END AS sr_hz,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
+  FROM raw
+), idx AS (
+  SELECT clip_id, hx,
+    unnest(generate_series(0, (data_len // 2)::int - 1)) AS i
+  FROM hdr WHERE canon
+), x AS (
+  SELECT clip_id,
+    (('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::int
+     - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::int
+            >= 32768 THEN 65536 ELSE 0 END) / 32767.0 AS v
+  FROM idx
+), feat AS (
+  SELECT clip_id, count(*) AS n,
+    (count(*) FILTER (WHERE abs(v) < {AQ_SILENCE_T})) * 1.0 / count(*) AS sil_r,
+    (count(*) FILTER (WHERE abs(v) >= 0.999)) * 1.0 / count(*) AS clip_r
+  FROM x GROUP BY clip_id
+), m AS (
+  SELECT h.clip_id,
+    (h.canon AND coalesce(f.n, 0) > 0) AS decode_ok,
+    CASE WHEN h.canon AND coalesce(f.n, 0) > 0
+         THEN f.n / (h.sr_hz * 1.0) ELSE 0.0 END AS duration_s,
+    coalesce(f.sil_r, 0.0) AS silence_ratio,
+    coalesce(f.clip_r, 0.0) AS clipping_ratio
+  FROM hdr h LEFT JOIN feat f USING (clip_id)
+)
+SELECT clip_id, decode_ok, duration_s, silence_ratio, clipping_ratio,
+  (decode_ok AND silence_ratio <= {AQ_SILENCE_MAX}
+   AND clipping_ratio <= {AQ_CLIP_MAX}
+   AND duration_s >= {AQ_MIN_DUR} AND duration_s <= {AQ_MAX_DUR}) AS audio_ok
+FROM m
 """,
 })
 
@@ -1949,6 +2010,26 @@ def q_audio_features(spark, sf_dir):
     return audio_features(clips).select(
         "clip_id", "decode_ok", "n_samples", "sr_hz", "duration_s",
         F.round("rms", 6).alias("rms"), "peak", "clipping_ratio",
+    )
+
+
+def q_audio_quality_screen(spark, sf_dir):
+    """Audio quality screen (the payload analogue of the text
+    repetition/boilerplate screens): per-clip silence ratio (|v| <
+    0.004, ~-48 dBFS), clipping ratio, duration bounds, and the
+    ``audio_ok`` discard flag. Shares the ``audio_clips`` aux blobs
+    with ``audio_features``; the oracle re-decodes the RIFF/WAV bytes
+    in DuckDB byte arithmetic and replays both counts -- the ratios
+    are integer-count divisions of identical doubles, so no rounding
+    contract is needed."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
+    from locality_sensitive_hashing_spark.operators.multimodal import audio_quality
+
+    clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
+    _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_clips")
+    return audio_quality(
+        clips, AQ_SILENCE_T, AQ_SILENCE_MAX, AQ_CLIP_MAX,
+        AQ_MIN_DUR, AQ_MAX_DUR,
     )
 
 
@@ -2964,6 +3045,7 @@ QUERIES_SQL_CHECKED = {
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     "embedding_near_dups": q_embedding_near_dups,
     "audio_features": q_audio_features,
+    "audio_quality_screen": q_audio_quality_screen,
     "audio_energy_profile": q_audio_energy_profile,
     "audio_content_near_dups": q_audio_content_near_dups,
     "audio_content_clusters": q_audio_content_clusters,

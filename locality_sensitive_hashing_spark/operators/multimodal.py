@@ -76,6 +76,70 @@ def audio_features(clips: DataFrame) -> DataFrame:
     )
 
 
+AUDIO_QUALITY_SCHEMA = (
+    "clip_id string, decode_ok boolean, duration_s double, "
+    "silence_ratio double, clipping_ratio double, audio_ok boolean"
+)
+
+
+def audio_quality(
+    clips: DataFrame,
+    silence_thresh: float = 0.004,
+    silence_max: float = 0.01,
+    clipping_max: float = 0.1,
+    min_dur_s: float = 0.05,
+    max_dur_s: float = 30.0,
+) -> DataFrame:
+    """Audio quality screen: the per-clip discard gate an audio corpus
+    runs before training (the payload analogue of the text repetition /
+    boilerplate screens).
+
+    - ``silence_ratio``: fraction of samples with |v| < silence_thresh
+      (~-48 dBFS at the 0.004 default) -- a mostly-silent clip carries
+      no training signal.
+    - ``clipping_ratio``: fraction at |v| >= 0.999 (same statistic as
+      :func:`audio_features`) -- saturated recordings.
+    - ``audio_ok``: decoded AND not too silent AND not clipped AND
+      duration inside [min_dur_s, max_dur_s].
+
+    Both ratios are integer-count / integer-count divisions of the SAME
+    s16-derived doubles on every engine (v = k / 32767.0), so they are
+    bit-reproducible with no rounding contract; undecodable payloads
+    report decode_ok=false / audio_ok=false, never an error.  Same
+    mapInPandas shape as :func:`audio_features`: input pruned to
+    (clip_id, bytes), one Arrow batch per Python call.
+    """
+
+    def screen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    pcm, sr = A.decode_wav(bytes(raw or b""))
+                    if pcm.size == 0:
+                        raise ValueError("empty")
+                    dur = float(pcm.size / sr)
+                    sil = float(np.mean(np.abs(pcm) < silence_thresh))
+                    clp = float(np.mean(np.abs(pcm) >= 0.999))
+                    ok = (
+                        sil <= silence_max
+                        and clp <= clipping_max
+                        and min_dur_s <= dur <= max_dur_s
+                    )
+                    rows.append((cid, True, dur, sil, clp, bool(ok)))
+                except Exception:
+                    rows.append((cid, False, 0.0, 0.0, 0.0, False))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "decode_ok", "duration_s",
+                         "silence_ratio", "clipping_ratio", "audio_ok"],
+            )
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        screen, AUDIO_QUALITY_SCHEMA
+    )
+
+
 def _decode_image_stub(raw: bytes, strict: bool) -> tuple[int, int, int, float]:
     """STUB image decode. No image libs in this environment.
 

@@ -69,3 +69,39 @@ def test_frame_sample_explosion(spark):
     v1 = got[got.video_id == "v1"].sort_values("frame_index")
     assert v1.frame_ts_s.tolist() == [0.0, 1.0, 2.0, 3.0]
     assert v1.frame_digest.nunique() == 4  # per-frame deterministic digests
+
+
+def test_audio_quality_screen_synthetic(spark):
+    """The discard gate against engineered clips: silent, clipped,
+    too-short, undecodable, and a healthy tone."""
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        audio_quality,
+    )
+
+    sr = 16000
+    t = np.arange(sr // 2) / sr  # 0.5 s
+    tone = (0.5 * np.sin(2 * np.pi * 440 * t))
+    clips = {
+        "ok": A.encode_wav(tone, sr, "pcm_s16le"),
+        "silent": A.encode_wav(np.zeros(sr // 2), sr, "pcm_s16le"),
+        "clipped": A.encode_wav(np.sign(tone) * 1.0, sr, "pcm_s16le"),
+        "short": A.encode_wav(tone[: sr // 100], sr, "pcm_s16le"),  # 10 ms
+        "garbage": b"not a wav",
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": list(clips), "bytes": list(clips.values())})
+    )
+    got = audio_quality(df).toPandas().set_index("clip_id")
+    assert bool(got.loc["ok", "audio_ok"]) and bool(got.loc["ok", "decode_ok"])
+    assert got.loc["ok", "silence_ratio"] <= 0.01
+    assert got.loc["silent", "silence_ratio"] == 1.0
+    assert not got.loc["silent", "audio_ok"]
+    assert got.loc["clipped", "clipping_ratio"] > 0.9
+    assert not got.loc["clipped", "audio_ok"]
+    assert got.loc["short", "duration_s"] < 0.05
+    assert not got.loc["short", "audio_ok"]
+    assert not got.loc["garbage", "decode_ok"]
+    assert not got.loc["garbage", "audio_ok"]
+    # ratios agree with direct numpy on the healthy clip
+    pcm, _ = A.decode_wav(clips["ok"])
+    assert got.loc["ok", "silence_ratio"] == float(np.mean(np.abs(pcm) < 0.004))
