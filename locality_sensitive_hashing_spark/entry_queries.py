@@ -272,6 +272,23 @@ def q_candidate_pairs(spark, sf_dir):
 
 def q_pair_jaccard_topk(spark, sf_dir):
     """O11 + O28: exact token-set Jaccard on blocked pairs, top-20 report."""
+    j = (
+        _pair_token_overlap(spark, sf_dir)
+        .withColumn(
+            "jaccard",
+            F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6),
+        )
+        .select("id1", "id2", "jaccard")
+    )
+    return j.orderBy(F.desc("jaccard"), "id1", "id2").limit(20)
+
+
+def _pair_token_overlap(spark, sf_dir):
+    """Blocked candidate pairs with distinct-token overlap counts
+    (shared, n1, n2) -- the shared substrate of the Jaccard, containment,
+    and LSH-tuning reports.  Pairs with zero shared tokens never survive
+    the inner join (a blocked pair shares a word shingle, so shared >= 1
+    whenever both docs tokenize non-trivially)."""
     toks = (
         _docs_norm(spark, sf_dir)
         .select("doc_id", F.explode(F.split("norm", " ")).alias("tok"))
@@ -287,15 +304,105 @@ def q_pair_jaccard_topk(spark, sf_dir):
     )
     c1 = cnt.select(F.col("doc_id").alias("id1"), F.col("n_tok").alias("n1"))
     c2 = cnt.select(F.col("doc_id").alias("id2"), F.col("n_tok").alias("n2"))
-    j = (
-        shared.join(c1, "id1").join(c2, "id2")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared")), 6),
+    return shared.join(c1, "id1").join(c2, "id2")
+
+
+def q_pair_containment_topk(spark, sf_dir):
+    """Broder CONTAINMENT on blocked pairs: c = |A inter B| / min(|A|,|B|)
+    -- the asymmetric companion to Jaccard that catches PARTIAL
+    duplication (one doc embedded in a larger one), which symmetric
+    Jaccard dilutes toward 0 as the host document grows.  A training-data
+    pipeline screens on containment to drop quote-wrapped or concatenated
+    re-posts that near-dup Jaccard misses.  Top-20 with the full
+    deterministic tie-break (containment DESC, id1, id2).  Jaccard is
+    carried alongside so the report shows WHY containment flagged a pair
+    the Jaccard screen would keep (REF?lsh_matrix.py pairing semantics,
+    UNVERIFIED -- containment is the standard Broder-97 resemblance
+    companion, not a reference op)."""
+    ov = _pair_token_overlap(spark, sf_dir)
+    return (
+        ov.select(
+            "id1", "id2",
+            F.round(
+                F.col("shared") / F.least(F.col("n1"), F.col("n2")), 6
+            ).alias("containment"),
+            F.round(
+                F.col("shared")
+                / (F.col("n1") + F.col("n2") - F.col("shared")), 6
+            ).alias("jaccard"),
         )
-        .select("id1", "id2", "jaccard")
+        .orderBy(F.desc("containment"), "id1", "id2")
+        .limit(20)
     )
-    return j.orderBy(F.desc("jaccard"), "id1", "id2").limit(20)
+
+
+# (bands, rows) grid for the LSH tuning report: every factorization of
+# the pinned H = CFG.num_hashes.  Part of the oracle contract (embedded
+# as VALUES literals in the SQL).
+TUNE_CONFIGS = [
+    (b, CFG.num_hashes // b)
+    for b in (1, 2, 4, 8, 16, 32, 64, 128)
+    if CFG.num_hashes % b == 0
+]
+TUNE_TAU = CFG.jaccard_threshold
+
+
+def q_lsh_tuning_report(spark, sf_dir):
+    """LSH band/row PLANNER: for every (b, r) factorization of the pinned
+    H = b*r budget, evaluate the banding S-curve  p(J) = 1 - (1 - J^r)^b
+    (MMDS 3.4.2) against this corpus's MEASURED pair-Jaccard distribution
+    -- not just the textbook curve.  Per config:
+
+    - p_at_tau / crossover_j: the analytic curve at the dup threshold tau
+      and the J where p = 1/2 crosses (1/b)^(1/r);
+    - exp_dup_recall: mean p over measured pairs with J >= tau -- the
+      expected fraction of TRUE dup pairs this (b, r) would surface as
+      candidates;
+    - exp_nondup_fp: mean p over measured pairs with J < tau -- the
+      expected false-candidate rate on this corpus's near-miss mass.
+
+    This is the tuning table the reference exposes as user-editable
+    bands/rows form fields (SURVEY.md section 1.1 "Parameters";
+    REF?main.py, UNVERIFIED) turned into a data-driven report: pick the
+    row with recall above target and the smallest FP column.  Pure
+    Column math over the blocked-pair overlap substrate; the oracle
+    replays the identical grid + power curve in DuckDB."""
+    ov = _pair_token_overlap(spark, sf_dir)
+    j = F.col("shared") / (F.col("n1") + F.col("n2") - F.col("shared"))
+    scored = ov.select(j.alias("j"))
+    confs = spark.createDataFrame(TUNE_CONFIGS, "bands INT, rows_per_band INT")
+    p = F.lit(1.0) - F.pow(
+        F.lit(1.0) - F.pow(F.col("j"), F.col("rows_per_band")), F.col("bands")
+    )
+    dup = F.col("j") >= TUNE_TAU
+    return (
+        scored.crossJoin(F.broadcast(confs))
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum(dup.cast("long")).alias("n_dup_pairs"),
+            F.sum((~dup).cast("long")).alias("n_nondup_pairs"),
+            F.round(F.avg(F.when(dup, p)), 6).alias("exp_dup_recall"),
+            F.round(F.avg(F.when(~dup, p)), 6).alias("exp_nondup_fp"),
+        )
+        .withColumn(
+            "p_at_tau",
+            F.round(
+                F.lit(1.0)
+                - F.pow(
+                    F.lit(1.0) - F.pow(F.lit(TUNE_TAU), F.col("rows_per_band")),
+                    F.col("bands"),
+                ),
+                6,
+            ),
+        )
+        .withColumn(
+            "crossover_j",
+            F.round(
+                F.pow(F.lit(1.0) / F.col("bands"), F.lit(1.0) / F.col("rows_per_band")),
+                6,
+            ),
+        )
+    )
 
 
 def q_exact_dedup(spark, sf_dir):
@@ -705,6 +812,26 @@ def q_keyindex_membership(spark, sf_dir):
 # DuckDB oracle SQL
 # ---------------------------------------------------------------------------
 
+# shared CTE chain: blocked candidate pairs + distinct-token overlap
+# (the relational replica of _pair_token_overlap)
+_PAIR_OVERLAP_SQL = f"""norm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+toks AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm),
+tcnt AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
+words AS (SELECT doc_id, norm, unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {WORD_N - 1}, 0))) AS i FROM norm),
+blocks AS (SELECT DISTINCT doc_id, array_to_string(list_slice(string_split(norm, ' '), i, i + {WORD_N - 1}), ' ') AS wshingle FROM words),
+sizes AS (SELECT wshingle, count(*) AS n FROM blocks GROUP BY wshingle),
+elig AS (SELECT wshingle FROM sizes WHERE n > 1 AND n <= {BLOCK_CAP}),
+pruned AS (SELECT b.doc_id, b.wshingle FROM blocks b JOIN elig e USING (wshingle)),
+cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+         FROM pruned l JOIN pruned r USING (wshingle) WHERE l.doc_id < r.doc_id),
+shared AS (SELECT c.id1, c.id2, count(*) AS shared
+           FROM cand c JOIN toks t1 ON t1.doc_id = c.id1
+                        JOIN toks t2 ON t2.doc_id = c.id2 AND t2.tok = t1.tok
+           GROUP BY c.id1, c.id2)"""
+
+# the (bands, rows) grid as VALUES literals for the tuning-report oracle
+_TUNE_VALUES_SQL = ", ".join(f"({b}, {r})" for b, r in TUNE_CONFIGS)
+
 ORACLE_SQL: dict[str, str] = {
     "normalize_transcripts": f"SELECT doc_id, {NORM_SQL} AS norm FROM documents",
     "shingle_explode": f"""
@@ -741,24 +868,37 @@ SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
 FROM pruned l JOIN pruned r USING (wshingle) WHERE l.doc_id < r.doc_id
 """,
     "pair_jaccard_topk": f"""
-WITH norm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
-toks AS (SELECT DISTINCT doc_id, unnest(string_split(norm, ' ')) AS tok FROM norm),
-tcnt AS (SELECT doc_id, count(*) AS n_tok FROM toks GROUP BY doc_id),
-words AS (SELECT doc_id, norm, unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {WORD_N - 1}, 0))) AS i FROM norm),
-blocks AS (SELECT DISTINCT doc_id, array_to_string(list_slice(string_split(norm, ' '), i, i + {WORD_N - 1}), ' ') AS wshingle FROM words),
-sizes AS (SELECT wshingle, count(*) AS n FROM blocks GROUP BY wshingle),
-elig AS (SELECT wshingle FROM sizes WHERE n > 1 AND n <= {BLOCK_CAP}),
-pruned AS (SELECT b.doc_id, b.wshingle FROM blocks b JOIN elig e USING (wshingle)),
-cand AS (SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-         FROM pruned l JOIN pruned r USING (wshingle) WHERE l.doc_id < r.doc_id),
-shared AS (SELECT c.id1, c.id2, count(*) AS shared
-           FROM cand c JOIN toks t1 ON t1.doc_id = c.id1
-                        JOIN toks t2 ON t2.doc_id = c.id2 AND t2.tok = t1.tok
-           GROUP BY c.id1, c.id2)
+WITH {_PAIR_OVERLAP_SQL}
 SELECT s.id1, s.id2,
        round(s.shared * 1.0 / (c1.n_tok + c2.n_tok - s.shared), 6) AS jaccard
 FROM shared s JOIN tcnt c1 ON c1.doc_id = s.id1 JOIN tcnt c2 ON c2.doc_id = s.id2
 ORDER BY jaccard DESC, s.id1, s.id2 LIMIT 20
+""",
+    "pair_containment_topk": f"""
+WITH {_PAIR_OVERLAP_SQL}
+SELECT s.id1, s.id2,
+       round(s.shared * 1.0 / least(c1.n_tok, c2.n_tok), 6) AS containment,
+       round(s.shared * 1.0 / (c1.n_tok + c2.n_tok - s.shared), 6) AS jaccard
+FROM shared s JOIN tcnt c1 ON c1.doc_id = s.id1 JOIN tcnt c2 ON c2.doc_id = s.id2
+ORDER BY containment DESC, s.id1, s.id2 LIMIT 20
+""",
+    "lsh_tuning_report": f"""
+WITH {_PAIR_OVERLAP_SQL},
+ov AS (SELECT s.shared * 1.0 / (c1.n_tok + c2.n_tok - s.shared) AS j
+       FROM shared s JOIN tcnt c1 ON c1.doc_id = s.id1
+                      JOIN tcnt c2 ON c2.doc_id = s.id2),
+confs(bands, rows_per_band) AS (VALUES {_TUNE_VALUES_SQL}),
+x AS (SELECT c.bands, c.rows_per_band, o.j >= {TUNE_TAU} AS dup,
+             1.0 - power(1.0 - power(o.j, c.rows_per_band), c.bands) AS p
+      FROM ov o CROSS JOIN confs c)
+SELECT bands, rows_per_band,
+       CAST(sum(CASE WHEN dup THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_pairs,
+       CAST(sum(CASE WHEN NOT dup THEN 1 ELSE 0 END) AS BIGINT) AS n_nondup_pairs,
+       round(avg(CASE WHEN dup THEN p END), 6) AS exp_dup_recall,
+       round(avg(CASE WHEN NOT dup THEN p END), 6) AS exp_nondup_fp,
+       round(1.0 - power(1.0 - power({TUNE_TAU}, rows_per_band), bands), 6) AS p_at_tau,
+       round(power(1.0 / bands, 1.0 / rows_per_band), 6) AS crossover_j
+FROM x GROUP BY bands, rows_per_band
 """,
     "exact_dedup": """
 WITH doubled AS (SELECT doc_id, text FROM documents UNION ALL SELECT doc_id, text FROM documents)
@@ -3012,6 +3152,8 @@ QUERIES_SQL_CHECKED = {
     "bucket_sizes": q_bucket_sizes,
     "candidate_pairs": q_candidate_pairs,
     "pair_jaccard_topk": q_pair_jaccard_topk,
+    "pair_containment_topk": q_pair_containment_topk,
+    "lsh_tuning_report": q_lsh_tuning_report,
     "exact_dedup": q_exact_dedup,
     "lang_id_counts": q_lang_id_counts,
     "quality_scores": q_quality_scores,
