@@ -100,6 +100,8 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "dedup_keep_list": ["pipeline_edges", "pipeline_nodes"],
     "eval_planted_recall": ["pipeline_edges", "pipeline_nodes"],
     "cluster_size_hist": ["pipeline_edges", "pipeline_nodes"],
+    "cluster_quality_report": ["pipeline_edges", "pipeline_nodes"],
+    "dedup_summary": ["pipeline_edges", "pipeline_nodes"],
     "ann_lsh_topk": ["ann_buckets"],
     "ann_ivf_topk": ["ivf_index", "ivf_probes"],
     "ann_pq_topk": ["pq_codes"],
@@ -1274,6 +1276,33 @@ s AS (SELECT cluster_id, CAST(count(*) AS INT) AS cluster_size
       FROM cl GROUP BY cluster_id)
 SELECT cluster_size, count(*) AS n_clusters FROM s GROUP BY cluster_size
 """,
+    "cluster_quality_report": f"""
+WITH RECURSIVE {_PIPE_CLOSURE},
+ec AS (SELECT c.cluster_id, count(*) AS n_edges
+       FROM e JOIN cl c ON c.clip_id = e.id1 GROUP BY c.cluster_id),
+s AS (SELECT cluster_id, CAST(count(*) AS INT) AS cluster_size
+      FROM cl GROUP BY cluster_id)
+SELECT s.cluster_id, s.cluster_size,
+       CAST(coalesce(ec.n_edges, 0) AS BIGINT) AS n_edges,
+       round(coalesce(ec.n_edges, 0) * 2.0
+             / (s.cluster_size * (s.cluster_size - 1)), 6) AS edge_density
+FROM s LEFT JOIN ec USING (cluster_id)
+WHERE s.cluster_size >= 2
+""",
+    "dedup_summary": f"""
+WITH RECURSIVE {_PIPE_CLOSURE},
+s AS (SELECT cluster_id, CAST(count(*) AS INT) AS sz
+      FROM cl GROUP BY cluster_id),
+a AS (SELECT CAST(sum(sz) AS BIGINT) AS n_clips,
+             count(*) AS n_clusters,
+             CAST(sum(CASE WHEN sz > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_multi_clusters,
+             max(sz) AS max_cluster_size
+      FROM s)
+SELECT n_clips, n_clusters, n_multi_clusters, max_cluster_size,
+       n_clips - n_clusters AS n_dup_clips,
+       round((n_clips - n_clusters) * 1.0 / n_clips, 6) AS dedup_ratio
+FROM a
+""",
 })
 
 
@@ -2016,6 +2045,73 @@ def q_cluster_size_hist(spark, sf_dir):
         .agg(F.count("*").cast("int").alias("cluster_size"))
         .groupBy("cluster_size")
         .agg(F.count("*").alias("n_clusters"))
+    )
+
+
+def q_cluster_quality_report(spark, sf_dir):
+    """Cluster QA over the flagship output: per multi-member cluster, its
+    size, verified-edge count, and edge DENSITY (n_edges / C(size, 2)).
+    Density 1.0 = a clique (every member pair independently verified);
+    low density = a long chain or star, where membership hangs on few
+    edges -- the clusters an operator audits first, since one false edge
+    there glues unrelated content.  Transitive closure guarantees every
+    edge lands inside one cluster, so attributing an edge by its id1
+    endpoint is exact.  The oracle recomputes closure, per-cluster edge
+    counts, and the density from the same aux edge/node tables."""
+    clusters, io, _clips = _pipeline_aux(spark, sf_dir)
+    edges = io.read("verified").where("is_dup").select("id1", "id2")
+    ecnt = (
+        edges.join(
+            clusters.select(F.col("clip_id").alias("id1"), "cluster_id"), "id1"
+        )
+        .groupBy("cluster_id")
+        .agg(F.count("*").alias("n_edges"))
+    )
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("cluster_size")
+    )
+    return (
+        sizes.where(F.col("cluster_size") >= 2)
+        .join(ecnt, "cluster_id", "left")
+        .withColumn("n_edges", F.coalesce("n_edges", F.lit(0)))
+        .select(
+            "cluster_id", "cluster_size", "n_edges",
+            F.round(
+                F.col("n_edges") * 2.0
+                / (F.col("cluster_size") * (F.col("cluster_size") - 1)),
+                6,
+            ).alias("edge_density"),
+        )
+    )
+
+
+def q_dedup_summary(spark, sf_dir):
+    """The one-row corpus dedup LEDGER (the number an operations dashboard
+    tracks per run): clips in, clusters out, dup clips removed by the
+    min-id keep policy, the dedup ratio, multi-member cluster count, and
+    the largest cluster.  Re-derived by the oracle from the closure, so a
+    drift anywhere in the pipeline (missed edges, broken closure, node
+    loss) moves a number here and fails the hash."""
+    clusters, _io, _clips = _pipeline_aux(spark, sf_dir)
+    sizes = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("int").alias("sz")
+    )
+    return (
+        sizes.agg(
+            F.sum("sz").alias("n_clips"),
+            F.count("*").alias("n_clusters"),
+            F.sum(F.when(F.col("sz") > 1, 1).otherwise(0)).alias(
+                "n_multi_clusters"
+            ),
+            F.max("sz").alias("max_cluster_size"),
+        )
+        .select(
+            "n_clips", "n_clusters", "n_multi_clusters", "max_cluster_size",
+            (F.col("n_clips") - F.col("n_clusters")).alias("n_dup_clips"),
+            F.round(
+                (F.col("n_clips") - F.col("n_clusters")) / F.col("n_clips"), 6
+            ).alias("dedup_ratio"),
+        )
     )
 
 
@@ -3181,6 +3277,8 @@ QUERIES_SQL_CHECKED = {
     "dedup_keep_list": q_dedup_keep_list,
     "eval_planted_recall": q_eval_planted_recall,
     "cluster_size_hist": q_cluster_size_hist,
+    "cluster_quality_report": q_cluster_quality_report,
+    "dedup_summary": q_dedup_summary,
     "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivf_topk": q_ann_ivf_topk,
     "ann_pq_topk": q_ann_pq_topk,
