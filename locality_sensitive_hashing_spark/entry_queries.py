@@ -3035,6 +3035,57 @@ def q_stratified_sample(spark, sf_dir):
     return stratified_sample(docs, SAMPLE_RATES, SAMPLE_DEFAULT, SAMPLE_SALT)
 
 
+# corpus assembly: the sink-side ops that turn the curated pool into a
+# training set.  SHARD_N output shards; BUDGET_TOKENS is ~60% of the
+# sf0.01 corpus (27165 ws tokens) so all three bin regimes -- TAKE,
+# PARTIAL (the straddling boundary bin), DROP -- are exercised.
+SHARD_N = 16
+SHARD_SALT = "shard-v1:"
+BUDGET_TOKENS = 16_000
+BUDGET_BIN_DIV = 10_000
+BUDGET_SALT = "budget-v1:"
+
+
+def q_shard_layout(spark, sf_dir):
+    """Training-shard layout report: docs + token mass per output shard
+    under the deterministic salted-sha256 shard assignment
+    (operators/curation.py::shard_assignment).  Hash-matching the
+    per-shard aggregate pins every per-doc assignment; the report itself
+    is the balance evidence (shards statistically even regardless of
+    input order or skew)."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        shard_assignment,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    sh = shard_assignment(docs, SHARD_N, SHARD_SALT)
+    toks = docs.select("doc_id", TX.token_count("text").alias("n_tokens"))
+    return (
+        sh.join(toks, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+    )
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Quality-ranked selection under a token budget
+    (operators/curation.py::budget_select): keep the highest-quality
+    docs summing to ~BUDGET_TOKENS, bin-granular so no global sort --
+    the boundary bin keeps docs by deterministic salted-hash Bernoulli
+    at rate (budget - tokens_above) / bin_tokens.  The oracle replays
+    quality micro-scores, binning, the window cumsum, the three-regime
+    rate rule, and the hash decision."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        budget_select,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return budget_select(docs, BUDGET_TOKENS, BUDGET_SALT, BUDGET_BIN_DIV)
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token accounting both ways: whitespace tokens of normalized text
     (the cheap corpus statistic) next to a GPT-2-style BPE-ish regex
@@ -3237,6 +3288,50 @@ SELECT doc_id, lang,
        CAST(uh AS DOUBLE) < ({_SAMPLE_RATE_SQL}) * 4294967296.0 AS sampled
 FROM u
 """,
+    "shard_layout": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+t AS (SELECT doc_id, CAST(len(string_split(norm,' ')) AS INT) AS n_tokens FROM n),
+u AS (SELECT doc_id,
+  CAST(('0x' || substr(sha256('{SHARD_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS uh
+  FROM documents)
+SELECT CAST(u.uh % {SHARD_N} AS INT) AS shard,
+       count(*) AS n_docs,
+       CAST(sum(t.n_tokens) AS BIGINT) AS sum_tokens
+FROM u JOIN t USING (doc_id) GROUP BY 1
+""",
+    "token_budget_mix": f"""
+WITH n AS (SELECT doc_id, text, {NORM_SQL} AS norm FROM documents),
+parts AS (SELECT doc_id,
+    length(text) AS n_chars,
+    CASE WHEN length(text) > 0 THEN length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) * 1.0 / length(text) ELSE 0.0 END AS alpha_ratio,
+    CASE WHEN norm <> '' THEN len(list_filter(string_split(norm,' '), t -> t IN ({_EN}))) * 1.0 / len(string_split(norm,' ')) ELSE 0.0 END AS sw
+  FROM n),
+q AS (SELECT doc_id,
+  CAST(floor((0.4 * least(1.0, n_chars / 500.0) + 0.3 * alpha_ratio + 0.3 * least(1.0, sw * 5.0)) * 1e6) AS BIGINT) AS q
+  FROM parts),
+base AS (SELECT n.doc_id,
+    CAST(floor(q.q / {BUDGET_BIN_DIV}.0) AS INT) AS q_bin,
+    CAST(len(string_split(n.norm, ' ')) AS INT) AS n_tokens
+  FROM n JOIN q USING (doc_id)),
+bins AS (SELECT q_bin, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+         FROM base GROUP BY q_bin),
+cum AS (SELECT q_bin, bin_tokens,
+    coalesce(sum(bin_tokens) OVER (ORDER BY q_bin DESC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+  FROM bins),
+rates AS (SELECT q_bin,
+    CASE WHEN above + bin_tokens <= {BUDGET_TOKENS} THEN 1.0
+         WHEN above >= {BUDGET_TOKENS} THEN 0.0
+         ELSE (CAST({BUDGET_TOKENS} AS DOUBLE) - above) / bin_tokens
+    END AS keep_rate
+  FROM cum),
+u AS (SELECT doc_id,
+  CAST(('0x' || substr(sha256('{BUDGET_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS uh
+  FROM documents)
+SELECT b.doc_id, b.q_bin, b.n_tokens,
+       CAST(u.uh AS DOUBLE) < r.keep_rate * 4294967296.0 AS selected
+FROM base b JOIN rates r USING (q_bin) JOIN u USING (doc_id)
+""",
 })
 
 
@@ -3297,6 +3392,8 @@ QUERIES_SQL_CHECKED = {
     "decontamination": q_decontamination,
     "semantic_dedup": q_semantic_dedup,
     "stratified_sample": q_stratified_sample,
+    "shard_layout": q_shard_layout,
+    "token_budget_mix": q_token_budget_mix,
     "bpe_token_counts": q_bpe_token_counts,
     "ngram_heavy_hitters": q_ngram_heavy_hitters,
     "boilerplate_coverage": q_boilerplate_coverage,

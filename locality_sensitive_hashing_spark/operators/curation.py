@@ -395,3 +395,102 @@ def repetition_metrics(
             "repetitive"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# corpus assembly: output sharding + token-budget selection
+# --------------------------------------------------------------------------
+
+def shard_assignment(
+    docs: DataFrame, n_shards: int, salt: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic output-shard assignment: (id, shard) with
+    shard = u mod n_shards, u the salted-sha256 uniform of
+    :func:`sample_uniform`.
+
+    The sink-side partner of the dedup keep-list: a 100 TB training
+    corpus is written as N fixed shards, and hashing the DOCUMENT id
+    (not the partition id, not monotonically_increasing_id) makes the
+    layout reproducible across runs/engines/partitionings and
+    statistically balanced regardless of input order or skew.  Pure
+    Column expression -- the write becomes repartition(n_shards,
+    "shard") with no extra pass over the data.
+    """
+    u = sample_uniform(id_col, salt)
+    return docs.select(
+        F.col(id_col), (u % n_shards).cast("int").alias("shard")
+    )
+
+
+def budget_select(
+    docs: DataFrame,
+    budget_tokens: int,
+    salt: str,
+    bin_div: int = 10_000,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked selection under a token budget: keep the
+    highest-quality documents whose token counts sum to ~``budget_tokens``
+    (the data-mixing step that assembles a training set of a target size
+    from a larger curated pool).
+
+    A global quality sort + running sum does not scale (single ordered
+    cumsum over the corpus), so selection is BIN-granular two-pass:
+
+    1. aggregate token counts by quality bin (``quality_score`` micro
+       units // bin_div, <= ~101 bins) -- one map-side-combined shuffle
+       to a tiny table;
+    2. a window cumsum over the bins (tiny, driver-scale) marks each bin
+       TAKE (fits entirely), PARTIAL (the boundary bin: straddles the
+       budget), or DROP, and the boundary bin keeps each doc with
+       probability (budget - tokens_above) / bin_tokens via the same
+       deterministic salted-sha256 Bernoulli as :func:`stratified_sample`
+       -- so the result is reproducible and each pass is one scan.
+
+    Returns (id, q_bin, n_tokens, selected).  Expected selected tokens =
+    budget up to boundary-bin sampling variance (documented contract; an
+    EXACT cut would need the global sort this avoids).
+    """
+    from locality_sensitive_hashing_spark.functions.text import (
+        normalize_text,
+        quality_score,
+        token_count,
+    )
+    from pyspark.sql import Window
+
+    base = docs.select(
+        F.col(id_col),
+        # explicit floor: Spark double->int casts truncate but DuckDB's
+        # round -- floor() keeps the bin edge identical on both engines
+        F.floor(quality_score("text") / F.lit(bin_div)).cast("int").alias("q_bin"),
+        token_count("text").alias("n_tokens"),
+    )
+    bins = base.groupBy("q_bin").agg(
+        F.sum("n_tokens").alias("bin_tokens")
+    )
+    w = (
+        Window.orderBy(F.desc("q_bin"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = bins.select(
+        "q_bin", "bin_tokens",
+        F.coalesce(F.sum("bin_tokens").over(w), F.lit(0)).alias("above"),
+    ).select(
+        "q_bin",
+        F.when(
+            F.col("above") + F.col("bin_tokens") <= budget_tokens, F.lit(1.0)
+        )
+        .when(F.col("above") >= budget_tokens, F.lit(0.0))
+        .otherwise(
+            (F.lit(float(budget_tokens)) - F.col("above"))
+            / F.col("bin_tokens")
+        )
+        .alias("keep_rate"),
+    )
+    u = sample_uniform(id_col, salt)
+    return base.join(F.broadcast(binned), "q_bin").select(
+        F.col(id_col), "q_bin", "n_tokens",
+        (u.cast("double") < F.col("keep_rate") * F.lit(4294967296.0)).alias(
+            "selected"
+        ),
+    )

@@ -331,3 +331,103 @@ def test_repetition_metrics_hand_computed(spark):
     assert got.loc[5, "top_ngram_frac"] == 0.0
     assert got.loc[5, "dup_ngram_frac"] == 0.0
     assert not got.loc[5, "repetitive"]
+
+
+# --------------------------------------------------------------------------
+# corpus assembly: shard_assignment + budget_select
+# --------------------------------------------------------------------------
+
+def test_shard_assignment_hashlib_and_partition_invariance(spark):
+    """shard = sha256-uniform mod N: exact hashlib replay per row, all
+    shards in range and populated, and the assignment is identical after
+    an adversarial repartition (the reproducible-layout contract)."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        shard_assignment,
+    )
+
+    docs = _sample_docs(spark, 800)
+    got = shard_assignment(docs, 16, "sh:").toPandas().set_index("doc_id")
+    for doc_id, row in got.iterrows():
+        u = int(hashlib.sha256(f"sh:{doc_id}".encode()).hexdigest()[:8], 16)
+        assert int(row["shard"]) == u % 16, doc_id
+    assert set(got["shard"]) == set(range(16))
+    again = (
+        shard_assignment(docs.repartition(7, "lang"), 16, "sh:")
+        .toPandas().set_index("doc_id")
+    )
+    pd.testing.assert_frame_equal(got.sort_index(), again.sort_index())
+
+
+def _budget_docs(spark, n=400):
+    """Docs with a controlled quality spread: longer text -> higher
+    quality-score length term, so bins split non-degenerately."""
+    rows = [(i, ("the quick brown fox " * (1 + i % 40)).strip())
+            for i in range(n)]
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+
+
+def test_budget_select_semantics(spark):
+    """Bin monotonicity (at most ONE mixed bin; everything above it fully
+    kept, everything below fully dropped), the selected token mass lands
+    within one boundary-bin width of the budget, the boundary decision
+    replays exactly with hashlib, and the selection is deterministic."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        budget_select,
+    )
+
+    docs = _budget_docs(spark)
+    budget = 3600
+    got = budget_select(docs, budget, "b:").toPandas()
+    assert len(got) == 400
+
+    by_bin = got.groupby("q_bin").agg(
+        sel=("selected", "sum"), n=("selected", "size"),
+        toks=("n_tokens", "sum"),
+    ).sort_index(ascending=False)
+    mixed = by_bin[(by_bin.sel > 0) & (by_bin.sel < by_bin.n)]
+    assert len(mixed) <= 1, "more than one partially-selected bin"
+    if len(mixed):
+        b = mixed.index[0]
+        assert (by_bin.loc[by_bin.index > b, "sel"]
+                == by_bin.loc[by_bin.index > b, "n"]).all()
+        assert (by_bin.loc[by_bin.index < b, "sel"] == 0).all()
+        slack = int(by_bin.loc[b, "toks"])
+    else:
+        slack = int(by_bin.toks.max())
+    sel_toks = int(got.loc[got.selected, "n_tokens"].sum())
+    assert abs(sel_toks - budget) <= slack, (sel_toks, budget, slack)
+
+    # hashlib replay of the boundary-bin Bernoulli: recompute keep_rate
+    # per bin from the pandas frame and re-derive every decision
+    above = 0
+    rates = {}
+    for b, row in by_bin.iterrows():  # descending q_bin
+        t = int(row.toks)
+        rates[b] = (1.0 if above + t <= budget
+                    else 0.0 if above >= budget
+                    else (budget - above) / t)
+        above += t
+    for _, r in got.iterrows():
+        u = int(hashlib.sha256(f"b:{r.doc_id}".encode()).hexdigest()[:8], 16)
+        assert bool(r.selected) == (u < rates[int(r.q_bin)] * 2**32), r.doc_id
+
+    again = budget_select(docs.repartition(5), budget, "b:").toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id").reset_index(drop=True),
+        again.sort_values("doc_id").reset_index(drop=True),
+    )
+
+
+def test_budget_select_degenerate_budgets(spark):
+    """budget >= corpus keeps everything; budget 0 keeps nothing."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        budget_select,
+    )
+
+    docs = _budget_docs(spark, 50)
+    allin = budget_select(docs, 10**9, "b:").toPandas()
+    assert allin.selected.all()
+    none = budget_select(docs, 0, "b:").toPandas()
+    assert not none.selected.any()
