@@ -56,11 +56,11 @@ def encode_wav(pcm: np.ndarray, sr_hz: int, codec: str) -> bytes:
     return hdr + data
 
 
-def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
-    """Parse a RIFF/WAV blob -> (float64 PCM in [-1, 1], sample rate).
+def _wav_chunks(raw: bytes) -> tuple[int, int, int, bytes]:
+    """Chunk walk shared by the decoders: (fmt_tag, bits, sr_hz, data).
 
     Walks chunks properly (tolerates extra chunks between fmt and data).
-    Raises ValueError on malformed input or unsupported format tags.
+    Raises ValueError on malformed input.
     """
     if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE blob")
@@ -78,6 +78,15 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt_tag is None or data is None:
         raise ValueError("missing fmt/data chunk")
+    return fmt_tag, bits, int(sr_hz), data
+
+
+def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
+    """Parse a RIFF/WAV blob -> (float64 PCM in [-1, 1], sample rate).
+
+    Raises ValueError on malformed input or unsupported format tags.
+    """
+    fmt_tag, bits, sr_hz, data = _wav_chunks(raw)
     if fmt_tag == 1 and bits == 16:
         pcm = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32767.0
     elif fmt_tag == 3 and bits == 32:
@@ -85,6 +94,21 @@ def decode_wav(raw: bytes) -> tuple[np.ndarray, int]:
     else:
         raise ValueError(f"unsupported wav format tag={fmt_tag} bits={bits}")
     return pcm, int(sr_hz)
+
+
+def decode_wav_s16(raw: bytes) -> tuple[np.ndarray, int]:
+    """Integer-sample decode: (int64 s16 samples, sample rate).
+
+    pcm_s16le ONLY — integer-exact kernels (zero crossings, DC sum,
+    integer peak) that a DuckDB byte-arithmetic oracle replays
+    bit-for-bit need the raw sample values, not the /32767 floats.  A
+    tag-3 float blob raises ValueError here by design (the s16-only
+    fixture contract documented at the audio oracles).
+    """
+    fmt_tag, bits, sr_hz, data = _wav_chunks(raw)
+    if fmt_tag != 1 or bits != 16:
+        raise ValueError(f"integer decode needs pcm_s16le, got tag={fmt_tag} bits={bits}")
+    return np.frombuffer(data, dtype="<i2").astype(np.int64), sr_hz
 
 
 def pcm_compare(raw1: bytes, raw2: bytes) -> tuple[bool, float]:

@@ -109,6 +109,8 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "embedding_near_dups": ["neardup_buckets"],
     "audio_features": ["audio_clips"],
     "audio_quality_screen": ["audio_clips"],
+    "audio_temporal_stats": ["audio_clips"],
+    "shingle_hll": ["minhash_shingles"],
     "audio_energy_profile": ["audio_lsh_clips"],
     "audio_content_near_dups": ["audio_lsh_clips"],
     "audio_content_clusters": ["audio_lsh_clips"],
@@ -167,6 +169,18 @@ _CHUNK_VALUES = ", ".join(
 )
 # unsigned view of a signed-int64 carrier column {c}
 _UVIEW = "(CAST({c} AS HUGEINT) + CASE WHEN {c} < 0 THEN " + _U64 + " ELSE 0 END)"
+
+# HyperLogLog sketch constants (operators/sketches.py), shared with the
+# oracle so both engines run the identical estimator: K is the Flajolet
+# alpha_m * m^2 prescaled by 2^S, embedded as the SAME double literal on
+# both sides (est = K / z_scaled is one literal-by-integer division).
+from locality_sensitive_hashing_spark.operators.sketches import HLL_P, hll_alpha
+
+_HLL_M = 1 << HLL_P
+_HLL_WBITS = 64 - HLL_P
+_HLL_S = _HLL_WBITS + 1
+_HLL_TWO_S = 1 << _HLL_S
+_HLL_K = hll_alpha(_HLL_M) * _HLL_M * _HLL_M * _HLL_TWO_S
 
 # threshold chosen from the measured cosine distribution of the driver's
 # (random-ish) embeddings at sf0.01: max pair cosine is ~0.51, so the
@@ -1432,6 +1446,89 @@ SELECT clip_id, decode_ok, duration_s, silence_ratio, clipping_ratio,
    AND duration_s >= {AQ_MIN_DUR} AND duration_s <= {AQ_MAX_DUR}) AS audio_ok
 FROM m
 """,
+    # audio_temporal_stats: same byte-arithmetic re-decode kept in the
+    # INTEGER sample domain (zero division by 32767), consecutive-sample
+    # sign flips via lag() over the sample index; every column is integer
+    # arithmetic or a single int/int double division -- no rounding
+    # contract anywhere.
+    "audio_temporal_stats": f"""
+WITH raw AS (
+  SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+  FROM {_aux_rp('audio_clips')}
+), hdr AS (
+  SELECT clip_id, hx,
+    (nb >= 44
+     AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
+  FROM raw
+), idx AS (
+  SELECT clip_id, hx,
+    unnest(generate_series(0, (data_len // 2)::int - 1)) AS i
+  FROM hdr WHERE canon
+), x AS (
+  SELECT clip_id, i,
+    (('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+     - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+            >= 32768 THEN 65536 ELSE 0 END) AS v
+  FROM idx
+), lg AS (
+  SELECT clip_id, v, lag(v) OVER (PARTITION BY clip_id ORDER BY i) AS pv
+  FROM x
+), feat AS (
+  SELECT clip_id, count(*) AS n,
+    count(*) FILTER (WHERE pv IS NOT NULL AND (pv < 0) <> (v < 0)) AS zc,
+    max(abs(v)) AS peak_raw,
+    CAST(sum(v) AS BIGINT) AS dc_sum
+  FROM lg GROUP BY clip_id
+)
+SELECT h.clip_id,
+  (h.canon AND coalesce(f.n, 0) > 0) AS decode_ok,
+  CAST(CASE WHEN h.canon AND coalesce(f.n,0) > 0 THEN f.n ELSE 0 END AS BIGINT) AS n_samples,
+  CAST(coalesce(f.zc, 0) AS BIGINT) AS zero_crossings,
+  CASE WHEN coalesce(f.n, 0) > 1 THEN CAST(f.zc AS DOUBLE) / (f.n - 1)
+       ELSE 0.0 END AS zcr,
+  CAST(coalesce(f.peak_raw, 0) AS INT) AS peak_raw,
+  coalesce(f.dc_sum, 0) AS dc_sum,
+  CASE WHEN coalesce(f.n, 0) > 0 THEN CAST(f.dc_sum AS DOUBLE) / f.n
+       ELSE 0.0 END AS dc_offset
+FROM hdr h LEFT JOIN feat f USING (clip_id)
+""",
+    # shingle_hll: the whole sketch replayed -- unsigned view, top-p-bit
+    # register index, leading-zero rank via format('{{:b}}') bit length,
+    # register max, integer 2^(S-M) terms from the shared pow2 VALUES
+    # table, and the single literal/double division.  DECIMAL(38,0) for
+    # z_scaled so pandas receives the same exact Decimal object Spark's
+    # decimal sum produces.
+    "shingle_hll": f"""
+WITH sh AS (SELECT shingle FROM {_aux_rp('minhash_shingles')}),
+u AS (SELECT {_UVIEW.format(c='shingle')} AS uh FROM sh),
+parts AS (SELECT CAST(uh // {1 << _HLL_WBITS} AS INT) AS idx,
+                 CAST(uh % {1 << _HLL_WBITS} AS BIGINT) AS w FROM u),
+regs AS (SELECT idx,
+         max(CASE WHEN w = 0 THEN {_HLL_S}
+                  ELSE {_HLL_WBITS} + 1 - length(format('{{:b}}', w)) END) AS M
+         FROM parts GROUP BY idx),
+pw(i, p) AS (VALUES {_POW2_VALUES}),
+agg AS (SELECT count(*) AS n_present, sum(pw.p) AS z_present
+        FROM regs JOIN pw ON pw.i = {_HLL_S} - regs.M),
+z AS (SELECT CAST(n_present AS BIGINT) AS n_present,
+      z_present + ({_HLL_M} - n_present)
+           * CAST('{_HLL_TWO_S}' AS HUGEINT) AS zi
+      FROM agg),
+ex AS (SELECT count(DISTINCT shingle) AS exact_distinct FROM sh)
+SELECT {_HLL_M} AS m, z.n_present, CAST(z.zi AS VARCHAR) AS z_scaled,
+       {_HLL_K!r} / CAST(z.zi AS DOUBLE) AS est_cardinality,
+       ex.exact_distinct,
+       ({_HLL_K!r} / CAST(z.zi AS DOUBLE) - ex.exact_distinct)
+         / ex.exact_distinct AS rel_err
+FROM z CROSS JOIN ex
+""",
 })
 
 # --- content-based audio LSH (operators/audio_lsh.py) ----------------------
@@ -2267,6 +2364,46 @@ def q_audio_quality_screen(spark, sf_dir):
         clips, AQ_SILENCE_T, AQ_SILENCE_MAX, AQ_CLIP_MAX,
         AQ_MIN_DUR, AQ_MAX_DUR,
     )
+
+
+def q_audio_temporal_stats(spark, sf_dir):
+    """Time-domain integer statistics (the third audio screen next to
+    features + quality): zero-crossing rate, raw s16 peak, DC offset.
+    All-integer kernels -- the only doubles are two int/int divisions --
+    so the DuckDB oracle's byte-arithmetic WAV re-decode matches
+    bit-for-bit with no rounding contract. Shares the ``audio_clips``
+    aux blobs with ``audio_features``."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        audio_temporal_stats,
+    )
+
+    clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
+    _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_clips")
+    return audio_temporal_stats(clips)
+
+
+def q_shingle_hll(spark, sf_dir):
+    """Deterministic HyperLogLog cardinality of the corpus shingle-hash
+    universe (operators/sketches.py) -- the one-pass bounded-memory
+    answer to "how many distinct shingles" that LSH tuning and storage
+    sizing need, vs the full-shuffle exact distinct carried alongside as
+    accuracy evidence.  Registers come from the seed-pinned uint64
+    shingle hashes (aux ``minhash_shingles``); the estimator stays in
+    integer arithmetic until one literal/integer division, so the oracle
+    replays the whole sketch bit-for-bit."""
+    from locality_sensitive_hashing_spark.operators.minhash import shingles_udf
+    from locality_sensitive_hashing_spark.operators.sketches import (
+        hll_cardinality,
+    )
+
+    corpus = _docs_as_corpus(spark, sf_dir)
+    sh = corpus.select(
+        "clip_id",
+        F.explode(shingles_udf(CFG)(TX.normalize_text("transcript"))).alias("shingle"),
+    )
+    _aux_write(sh, sf_dir, "minhash_shingles")
+    return hll_cardinality(sh, "shingle")
 
 
 _ALSH_AUX_DONE: set[str] = set()
@@ -3381,6 +3518,8 @@ QUERIES_SQL_CHECKED = {
     "embedding_near_dups": q_embedding_near_dups,
     "audio_features": q_audio_features,
     "audio_quality_screen": q_audio_quality_screen,
+    "audio_temporal_stats": q_audio_temporal_stats,
+    "shingle_hll": q_shingle_hll,
     "audio_energy_profile": q_audio_energy_profile,
     "audio_content_near_dups": q_audio_content_near_dups,
     "audio_content_clusters": q_audio_content_clusters,

@@ -140,6 +140,62 @@ def audio_quality(
     )
 
 
+AUDIO_TEMPORAL_SCHEMA = (
+    "clip_id string, decode_ok boolean, n_samples long, zero_crossings long, "
+    "zcr double, peak_raw int, dc_sum long, dc_offset double"
+)
+
+
+def audio_temporal_stats(clips: DataFrame) -> DataFrame:
+    """Time-domain integer statistics per clip: zero-crossing rate, raw
+    peak, and DC offset — the classic voiced/unvoiced + noisiness +
+    recording-fault signals, completing the silence/clipping screen of
+    :func:`audio_quality`.
+
+    Everything stays in INTEGER s16 arithmetic (:func:`audio.decode_wav_s16`):
+    ``zero_crossings`` counts sign flips between consecutive samples
+    (zero treated non-negative, a fixed convention), ``peak_raw`` is
+    max |sample|, ``dc_sum`` the exact sample sum; the two double columns
+    are single int/int divisions (zcr = crossings/(n-1), dc_offset =
+    dc_sum/n), so every value is bit-reproducible on any engine with no
+    rounding contract — the DuckDB oracle replays all of it from the raw
+    WAV bytes.  Undecodable or non-s16 payloads report decode_ok=false.
+    Same mapInPandas shape as :func:`audio_features`: scan pruned to
+    (clip_id, bytes), one Arrow batch per Python call.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    s, _sr = A.decode_wav_s16(bytes(raw or b""))
+                    if s.size == 0:
+                        raise ValueError("empty")
+                    neg = s < 0
+                    zc = int(np.count_nonzero(neg[1:] != neg[:-1]))
+                    n = int(s.size)
+                    dc_sum = int(s.sum())
+                    rows.append((
+                        cid, True, n, zc,
+                        zc / (n - 1) if n > 1 else 0.0,
+                        int(np.abs(s).max()),
+                        dc_sum, dc_sum / n,
+                    ))
+                except Exception:
+                    rows.append((cid, False, 0, 0, 0.0, 0, 0, 0.0))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "decode_ok", "n_samples",
+                         "zero_crossings", "zcr", "peak_raw", "dc_sum",
+                         "dc_offset"],
+            )
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        stats, AUDIO_TEMPORAL_SCHEMA
+    )
+
+
 def _decode_image_stub(raw: bytes, strict: bool) -> tuple[int, int, int, float]:
     """STUB image decode. No image libs in this environment.
 

@@ -1,0 +1,120 @@
+"""Cardinality sketches: deterministic HyperLogLog over shingle hashes.
+
+The 100 TB question this answers: "how many distinct shingles (or keys,
+or n-grams) does the corpus have?" — the input to LSH parameter tuning
+(band/row planning needs the universe size) and to storage sizing.  An
+exact `count(distinct)` shuffles every distinct value once; HyperLogLog
+(Flajolet et al. 2007) reads each value ONCE, keeps m = 2^p registers
+(bytes, not rows), and merges by register-wise max — so the corpus-scale
+plan is a map-side partial-aggregate to <= m rows per partition followed
+by one m-row shuffle, constant memory at any input size.
+
+This implementation is DETERMINISTIC end-to-end (unlike Spark's built-in
+`approx_count_distinct`, whose estimate is engine-private): registers are
+derived from the repo's seed-pinned uint64 shingle hashes (top p bits =
+register index, rank = leading zeros of the remaining 64-p bits + 1),
+and the estimator is kept in INTEGER arithmetic (sum of 2^(S-M) at scale
+S = 65-p) until a single literal-by-integer double division — so DuckDB
+replays the whole sketch bit-for-bit and the driver hash-checks it.
+
+The raw Flajolet estimator only (no small-range linear counting): the
+corpus regime this targets has cardinality >> 2.5*m, and the correction's
+`ln` is libm-dependent across engines.  Accuracy (~1.04/sqrt(m)) and
+mergeability are pinned by unit tests against numpy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 10  # 2^10 = 1024 registers -> ~3.3% standard error
+
+
+def hll_alpha(m: int) -> float:
+    """Bias-correction constant alpha_m (Flajolet et al. 2007, m >= 128)."""
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_registers(values: DataFrame, value_col: str, p: int = HLL_P) -> DataFrame:
+    """(idx, M): the HLL register table of a uint64-hash column.
+
+    idx = top p bits of the unsigned view; rank of one value = leading
+    zeros of the remaining w = 64-p bits plus 1 (w == 0 ranks wbits+1);
+    M = max rank per register.  Pure Column expressions — the aggregate
+    is map-side combined to <= 2^p rows per partition, so the shuffle is
+    O(m * partitions) regardless of input size, and two register tables
+    merge by the same groupBy-max (the distributed-sketch property).
+    """
+    wbits = 64 - p
+    mask = (1 << wbits) - 1
+    w = F.col(value_col).bitwiseAND(F.lit(mask))
+    rank = F.when(w == 0, F.lit(wbits + 1)).otherwise(
+        F.lit(wbits + 1) - F.length(F.bin(w))
+    )
+    return (
+        values.select(
+            F.shiftrightunsigned(F.col(value_col), wbits).cast("int").alias("idx"),
+            rank.cast("int").alias("rank"),
+        )
+        .groupBy("idx")
+        .agg(F.max("rank").alias("M"))
+    )
+
+
+def hll_cardinality(
+    values: DataFrame, value_col: str, p: int = HLL_P
+) -> DataFrame:
+    """One-row HLL cardinality report over a uint64-hash column.
+
+    Returns (m, n_present, z_scaled, est_cardinality, exact_distinct,
+    rel_err).  `z_scaled` is the estimator denominator kept exact in
+    integers: sum over all m registers of 2^(S - M) with S = wbits+1 and
+    absent registers at M = 0 — every term is a power of two <= 2^S, so
+    the decimal sum is order-independent and cross-engine exact; the only
+    float op is the final literal/integer division.  `exact_distinct` is
+    the full-shuffle answer the sketch replaces, carried here as accuracy
+    evidence (rel_err ~ 1.04/sqrt(m)); at production scale one runs the
+    sketch alone.  `z_scaled` rides as a STRING of digits: it exceeds
+    int64 (up to m * 2^S ~ 2^65) and pandas narrows DECIMAL columns
+    lossily on some engines, so the exact digits are the only
+    cross-engine-stable carrier.
+    """
+    m = 1 << p
+    wbits = 64 - p
+    s_max = wbits + 1
+    two_s = 1 << s_max
+    k_lit = hll_alpha(m) * m * m * two_s  # alpha * m^2, prescaled by 2^S
+
+    regs = hll_registers(values, value_col, p)
+    present = regs.agg(
+        F.count("*").alias("n_present"),
+        F.sum(
+            F.expr(f"CAST(shiftleft(CAST(1 AS BIGINT), {s_max} - M) AS DECIMAL(38,0))")
+        ).alias("z_present"),
+    )
+    exact = values.agg(F.countDistinct(value_col).alias("exact_distinct"))
+    z = (
+        F.col("z_present")
+        + (F.lit(m) - F.col("n_present")).cast("decimal(38,0)")
+        * F.lit(two_s).cast("decimal(38,0)")
+    ).alias("z_scaled")
+    est = (F.lit(float(k_lit)) / F.col("z_scaled").cast("double")).alias(
+        "est_cardinality"
+    )
+    return (
+        present.crossJoin(exact)
+        .select(F.lit(m).alias("m"), "n_present", z, "exact_distinct")
+        .select(
+            "m", "n_present", "z_scaled", est, "exact_distinct",
+        )
+        .select(
+            "m", "n_present",
+            F.col("z_scaled").cast("string").alias("z_scaled"),
+            "est_cardinality", "exact_distinct",
+            (
+                (F.col("est_cardinality") - F.col("exact_distinct"))
+                / F.col("exact_distinct")
+            ).alias("rel_err"),
+        )
+    )

@@ -105,3 +105,69 @@ def test_audio_quality_screen_synthetic(spark):
     # ratios agree with direct numpy on the healthy clip
     pcm, _ = A.decode_wav(clips["ok"])
     assert got.loc["ok", "silence_ratio"] == float(np.mean(np.abs(pcm) < 0.004))
+
+
+def test_audio_temporal_stats_engineered(spark):
+    """Integer time-domain stats vs direct numpy on engineered clips:
+    alternating-sign (zcr exactly 1), constant-positive DC (zero
+    crossings 0, exact dc_offset), a sine (stats equal the numpy
+    replay bit-for-bit), garbage, and an f32 clip (s16-only contract)."""
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        audio_temporal_stats,
+    )
+
+    sr = 16000
+    t = np.arange(sr // 4) / sr
+    tone = 0.5 * np.sin(2 * np.pi * 440 * t)
+    alt = np.tile([0.25, -0.25], 200)  # strict sign flip every step
+    dc = np.full(300, 0.125)
+    clips = {
+        "tone": A.encode_wav(tone, sr, "pcm_s16le"),
+        "alt": A.encode_wav(alt, sr, "pcm_s16le"),
+        "dc": A.encode_wav(dc, sr, "pcm_s16le"),
+        "garbage": b"not a wav",
+        "f32": A.encode_wav(tone, sr, "pcm_f32le"),
+    }
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": list(clips), "bytes": list(clips.values())})
+    )
+    got = audio_temporal_stats(df).toPandas().set_index("clip_id")
+
+    assert got.loc["alt", "zcr"] == pytest.approx(1.0)
+    assert got.loc["alt", "zero_crossings"] == 399
+    assert got.loc["dc", "zero_crossings"] == 0
+    s_dc, _ = A.decode_wav_s16(clips["dc"])
+    assert got.loc["dc", "dc_sum"] == int(s_dc.sum())
+    assert got.loc["dc", "dc_offset"] == int(s_dc.sum()) / s_dc.size
+    assert got.loc["dc", "peak_raw"] == int(np.abs(s_dc).max())
+
+    s, _ = A.decode_wav_s16(clips["tone"])
+    neg = s < 0
+    assert got.loc["tone", "zero_crossings"] == int(
+        np.count_nonzero(neg[1:] != neg[:-1])
+    )
+    assert got.loc["tone", "zcr"] == int(
+        np.count_nonzero(neg[1:] != neg[:-1])
+    ) / (s.size - 1)
+    assert got.loc["tone", "decode_ok"]
+
+    assert not got.loc["garbage", "decode_ok"]
+    assert got.loc["garbage", "n_samples"] == 0
+    # f32 decodes fine as floats but the INTEGER kernel is s16-only
+    assert not got.loc["f32", "decode_ok"]
+
+
+def test_audio_temporal_stats_single_sample(spark):
+    """n=1 clip: zcr division guard returns 0.0, dc_offset exact."""
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        audio_temporal_stats,
+    )
+
+    one = A.encode_wav(np.array([0.5]), 16000, "pcm_s16le")
+    df = spark.createDataFrame(
+        pd.DataFrame({"clip_id": ["one"], "bytes": [one]})
+    )
+    got = audio_temporal_stats(df).toPandas().iloc[0]
+    assert got["decode_ok"] and got["n_samples"] == 1
+    assert got["zero_crossings"] == 0 and got["zcr"] == 0.0
+    assert got["dc_offset"] == got["dc_sum"]

@@ -1,0 +1,102 @@
+"""HyperLogLog sketch: numpy register replay, accuracy, mergeability,
+partition invariance (operators/sketches.py)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from locality_sensitive_hashing_spark.operators.sketches import (
+    HLL_P,
+    hll_alpha,
+    hll_cardinality,
+    hll_registers,
+)
+
+
+def _hashes_df(spark, n, seed=7, n_parts=1):
+    """n deterministic pseudo-uniform uint64 hashes as an int64 carrier
+    column (same convention as the shingle tables)."""
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 2**63 - 1, size=n, dtype=np.int64)
+    # mix in genuinely-negative carriers (high-bit-set uint64s)
+    vals[::3] = -vals[::3]
+    df = spark.createDataFrame(pd.DataFrame({"h": vals}))
+    return (df.repartition(n_parts) if n_parts > 1 else df), vals
+
+
+def _numpy_registers(vals: np.ndarray, p: int) -> dict[int, int]:
+    """Reference HLL registers from the uint64 view of the carrier."""
+    u = vals.astype(np.uint64)
+    wbits = 64 - p
+    regs: dict[int, int] = {}
+    for x in u.tolist():
+        idx = x >> wbits
+        w = x & ((1 << wbits) - 1)
+        rank = wbits + 1 if w == 0 else wbits - w.bit_length() + 1
+        regs[idx] = max(regs.get(idx, 0), rank)
+    return regs
+
+
+def test_hll_registers_numpy_replay(spark):
+    df, vals = _hashes_df(spark, 5000)
+    got = {
+        int(r["idx"]): int(r["M"])
+        for r in hll_registers(df, "h").collect()
+    }
+    assert got == _numpy_registers(vals, HLL_P)
+
+
+def test_hll_accuracy_and_formula(spark):
+    """Estimate within 4 sigma of the true distinct count, and the
+    one-row report re-derives exactly from the numpy registers."""
+    df, vals = _hashes_df(spark, 50000)
+    row = hll_cardinality(df, "h").toPandas().iloc[0]
+    exact = len(np.unique(vals))
+    assert row["exact_distinct"] == exact
+    sigma = 1.04 / np.sqrt(row["m"])
+    assert abs(row["rel_err"]) < 4 * sigma
+
+    regs = _numpy_registers(vals, HLL_P)
+    m, wbits = 1 << HLL_P, 64 - HLL_P
+    s_max = wbits + 1
+    z = sum(1 << (s_max - M) for M in regs.values())
+    z += (m - len(regs)) * (1 << s_max)
+    assert int(row["z_scaled"]) == z
+    assert row["n_present"] == len(regs)
+    k = hll_alpha(m) * m * m * (1 << s_max)
+    assert row["est_cardinality"] == k / z
+
+
+def test_hll_merge_equals_union(spark):
+    """Register-wise max of two partitions' register tables equals the
+    union's registers -- the property that makes the sketch distributable
+    (map-side partials combine losslessly)."""
+    df1, v1 = _hashes_df(spark, 3000, seed=1)
+    df2, v2 = _hashes_df(spark, 3000, seed=2)
+    r1 = hll_registers(df1, "h").toPandas()
+    r2 = hll_registers(df2, "h").toPandas()
+    merged = (
+        pd.concat([r1, r2]).groupby("idx")["M"].max().to_dict()
+    )
+    union = _numpy_registers(np.concatenate([v1, v2]), HLL_P)
+    assert {int(k): int(v) for k, v in merged.items()} == union
+
+
+def test_hll_partition_invariance(spark):
+    """The one-row report is identical under an adversarial repartition
+    (order-independence of the integer estimator)."""
+    df1, _ = _hashes_df(spark, 8000, seed=5)
+    df2, _ = _hashes_df(spark, 8000, seed=5, n_parts=13)
+    a = hll_cardinality(df1, "h").toPandas()
+    b = hll_cardinality(df2, "h").toPandas()
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_hll_sentinel_zero_hash(spark):
+    """The shingle sentinel 0 (w == 0 path) ranks wbits+1, not an error."""
+    df = spark.createDataFrame(pd.DataFrame({"h": [0, 1, 2]}))
+    regs = {int(r["idx"]): int(r["M"]) for r in hll_registers(df, "h").collect()}
+    wbits = 64 - HLL_P
+    assert regs[0] == wbits + 1  # h=0: idx 0, w 0 -> max rank
