@@ -3223,6 +3223,49 @@ def q_token_budget_mix(spark, sf_dir):
     return budget_select(docs, BUDGET_TOKENS, BUDGET_SALT, BUDGET_BIN_DIV)
 
 
+CMS_TOPK = 20
+
+
+def q_token_cms_estimate(spark, sf_dir):
+    """Count-Min frequency estimates for the corpus top-20 tokens
+    (operators/sketches.py): the bounded-memory companion to the HLL —
+    d x w counters built in one map-side-combined scan, broadcast onto
+    the probes, min over rows; exact counts ride alongside so the
+    one-sided guarantee (cms_est >= exact, never under) is visible in
+    the hashed result.  Everything is integer sha256 arithmetic — the
+    oracle replays the full sketch with zero rounding contract."""
+    from locality_sensitive_hashing_spark.operators.sketches import cms_estimate
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.explode(TX.word_tokens(TX.normalize_text("text"))).alias("w")
+    ).where(F.col("w") != "")
+    exact = toks.groupBy("w").agg(F.count("*").alias("exact_c"))
+    topk = exact.orderBy(F.desc("exact_c"), F.asc("w")).limit(CMS_TOPK)
+    est = cms_estimate(toks, topk.select("w"), "w")
+    return topk.join(est, "w").select(
+        F.col("w").alias("token"),
+        "exact_c",
+        "cms_est",
+        (F.col("cms_est") - F.col("exact_c")).alias("overestimate"),
+    )
+
+
+def q_unigram_lm_score(spark, sf_dir):
+    """Unigram-LM bits-per-token quality signal
+    (operators/curation.py::unigram_lm_score): the CCNet/Gopher
+    LM-perplexity curation signal with the corpus's own one-aggregate
+    unigram model; gibberish scores high, boilerplate low.  The oracle
+    replays tf, corpus counts, the log2 surprise sum, and the 6-dp
+    rounded mean relationally."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        unigram_lm_score,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return unigram_lm_score(docs)
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token accounting both ways: whitespace tokens of normalized text
     (the cheap corpus statistic) next to a GPT-2-style BPE-ish regex
@@ -3469,6 +3512,46 @@ SELECT b.doc_id, b.q_bin, b.n_tokens,
        CAST(u.uh AS DOUBLE) < r.keep_rate * 4294967296.0 AS selected
 FROM base b JOIN rates r USING (q_bin) JOIN u USING (doc_id)
 """,
+    # token_cms_estimate: the whole Count-Min sketch replayed -- per-row
+    # salted-sha256 buckets, counter table, probe cells, min over rows.
+    # All integers, zero rounding contract.
+    "token_cms_estimate": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+tok AS (SELECT unnest(string_split(norm, ' ')) AS w FROM n WHERE norm <> ''),
+cnt AS (SELECT w, count(*) AS exact_c FROM tok GROUP BY w),
+topk AS (SELECT w, exact_c FROM cnt ORDER BY exact_c DESC, w LIMIT {CMS_TOPK}),
+rr(r) AS (VALUES (0), (1), (2), (3)),
+cells AS (SELECT rr.r,
+  CAST(CAST(('0x' || substr(sha256('cms-v1:' || CAST(rr.r AS VARCHAR) || ':' || tok.w), 1, 8)) AS BIGINT) % 1024 AS INT) AS bucket
+  FROM tok CROSS JOIN rr),
+counters AS (SELECT r, bucket, count(*) AS c FROM cells GROUP BY r, bucket),
+pcells AS (SELECT topk.w, rr.r,
+  CAST(CAST(('0x' || substr(sha256('cms-v1:' || CAST(rr.r AS VARCHAR) || ':' || topk.w), 1, 8)) AS BIGINT) % 1024 AS INT) AS bucket
+  FROM topk CROSS JOIN rr),
+est AS (SELECT p.w, min(coalesce(c.c, 0)) AS cms_est
+        FROM pcells p LEFT JOIN counters c USING (r, bucket) GROUP BY p.w)
+SELECT t.w AS token, t.exact_c, e.cms_est,
+       e.cms_est - t.exact_c AS overestimate
+FROM topk t JOIN est e USING (w)
+""",
+    # unigram_lm_score: tf / corpus-count / total replayed relationally;
+    # bits_per_token rounded 6 dp on both sides (per-token log2 may
+    # differ by libm ULPs across engines and the per-doc sum order is
+    # engine-private -- same contract as the audio rms column).
+    "unigram_lm_score": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w FROM n WHERE norm <> ''),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+tot AS (SELECT count(*) AS t_total FROM tok),
+sc AS (SELECT tf.doc_id, CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+       sum(tf.tf * (log2(t_total) - log2(cnt.c))) AS bits
+       FROM tf JOIN cnt USING (w) CROSS JOIN tot GROUP BY tf.doc_id)
+SELECT d.doc_id,
+  coalesce(sc.n_tokens, 0) AS n_tokens,
+  round(coalesce(sc.bits / sc.n_tokens, 0.0), 6) AS bits_per_token
+FROM documents d LEFT JOIN sc USING (doc_id)
+""",
 })
 
 
@@ -3533,6 +3616,8 @@ QUERIES_SQL_CHECKED = {
     "stratified_sample": q_stratified_sample,
     "shard_layout": q_shard_layout,
     "token_budget_mix": q_token_budget_mix,
+    "token_cms_estimate": q_token_cms_estimate,
+    "unigram_lm_score": q_unigram_lm_score,
     "bpe_token_counts": q_bpe_token_counts,
     "ngram_heavy_hitters": q_ngram_heavy_hitters,
     "boilerplate_coverage": q_boilerplate_coverage,

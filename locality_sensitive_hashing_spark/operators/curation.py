@@ -494,3 +494,60 @@ def budget_select(
             "selected"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM quality scoring (CCNet-style proxy)
+# --------------------------------------------------------------------------
+
+def unigram_lm_score(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-document unigram language-model score: average bits per token,
+    -1/n * sum log2 p(w), with p(w) the corpus maximum-likelihood unigram.
+
+    The LM-perplexity quality signal of CCNet/Gopher with the model the
+    corpus itself trains in one aggregate: gibberish and rare-token noise
+    score HIGH bits/token, boilerplate scores LOW — the two tails a
+    curation pass trims.  Fully deterministic (no external model, no
+    smoothing: every scored token is in the corpus, so p(w) > 0).
+
+    Shape at scale: tf aggregate (one shuffle by (doc, token)), corpus
+    counts (map-side-combined shuffle by token), tf x counts join by
+    token, final per-doc aggregate — the standard TF-IDF relational
+    template, every stage linear.  The single corpus-total row is
+    broadcast.  Returns (id, n_tokens, bits_per_token) for ALL docs;
+    token-less docs score 0.0.  bits_per_token is rounded to 6 dp: the
+    per-token log2 values may differ by ULPs across engines' libm and
+    the per-doc sum order is engine-private (same contract as the audio
+    rms column).
+    """
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(word_tokens(normalize_text(text_col))).alias("w"),
+    ).where(F.col("w") != "")
+    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    cnt = toks.groupBy("w").agg(F.count("*").alias("c"))
+    tot = toks.agg(F.count("*").alias("t_total"))
+    sc = (
+        tf.join(cnt, "w")
+        .crossJoin(F.broadcast(tot))
+        .groupBy(id_col)
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(
+                F.col("tf") * (F.log2("t_total") - F.log2("c"))
+            ).alias("bits"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(sc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("bits") / F.col("n_tokens"), F.lit(0.0)), 6
+            ).alias("bits_per_token"),
+        )
+    )

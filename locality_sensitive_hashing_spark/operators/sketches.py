@@ -1,13 +1,18 @@
-"""Cardinality sketches: deterministic HyperLogLog over shingle hashes.
+"""Streaming sketches: deterministic HyperLogLog and Count-Min.
 
-The 100 TB question this answers: "how many distinct shingles (or keys,
-or n-grams) does the corpus have?" — the input to LSH parameter tuning
-(band/row planning needs the universe size) and to storage sizing.  An
-exact `count(distinct)` shuffles every distinct value once; HyperLogLog
-(Flajolet et al. 2007) reads each value ONCE, keeps m = 2^p registers
-(bytes, not rows), and merges by register-wise max — so the corpus-scale
-plan is a map-side partial-aggregate to <= m rows per partition followed
-by one m-row shuffle, constant memory at any input size.
+The 100 TB questions these answer in one bounded-memory pass: "how many
+distinct shingles (or keys, or n-grams) does the corpus have?" (HLL —
+the input LSH band/row planning and storage sizing need) and "how often
+does this token/key occur?" (Count-Min — point-frequency estimates with
+a one-sided >= guarantee, no per-key state).  The exact answers cost a
+full shuffle of every distinct value; each sketch reads the stream ONCE,
+keeps a few KB of state, and merges associatively (HLL: register-wise
+max; CMS: cell-wise sum) — so the corpus-scale plan is a map-side
+partial-aggregate to sketch-sized partials followed by one sketch-sized
+shuffle, constant memory at any input size.
+
+HyperLogLog (Flajolet et al. 2007) keeps m = 2^p registers; Count-Min
+(Cormode & Muthukrishnan 2005) keeps d x w counters.
 
 This implementation is DETERMINISTIC end-to-end (unlike Spark's built-in
 `approx_count_distinct`, whose estimate is engine-private): registers are
@@ -117,4 +122,91 @@ def hll_cardinality(
                 / F.col("exact_distinct")
             ).alias("rel_err"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+CMS_D = 4  # hash rows
+CMS_W = 1024  # counters per row
+
+
+def _sha_bucket(col: F.Column, salt: str, w: int) -> F.Column:
+    """Deterministic bucket in [0, w) from a salted sha256 of the value —
+    the same engine-portable uniform as curation.sample_uniform, so the
+    DuckDB oracle replays it with string sha256 arithmetic."""
+    h = F.sha2(F.concat(F.lit(salt), col.cast("string")), 256)
+    return (F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % w).cast("int")
+
+
+def cms_counters(
+    values: DataFrame,
+    value_col: str,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    salt: str = "cms-v1:",
+) -> DataFrame:
+    """(r, bucket, c): the Count-Min counter table of a value stream.
+
+    ONE scan: each row explodes to its d (row, bucket) cells and the
+    aggregate map-side combines down to <= d*w groups — so the shuffle
+    is O(d*w * partitions) regardless of input size and the whole
+    sketch is a few KB at any corpus scale.  Two counter tables built
+    with the same (d, w, salt) merge by cell-wise SUM (the distributed
+    property; point queries then take min over rows as usual).
+    """
+    col = F.col(value_col)
+    cells = F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            _sha_bucket(col, f"{salt}{r}:", w).alias("bucket"),
+        )
+        for r in range(d)
+    ])
+    return (
+        values.select(F.explode(cells).alias("rb"))
+        .select(F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket"))
+        .groupBy("r", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_estimate(
+    values: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    probe_col: str = None,
+    d: int = CMS_D,
+    w: int = CMS_W,
+    salt: str = "cms-v1:",
+) -> DataFrame:
+    """Point-frequency estimates for ``probes`` against the Count-Min
+    sketch of ``values``: (probe, cms_est) with the one-sided guarantee
+    cms_est >= true count (never under).
+
+    The counter table is tiny (<= d*w rows) so it BROADCASTS onto the
+    probe side — estimating any number of keys costs no shuffle of the
+    sketch.  A probe hashing to cells no value touched estimates 0.
+    """
+    probe_col = probe_col or value_col
+    counters = cms_counters(values, value_col, d, w, salt)
+    col = F.col(probe_col)
+    cells = F.array(*[
+        F.struct(
+            F.lit(r).alias("r"),
+            _sha_bucket(col, f"{salt}{r}:", w).alias("bucket"),
+        )
+        for r in range(d)
+    ])
+    probe_cells = probes.select(
+        col.alias(probe_col), F.explode(cells).alias("rb")
+    ).select(
+        probe_col, F.col("rb.r").alias("r"), F.col("rb.bucket").alias("bucket")
+    )
+    return (
+        probe_cells.join(F.broadcast(counters), ["r", "bucket"], "left")
+        .groupBy(probe_col)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )

@@ -7,6 +7,7 @@ import hashlib
 
 import numpy as np
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
@@ -431,3 +432,52 @@ def test_budget_select_degenerate_budgets(spark):
     assert allin.selected.all()
     none = budget_select(docs, 0, "b:").toPandas()
     assert not none.selected.any()
+
+
+# --------------------------------------------------------------------------
+# unigram_lm_score
+# --------------------------------------------------------------------------
+
+def test_unigram_lm_hand_computed(spark):
+    """Exact bits-per-token on a 5-token corpus, empty-doc zero row, and
+    the directional property (boilerplate < gibberish)."""
+    import math
+
+    from locality_sensitive_hashing_spark.operators.curation import (
+        unigram_lm_score,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame({
+            "doc_id": [1, 2, 3],
+            "text": ["a a b", "b c", ""],
+        })
+    )
+    got = unigram_lm_score(docs).toPandas().set_index("doc_id")
+    l2 = math.log2
+    # T=5; counts a=2 b=2 c=1
+    exp1 = (2 * (l2(5) - l2(2)) + (l2(5) - l2(2))) / 3
+    exp2 = ((l2(5) - l2(2)) + (l2(5) - l2(1))) / 2
+    assert got.loc[1, "n_tokens"] == 3
+    assert got.loc[1, "bits_per_token"] == pytest.approx(exp1, abs=1e-6)
+    assert got.loc[2, "bits_per_token"] == pytest.approx(exp2, abs=1e-6)
+    assert got.loc[3, "n_tokens"] == 0
+    assert got.loc[3, "bits_per_token"] == 0.0
+    # common-token doc scores LOWER than the rare-token doc
+    assert got.loc[1, "bits_per_token"] < got.loc[2, "bits_per_token"]
+
+
+def test_unigram_lm_partition_invariance(spark):
+    from locality_sensitive_hashing_spark.operators.curation import (
+        unigram_lm_score,
+    )
+
+    docs = _budget_docs(spark, 300)
+    a = unigram_lm_score(docs).toPandas().sort_values("doc_id")
+    b = (
+        unigram_lm_score(docs.repartition(11))
+        .toPandas().sort_values("doc_id")
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )

@@ -100,3 +100,93 @@ def test_hll_sentinel_zero_hash(spark):
     regs = {int(r["idx"]): int(r["M"]) for r in hll_registers(df, "h").collect()}
     wbits = 64 - HLL_P
     assert regs[0] == wbits + 1  # h=0: idx 0, w 0 -> max rank
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch
+# --------------------------------------------------------------------------
+
+import hashlib
+from collections import Counter
+
+from locality_sensitive_hashing_spark.operators.sketches import (
+    CMS_D,
+    CMS_W,
+    cms_counters,
+    cms_estimate,
+)
+
+
+def _cms_words():
+    return (
+        ["alpha"] * 50 + ["beta"] * 20 + ["gamma"] * 5
+        + [f"tail{i}" for i in range(300)]
+    )
+
+
+def _ref_cells(tok: str) -> list[tuple[int, int]]:
+    return [
+        (r, int(hashlib.sha256(f"cms-v1:{r}:{tok}".encode()).hexdigest()[:8], 16)
+         % CMS_W)
+        for r in range(CMS_D)
+    ]
+
+
+def test_cms_counters_hashlib_replay(spark):
+    """Every counter cell replays exactly from hashlib sha256."""
+    words = _cms_words()
+    df = spark.createDataFrame(pd.DataFrame({"w": words}))
+    got = {
+        (int(x.r), int(x.bucket)): int(x.c)
+        for x in cms_counters(df, "w").toPandas().itertuples()
+    }
+    ref: Counter = Counter()
+    for tok in words:
+        for cell in _ref_cells(tok):
+            ref[cell] += 1
+    assert got == dict(ref)
+
+
+def test_cms_one_sided_guarantee(spark):
+    """cms_est >= exact for EVERY distinct token (the sketch's defining
+    bound), with equality whenever the token's min-row cell is
+    collision-free."""
+    words = _cms_words()
+    df = spark.createDataFrame(pd.DataFrame({"w": words}))
+    probes = spark.createDataFrame(pd.DataFrame({"w": sorted(set(words))}))
+    est = cms_estimate(df, probes, "w").toPandas().set_index("w")
+    exact = Counter(words)
+    assert len(est) == len(exact)
+    for tok, c in exact.items():
+        assert int(est.loc[tok, "cms_est"]) >= c, tok
+    # the heavy hitter dominates its cells: estimate is exact unless all
+    # 4 of its cells collide, which the replay below rules in/out exactly
+    ref: Counter = Counter()
+    for t in words:
+        for cell in _ref_cells(t):
+            ref[cell] += 1
+    expect_alpha = min(ref[c] for c in _ref_cells("alpha"))
+    assert int(est.loc["alpha", "cms_est"]) == expect_alpha
+
+
+def test_cms_merge_equals_union(spark):
+    """Cell-wise SUM of two halves' counter tables == the union's
+    counters (the property that makes per-partition sketches combine)."""
+    words = _cms_words()
+    half1, half2 = words[: len(words) // 2], words[len(words) // 2:]
+    c1 = cms_counters(
+        spark.createDataFrame(pd.DataFrame({"w": half1})), "w"
+    ).toPandas()
+    c2 = cms_counters(
+        spark.createDataFrame(pd.DataFrame({"w": half2})), "w"
+    ).toPandas()
+    merged = (
+        pd.concat([c1, c2]).groupby(["r", "bucket"])["c"].sum().to_dict()
+    )
+    full = {
+        (int(x.r), int(x.bucket)): int(x.c)
+        for x in cms_counters(
+            spark.createDataFrame(pd.DataFrame({"w": words})), "w"
+        ).toPandas().itertuples()
+    }
+    assert {(int(r), int(b)): int(v) for (r, b), v in merged.items()} == full
