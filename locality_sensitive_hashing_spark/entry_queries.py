@@ -111,6 +111,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "audio_quality_screen": ["audio_clips"],
     "audio_temporal_stats": ["audio_clips"],
     "shingle_hll": ["minhash_shingles"],
+    "lang_shingle_similarity": ["lang_shingles"],
     "audio_energy_profile": ["audio_lsh_clips"],
     "audio_content_near_dups": ["audio_lsh_clips"],
     "audio_content_clusters": ["audio_lsh_clips"],
@@ -3266,6 +3267,47 @@ def q_unigram_lm_score(spark, sf_dir):
     return unigram_lm_score(docs)
 
 
+def q_lang_shingle_similarity(spark, sf_dir):
+    """Corpus-stratum similarity via bottom-k (KMV) signatures
+    (operators/sketches.py): pairwise Jaccard between the language
+    sub-corpora's shingle sets, estimated from k=256-row signatures
+    (the set-level cousin of per-doc MinHash — which strata share
+    content is the report an operator reads before cross-lingual
+    dedup), with the exact intersection/union carried alongside as
+    accuracy evidence.  Aux: the distinct (lang, shingle) table; the
+    oracle replays signatures (unsigned-order row_number), the KMV
+    estimator, and the exact overlap relationally."""
+    from locality_sensitive_hashing_spark.operators.minhash import shingles_udf
+    from locality_sensitive_hashing_spark.operators.sketches import (
+        BOTTOMK_K,
+        bottomk_jaccard,
+        bottomk_signature,
+        pairwise_set_overlap,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    sh = docs.select(
+        "lang",
+        F.explode(shingles_udf(CFG)(TX.normalize_text("text"))).alias("shingle"),
+    ).distinct()
+    _aux_write(sh, sf_dir, "lang_shingles")
+    sig = bottomk_signature(sh, "lang", "shingle", BOTTOMK_K)
+    est = bottomk_jaccard(sig, "lang", "shingle", BOTTOMK_K)
+    ex = pairwise_set_overlap(sh, "lang", "shingle")
+    return est.join(ex, ["g1", "g2"]).select(
+        F.col("g1").alias("lang1"),
+        F.col("g2").alias("lang2"),
+        "sketch_hits",
+        "sketch_denom",
+        "est_jaccard",
+        "n_inter",
+        "n_union",
+        (F.col("n_inter").cast("double") / F.col("n_union")).alias(
+            "exact_jaccard"
+        ),
+    )
+
+
 def q_bpe_token_counts(spark, sf_dir):
     """Token accounting both ways: whitespace tokens of normalized text
     (the cheap corpus statistic) next to a GPT-2-style BPE-ish regex
@@ -3534,6 +3576,46 @@ SELECT t.w AS token, t.exact_c, e.cms_est,
        e.cms_est - t.exact_c AS overestimate
 FROM topk t JOIN est e USING (w)
 """,
+    # lang_shingle_similarity: bottom-k signatures (unsigned-order
+    # row_number over the int64 carrier -- (shingle < 0) sorts the
+    # uint64 upper half after the lower), KMV estimator, exact overlap.
+    # All integers + two int/int double divisions, zero rounding.
+    "lang_shingle_similarity": f"""
+WITH sh AS (SELECT lang, shingle FROM {_aux_rp('lang_shingles')}),
+g AS (SELECT DISTINCT lang FROM sh),
+p AS (SELECT a.lang AS g1, b.lang AS g2 FROM g a JOIN g b ON a.lang < b.lang),
+f AS (SELECT p.g1, p.g2, s.shingle,
+      max(CASE WHEN s.lang = p.g1 THEN 1 ELSE 0 END) AS ina,
+      max(CASE WHEN s.lang = p.g2 THEN 1 ELSE 0 END) AS inb
+      FROM p JOIN sh s ON s.lang = p.g1 OR s.lang = p.g2
+      GROUP BY 1, 2, 3),
+sig AS (SELECT lang, shingle FROM (
+    SELECT lang, shingle,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY (shingle < 0), shingle) AS rn
+    FROM sh) WHERE rn <= {256}),
+fs AS (SELECT p.g1, p.g2, s.shingle,
+       max(CASE WHEN s.lang = p.g1 THEN 1 ELSE 0 END) AS ina,
+       max(CASE WHEN s.lang = p.g2 THEN 1 ELSE 0 END) AS inb
+       FROM p JOIN sig s ON s.lang = p.g1 OR s.lang = p.g2
+       GROUP BY 1, 2, 3),
+bk AS (SELECT *, row_number() OVER (PARTITION BY g1, g2
+                                    ORDER BY (shingle < 0), shingle) AS rn
+       FROM fs),
+est AS (SELECT g1, g2,
+        CAST(sum(CASE WHEN rn <= {256} THEN ina * inb ELSE 0 END) AS BIGINT)
+          AS sketch_hits,
+        least({256}, count(*)) AS sketch_denom
+        FROM bk GROUP BY 1, 2),
+ex AS (SELECT g1, g2, CAST(sum(ina * inb) AS BIGINT) AS n_inter,
+       count(*) AS n_union FROM f GROUP BY 1, 2)
+SELECT est.g1 AS lang1, est.g2 AS lang2, est.sketch_hits,
+       CAST(est.sketch_denom AS BIGINT) AS sketch_denom,
+       CAST(est.sketch_hits AS DOUBLE) / est.sketch_denom AS est_jaccard,
+       ex.n_inter, ex.n_union,
+       CAST(ex.n_inter AS DOUBLE) / ex.n_union AS exact_jaccard
+FROM est JOIN ex USING (g1, g2)
+""",
     # unigram_lm_score: tf / corpus-count / total replayed relationally;
     # bits_per_token rounded 6 dp on both sides (per-token log2 may
     # differ by libm ULPs across engines and the per-doc sum order is
@@ -3617,6 +3699,7 @@ QUERIES_SQL_CHECKED = {
     "shard_layout": q_shard_layout,
     "token_budget_mix": q_token_budget_mix,
     "token_cms_estimate": q_token_cms_estimate,
+    "lang_shingle_similarity": q_lang_shingle_similarity,
     "unigram_lm_score": q_unigram_lm_score,
     "bpe_token_counts": q_bpe_token_counts,
     "ngram_heavy_hitters": q_ngram_heavy_hitters,

@@ -210,3 +210,131 @@ def cms_estimate(
         .groupBy(probe_col)
         .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
     )
+
+
+# --------------------------------------------------------------------------
+# Bottom-k (KMV) set signatures + corpus-level Jaccard
+# --------------------------------------------------------------------------
+
+BOTTOMK_K = 256
+
+
+def _unsigned_order(value_col: str) -> list:
+    """Sort keys giving UNSIGNED uint64 order over the int64 carrier:
+    non-negative carriers (uint64 < 2^63) first, then negative ones —
+    within each half, signed ascending == unsigned ascending."""
+    c = F.col(value_col)
+    return [F.when(c < 0, F.lit(1)).otherwise(F.lit(0)).asc(), c.asc()]
+
+
+def bottomk_signature(
+    values: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """Per-group bottom-k signature: the k smallest DISTINCT uint64 hash
+    values of each group (Bar-Yossef et al. 2002 KMV).
+
+    MinHash keeps the single minimum under H different hash functions;
+    bottom-k keeps the k minima under ONE — a fixed-size set summary
+    whose pairwise union/intersection supports unbiased Jaccard and
+    distinct-count estimates between whole corpora or strata.  One
+    shuffle by group (the distinct + windowed top-k); the signature is
+    k rows per group regardless of group size, so every downstream
+    comparison is sketch-sized.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*_unsigned_order(value_col))
+    return (
+        values.select(group_col, value_col)
+        .distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= k)
+        .drop("rn")
+    )
+
+
+def _pair_flags(
+    values: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """(g1, g2, value, ina, inb) for every group pair g1 < g2: the
+    deduped union of the two groups' value sets with membership flags.
+    Two equi-joins against the tiny pair list (no OR-join, no cross
+    product of values)."""
+    groups = values.select(group_col).distinct()
+    pairs = (
+        groups.alias("ga")
+        .join(groups.alias("gb"),
+              F.col(f"ga.{group_col}") < F.col(f"gb.{group_col}"))
+        .select(
+            F.col(f"ga.{group_col}").alias("g1"),
+            F.col(f"gb.{group_col}").alias("g2"),
+        )
+    )
+    left = pairs.join(
+        values.withColumnRenamed(group_col, "g1"), "g1"
+    ).select("g1", "g2", value_col, F.lit(1).alias("ina"), F.lit(0).alias("inb"))
+    right = pairs.join(
+        values.withColumnRenamed(group_col, "g2"), "g2"
+    ).select("g1", "g2", value_col, F.lit(0).alias("ina"), F.lit(1).alias("inb"))
+    return (
+        left.unionByName(right)
+        .groupBy("g1", "g2", value_col)
+        .agg(F.max("ina").alias("ina"), F.max("inb").alias("inb"))
+    )
+
+
+def pairwise_set_overlap(
+    values: DataFrame, group_col: str, value_col: str
+) -> DataFrame:
+    """Exact all-pairs set overlap: (g1, g2, n_inter, n_union) over the
+    full distinct value sets — the full-shuffle ground truth the bottom-k
+    estimate replaces at scale (carried alongside it as accuracy
+    evidence at test scale)."""
+    f = _pair_flags(values, group_col, value_col)
+    return f.groupBy("g1", "g2").agg(
+        F.sum(F.col("ina") * F.col("inb")).alias("n_inter"),
+        F.count("*").alias("n_union"),
+    )
+
+
+def bottomk_jaccard(
+    sig: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = BOTTOMK_K,
+) -> DataFrame:
+    """All-pairs Jaccard estimates between group signatures:
+    (g1, g2, sketch_hits, sketch_denom, est_jaccard) for every g1 < g2.
+
+    KMV estimator: est = |{v in bottom-k(sigA u sigB) : v in A and in
+    B}| / min(k, |sigA u sigB|) — exact when the union fits inside k
+    (the sketch degenerates to the sets themselves), unbiased with
+    stderr ~ 1/sqrt(k) otherwise.  est is one int/int double division,
+    so the whole report is cross-engine exact.  Joins are
+    signature-sized: the group list is tiny and each signature is k
+    rows, so the pair table never touches the corpus.
+    """
+    u = _pair_flags(sig, group_col, value_col)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("g1", "g2").orderBy(*_unsigned_order(value_col))
+    bk = u.withColumn("rn", F.row_number().over(w))
+    return (
+        bk.groupBy("g1", "g2")
+        .agg(
+            F.sum(
+                F.when(F.col("rn") <= k, F.col("ina") * F.col("inb"))
+                .otherwise(F.lit(0))
+            ).alias("sketch_hits"),
+            F.least(F.lit(k), F.count("*")).alias("sketch_denom"),
+        )
+        .select(
+            "g1", "g2", "sketch_hits", "sketch_denom",
+            (
+                F.col("sketch_hits").cast("double") / F.col("sketch_denom")
+            ).alias("est_jaccard"),
+        )
+    )

@@ -190,3 +190,92 @@ def test_cms_merge_equals_union(spark):
         ).toPandas().itertuples()
     }
     assert {(int(r), int(b)): int(v) for (r, b), v in merged.items()} == full
+
+
+# --------------------------------------------------------------------------
+# Bottom-k (KMV) signatures + pairwise Jaccard
+# --------------------------------------------------------------------------
+
+import numpy as np
+
+from locality_sensitive_hashing_spark.operators.sketches import (
+    BOTTOMK_K,
+    bottomk_jaccard,
+    bottomk_signature,
+    pairwise_set_overlap,
+)
+
+
+def _grouped_hashes(spark, spec: dict[str, np.ndarray]):
+    frames = [
+        pd.DataFrame({"g": g, "h": v.astype(np.int64)}) for g, v in spec.items()
+    ]
+    return spark.createDataFrame(pd.concat(frames, ignore_index=True))
+
+
+def test_bottomk_signature_numpy_replay(spark):
+    """k smallest in UNSIGNED uint64 order, per group, including
+    negative int64 carriers (the upper uint64 half)."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(-2**63, 2**63 - 1, size=2000, dtype=np.int64)
+    b = rng.integers(-2**63, 2**63 - 1, size=50, dtype=np.int64)
+    df = _grouped_hashes(spark, {"a": a, "b": b})
+    got = bottomk_signature(df, "g", "h", k=64).toPandas()
+    for g, vals in (("a", a), ("b", b)):
+        u = np.unique(vals.astype(np.uint64))
+        want = set(u[:64].astype(np.int64).tolist())
+        have = set(got.loc[got.g == g, "h"].astype(np.int64).tolist())
+        assert have == want, g
+
+
+def test_bottomk_jaccard_exact_when_union_fits(spark):
+    """Union smaller than k -> the sketch IS the sets: est == exact J."""
+    a = np.arange(0, 100, dtype=np.int64)
+    b = np.arange(50, 180, dtype=np.int64)  # inter 50, union 180
+    df = _grouped_hashes(spark, {"a": a, "b": b})
+    sig = bottomk_signature(df, "g", "h", k=BOTTOMK_K)
+    row = bottomk_jaccard(sig, "g", "h", k=BOTTOMK_K).toPandas().iloc[0]
+    assert row["sketch_denom"] == 180
+    assert row["sketch_hits"] == 50
+    assert row["est_jaccard"] == 50 / 180
+    ex = pairwise_set_overlap(df, "g", "h").toPandas().iloc[0]
+    assert (ex["n_inter"], ex["n_union"]) == (50, 180)
+
+
+def test_bottomk_jaccard_accuracy(spark):
+    """Large random sets with engineered overlap: |est - J| within 5
+    sigma of the KMV stderr sqrt(J(1-J)/k)."""
+    rng = np.random.default_rng(9)
+    shared = rng.integers(-2**63, 2**63 - 1, size=6000, dtype=np.int64)
+    only_a = rng.integers(-2**63, 2**63 - 1, size=6000, dtype=np.int64)
+    only_b = rng.integers(-2**63, 2**63 - 1, size=6000, dtype=np.int64)
+    a = np.concatenate([shared, only_a])
+    b = np.concatenate([shared, only_b])
+    df = _grouped_hashes(spark, {"a": a, "b": b})
+    sig = bottomk_signature(df, "g", "h", k=BOTTOMK_K)
+    row = bottomk_jaccard(sig, "g", "h", k=BOTTOMK_K).toPandas().iloc[0]
+    ex = pairwise_set_overlap(df, "g", "h").toPandas().iloc[0]
+    true_j = ex["n_inter"] / ex["n_union"]
+    sigma = (true_j * (1 - true_j) / BOTTOMK_K) ** 0.5
+    assert abs(row["est_jaccard"] - true_j) < 5 * sigma
+    assert row["sketch_denom"] == BOTTOMK_K
+
+
+def test_bottomk_partition_invariance(spark):
+    rng = np.random.default_rng(11)
+    spec = {
+        g: rng.integers(-2**63, 2**63 - 1, size=900, dtype=np.int64)
+        for g in ("en", "es", "zh")
+    }
+    df = _grouped_hashes(spark, spec)
+    a = (
+        bottomk_jaccard(bottomk_signature(df, "g", "h"), "g", "h")
+        .toPandas().sort_values(["g1", "g2"]).reset_index(drop=True)
+    )
+    b = (
+        bottomk_jaccard(
+            bottomk_signature(df.repartition(13), "g", "h"), "g", "h"
+        )
+        .toPandas().sort_values(["g1", "g2"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
