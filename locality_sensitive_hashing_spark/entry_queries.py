@@ -505,6 +505,90 @@ def q_events_type_agg(spark, sf_dir):
     )
 
 
+def q_user_sessions(spark, sf_dir):
+    """Gap-based sessionization of the events table
+    (operators/sessions.py): per-user sessions cut at 30 min of
+    silence, one row per session with bounds/size/type-breadth/value
+    mass.  Single shuffle by user_id (lag -> boundary flag -> running
+    sum -> rollup all share the user clustering); timestamps carried as
+    epoch micros so both engines compare integers."""
+    from locality_sensitive_hashing_spark.operators.sessions import (
+        session_rollup,
+    )
+
+    return session_rollup(read_testdata(spark, sf_dir, "events"))
+
+
+def q_click_view_attribution(spark, sf_dir):
+    """As-of join without a join (operators/sessions.py): every click
+    event attributed to the user's most recent strictly-earlier view —
+    the point-in-time lookup pattern (MERGE ASOF) expressed as one
+    ignore-nulls window over the user-partitioned stream, so the cost
+    is the same single user-key shuffle as sessionization instead of a
+    range-join pair explosion.  Unattributed clicks carry -1."""
+    from locality_sensitive_hashing_spark.operators.sessions import (
+        as_of_attach,
+        epoch_us,
+    )
+
+    ev = read_testdata(spark, sf_dir, "events").withColumn(
+        "ts_us", epoch_us("ts")
+    )
+    out = as_of_attach(
+        ev,
+        anchor_filter=F.col("event_type") == "click",
+        ref_filter=F.col("event_type") == "view",
+        attach_cols=["event_id", "ts_us"],
+    )
+    return out.select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts_us").alias("click_us"),
+        F.coalesce("ref_event_id", F.lit(-1)).alias("view_id"),
+        F.coalesce(
+            F.col("ts_us") - F.col("ref_ts_us"), F.lit(-1)
+        ).alias("gap_us"),
+    )
+
+
+def q_hourly_event_rollup(spark, sf_dir):
+    """Tumbling-window rollup with JSON extraction: per (UTC hour,
+    event_type) — event count, distinct users, avg value, and the sum
+    of the integer ``$.k`` property pulled out of the JSON props
+    column.  Pure Column expressions (date_trunc + get_json_object);
+    group-by with map-side partial aggs; hour carried as epoch micros.
+    ``value`` has exactly 2 decimals in the data, so the average is
+    derived from an EXACT integer cents sum (one int/int double
+    division per group) — tiny hour groups otherwise land avg() on
+    half-ULP rounding boundaries that differ across engines."""
+    ev = read_testdata(spark, sf_dir, "events")
+    hour = F.unix_micros(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp")
+    ).alias("hour_us")
+    return (
+        ev.select(
+            hour,
+            "event_type",
+            "user_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+            F.get_json_object("props", "$.k").cast("long").alias("k"),
+        )
+        .groupBy("hour_us", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+            F.sum("k").alias("sum_k"),
+        )
+        .withColumn(
+            "avg_value",
+            F.col("sum_cents").cast("double")
+            / F.col("n_events")
+            / F.lit(100.0),
+        )
+    )
+
+
 def q_top_docs_per_lang(spark, sf_dir):
     """Window-function parity: top-3 longest docs per lang (O25-style
     deterministic rank capping)."""
@@ -975,6 +1059,57 @@ ORDER BY cosine DESC, d.id1, d.id2 LIMIT 20
 SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value,
        round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
 FROM events GROUP BY event_type
+""",
+    # user_sessions / click_view_attribution / hourly_event_rollup:
+    # window-function replicas over the same parquet; all-integer except
+    # the two rounded double aggregates (avg/sum of value).
+    "user_sessions": """
+WITH e AS (SELECT user_id, event_id, event_type, value, epoch_us(ts) AS us
+           FROM events),
+g AS (SELECT *, us - lag(us) OVER (PARTITION BY user_id
+                                   ORDER BY us, event_id) AS gap
+      FROM e),
+s AS (SELECT *, CAST(sum(CASE WHEN gap IS NULL OR gap > 1800000000
+                              THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY us, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+           AS session_id
+      FROM g)
+SELECT user_id, session_id, count(*) AS n_events,
+       min(us) AS start_us, max(us) AS end_us,
+       max(us) - min(us) AS duration_us,
+       count(DISTINCT event_type) AS n_types,
+       round(sum(value), 4) AS sum_value
+FROM s GROUP BY user_id, session_id
+""",
+    "click_view_attribution": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us
+           FROM events),
+a AS (SELECT *,
+      last_value(CASE WHEN event_type = 'view' THEN event_id END
+                 IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ref_id,
+      last_value(CASE WHEN event_type = 'view' THEN us END IGNORE NULLS)
+        OVER (PARTITION BY user_id ORDER BY us, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ref_us
+      FROM e)
+SELECT event_id AS click_id, user_id, us AS click_us,
+       coalesce(ref_id, -1) AS view_id,
+       coalesce(us - ref_us, -1) AS gap_us
+FROM a WHERE event_type = 'click'
+""",
+    "hourly_event_rollup": """
+WITH e AS (SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, event_type,
+           user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           FROM events)
+SELECT hour_us, event_type, count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(sum(k) AS BIGINT) AS sum_k,
+       CAST(sum(cents) AS DOUBLE) / count(*) / 100.0 AS avg_value
+FROM e GROUP BY 1, 2
 """,
     "top_docs_per_lang": """
 WITH r AS (SELECT lang, doc_id, n_chars,
@@ -3654,6 +3789,9 @@ QUERIES_SQL_CHECKED = {
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "events_type_agg": q_events_type_agg,
+    "user_sessions": q_user_sessions,
+    "click_view_attribution": q_click_view_attribution,
+    "hourly_event_rollup": q_hourly_event_rollup,
     "top_docs_per_lang": q_top_docs_per_lang,
     "sql_dedup_clusters": q_sql_dedup_clusters,
     "incremental_dedup_clusters": q_incremental_dedup_clusters,
