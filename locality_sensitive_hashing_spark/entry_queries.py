@@ -505,6 +505,179 @@ def q_events_type_agg(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# relational analytics tier over the TPC-H-shaped tables (public TPC-H spec
+# query patterns Q1/Q3/Q5 adapted to the synthetic schemas).  Monetary
+# columns are 2-decimal values stored as doubles, so every aggregate works
+# in EXACT integer units -- cents (e2), cents*discount-percent (e4),
+# *tax-percent (e6) -- and the only doubles are int/int divisions: zero
+# rounding contract, bit-exact on every engine.
+# ---------------------------------------------------------------------------
+
+def _e2(col: str) -> F.Column:
+    """2-dp money/fraction column -> exact integer hundredths."""
+    return F.round(F.col(col) * 100).cast("long")
+
+
+def q_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 pattern: the pricing-summary scan-heavy aggregate over
+    lineitem (filter -> groupBy flag/status).  One pass, map-side
+    partial aggs, filter pushed to the parquet scan; at 100 TB this is
+    the pure-scan-throughput query.  disc_price/charge are exact
+    integer e4/e6 units; averages are int/int divisions."""
+    li = read_testdata(spark, sf_dir, "lineitem")
+    f = li.where(
+        F.col("l_shipdate") < F.lit("2000-01-01").cast("timestamp_ntz")
+    ).select(
+        "l_returnflag",
+        "l_linestatus",
+        F.round("l_quantity").cast("long").alias("qty"),
+        _e2("l_extendedprice").alias("price_c"),
+        _e2("l_discount").alias("disc_c"),
+        _e2("l_tax").alias("tax_c"),
+    )
+    g = f.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum("qty").alias("sum_qty"),
+        F.sum("price_c").alias("sum_base_c"),
+        F.sum(F.col("price_c") * (F.lit(100) - F.col("disc_c"))).alias(
+            "sum_disc_e4"
+        ),
+        F.sum(
+            F.col("price_c")
+            * (F.lit(100) - F.col("disc_c"))
+            * (F.lit(100) + F.col("tax_c"))
+        ).alias("sum_charge_e6"),
+        F.sum("disc_c").alias("sum_disc_c"),
+        F.count("*").alias("n_rows"),
+    )
+    return g.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_c",
+        "sum_disc_e4",
+        "sum_charge_e6",
+        "n_rows",
+        (F.col("sum_qty").cast("double") / F.col("n_rows")).alias("avg_qty"),
+        (
+            F.col("sum_base_c").cast("double") / F.col("n_rows") / F.lit(100.0)
+        ).alias("avg_price"),
+        (
+            F.col("sum_disc_c").cast("double") / F.col("n_rows") / F.lit(100.0)
+        ).alias("avg_disc"),
+    )
+
+
+def q_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 pattern: top-10 highest-revenue orders not yet shipped
+    by the cutoff, for one market segment.  The segment-filtered
+    customer dim broadcasts (plan-pinned) so the orders/lineitem fact
+    join is the only shuffle; revenue in exact e4 units makes the
+    top-10 ranking tie-free across engines (bigint revenue, then
+    orderdate, then orderkey)."""
+    cutoff = F.lit("1998-07-01").cast("timestamp_ntz")
+    cust = (
+        read_testdata(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = (
+        read_testdata(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    )
+    li = (
+        read_testdata(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select(
+            "l_orderkey",
+            (_e2("l_extendedprice") * (F.lit(100) - _e2("l_discount"))).alias(
+                "rev_e4"
+            ),
+        )
+    )
+    j = li.join(
+        F.broadcast(orders.join(F.broadcast(cust),
+                                orders.o_custkey == cust.c_custkey)),
+        li.l_orderkey == orders.o_orderkey,
+    )
+    return (
+        j.groupBy(
+            "l_orderkey",
+            F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias(
+                "orderdate_us"
+            ),
+            "o_orderpriority",
+        )
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .orderBy(F.desc("revenue_e4"), "orderdate_us", "l_orderkey")
+        .limit(10)
+        .select(
+            F.col("l_orderkey").alias("orderkey"),
+            "orderdate_us",
+            "o_orderpriority",
+            "revenue_e4",
+            (F.col("revenue_e4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+def q_regional_nation_revenue(spark, sf_dir):
+    """TPC-H Q5 pattern: revenue by nation for one region and one
+    order-date year, where supplier and customer share the nation (the
+    local-supplier condition).  The tiny dims broadcast explicitly
+    (region 5 / nation 25 / supplier rows); customer gets NO hint -- it
+    scales with the fact tables, so the planner/AQE picks broadcast at
+    test scale and hash-join at 100 TB.  Revenue in exact e4 units."""
+    region = read_testdata(spark, sf_dir, "region").where(
+        F.col("r_name") == "ASIA"
+    )
+    nation = read_testdata(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select("n_nationkey", "n_name")
+    supp = read_testdata(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust = read_testdata(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    orders = read_testdata(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz"))
+    ).select("o_orderkey", "o_custkey")
+    li = read_testdata(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        (_e2("l_extendedprice") * (F.lit(100) - _e2("l_discount"))).alias(
+            "rev_e4"
+        ),
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(F.sum("rev_e4").alias("revenue_e4"))
+        .select(
+            "n_name",
+            "revenue_e4",
+            (F.col("revenue_e4").cast("double") / F.lit(10000.0)).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
 def q_user_sessions(spark, sf_dir):
     """Gap-based sessionization of the events table
     (operators/sessions.py): per-user sessions cut at 30 min of
@@ -1059,6 +1232,70 @@ ORDER BY cosine DESC, d.id1, d.id2 LIMIT 20
 SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value,
        round(min(value), 6) AS min_value, round(max(value), 6) AS max_value
 FROM events GROUP BY event_type
+""",
+    # pricing_summary / shipping_priority / regional_nation_revenue:
+    # TPC-H Q1/Q3/Q5 patterns in exact integer money units (cents e2,
+    # disc-price e4, charge e6); the only doubles are int/int divisions.
+    "pricing_summary": """
+WITH f AS (SELECT l_returnflag, l_linestatus,
+           CAST(round(l_quantity) AS BIGINT) AS qty,
+           CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+           CAST(round(l_discount * 100) AS BIGINT) AS disc_c,
+           CAST(round(l_tax * 100) AS BIGINT) AS tax_c
+           FROM lineitem WHERE l_shipdate < TIMESTAMP '2000-01-01'),
+g AS (SELECT l_returnflag, l_linestatus,
+      CAST(sum(qty) AS BIGINT) AS sum_qty,
+      CAST(sum(price_c) AS BIGINT) AS sum_base_c,
+      CAST(sum(price_c * (100 - disc_c)) AS BIGINT) AS sum_disc_e4,
+      CAST(sum(price_c * (100 - disc_c) * (100 + tax_c)) AS BIGINT)
+        AS sum_charge_e6,
+      CAST(sum(disc_c) AS BIGINT) AS sum_disc_c,
+      count(*) AS n_rows
+      FROM f GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, sum_qty, sum_base_c, sum_disc_e4,
+       sum_charge_e6, n_rows,
+       CAST(sum_qty AS DOUBLE) / n_rows AS avg_qty,
+       CAST(sum_base_c AS DOUBLE) / n_rows / 100.0 AS avg_price,
+       CAST(sum_disc_c AS DOUBLE) / n_rows / 100.0 AS avg_disc
+FROM g
+""",
+    "shipping_priority": """
+WITH rev AS (SELECT l.l_orderkey,
+             CAST(round(l.l_extendedprice * 100) AS BIGINT)
+               * (100 - CAST(round(l.l_discount * 100) AS BIGINT)) AS rev_e4
+             FROM lineitem l WHERE l.l_shipdate > TIMESTAMP '1998-07-01'),
+g AS (SELECT o.o_orderkey AS orderkey,
+      epoch_us(o.o_orderdate) AS orderdate_us, o.o_orderpriority,
+      CAST(sum(r.rev_e4) AS BIGINT) AS revenue_e4
+      FROM rev r
+      JOIN orders o ON o.o_orderkey = r.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment = 'BUILDING'
+        AND o.o_orderdate < TIMESTAMP '1998-07-01'
+      GROUP BY 1, 2, 3)
+SELECT orderkey, orderdate_us, o_orderpriority, revenue_e4,
+       CAST(revenue_e4 AS DOUBLE) / 10000.0 AS revenue
+FROM g ORDER BY revenue_e4 DESC, orderdate_us, orderkey LIMIT 10
+""",
+    "regional_nation_revenue": """
+SELECT n.n_name,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS BIGINT) AS revenue_e4,
+       CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+            AS DOUBLE) / 10000.0 AS revenue
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                AND s.s_nationkey = c.c_nationkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1997-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY n.n_name
 """,
     # user_sessions / click_view_attribution / hourly_event_rollup:
     # window-function replicas over the same parquet; all-integer except
@@ -3789,6 +4026,9 @@ QUERIES_SQL_CHECKED = {
     "doc_fingerprints": q_doc_fingerprints,
     "embedding_cosine_topk": q_embedding_cosine_topk,
     "events_type_agg": q_events_type_agg,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "regional_nation_revenue": q_regional_nation_revenue,
     "user_sessions": q_user_sessions,
     "click_view_attribution": q_click_view_attribution,
     "hourly_event_rollup": q_hourly_event_rollup,
