@@ -3765,13 +3765,89 @@ def q_repetition_report(spark, sf_dir):
     )
 
 
+def q_doclen_quantiles(spark, sf_dir):
+    """Length-distribution report: exact type-1 quantiles of
+    documents.n_chars next to the same quantiles estimated from a
+    deterministic 256-row hash sample (operators/sketches.py) -- the
+    distribution snapshot a curation operator reads before setting
+    length cutoffs, with the sample error visible per-percentile.
+
+    The exact path touches the corpus with ONE map-side-combined
+    groupBy (the window then runs over the bounded distinct-length
+    domain, not rows); the sample path is a global bottom-k
+    (TakeOrderedAndProject, no corpus shuffle) keyed by salted sha256
+    of doc_id -- content-addressed, so DuckDB reproduces the identical
+    256 rows and the whole result is hash-checkable with zero rounding
+    contract (all integers except the p literals)."""
+    from locality_sensitive_hashing_spark.operators.sketches import (
+        hash_sample,
+        rank_quantiles,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    ex = rank_quantiles(docs, "n_chars")
+    sq = rank_quantiles(hash_sample(docs, "doc_id"), "n_chars")
+    return (
+        ex.join(
+            sq.select(
+                "p",
+                F.col("n_rows").alias("k_sample"),
+                F.col("q").alias("q_sample"),
+            ),
+            "p",
+        ).select(
+            "p",
+            "n_rows",
+            F.col("q").alias("q_exact"),
+            "k_sample",
+            "q_sample",
+            F.abs(F.col("q_sample") - F.col("q")).alias("abs_err"),
+        )
+    )
+
+
 _SAMPLE_RATE_SQL = "CASE " + " ".join(
     f"WHEN lang = '{k}' THEN {v}" for k, v in sorted(SAMPLE_RATES.items())
 ) + f" ELSE {SAMPLE_DEFAULT} END"
 
 _BPE_REGEX_SQL = TX.BPE_REGEX.replace("'", "''")
 
+from locality_sensitive_hashing_spark.operators.sketches import (  # noqa: E402
+    QUANTILE_PS as _Q_PS,
+    QUANTILE_SALT as _Q_SALT,
+    QUANTILE_SAMPLE_K as _Q_K,
+)
+
+_Q_PS_SQL = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _Q_PS)
+
 ORACLE_SQL.update({
+    # doclen_quantiles: type-1 quantiles replayed relationally (cumsum
+    # over distinct lengths, min value with cum >= p*N) for both the
+    # full corpus and the content-addressed bottom-256 sample (same
+    # salted-sha256 -> first-8-hex-digits uint32 as sample_uniform,
+    # same ORDER BY hash, id LIMIT k).  All integers; p*N is the same
+    # double multiply on both engines.
+    "doclen_quantiles": f"""
+WITH ps AS (SELECT p FROM (VALUES {_Q_PS_SQL}) t(p)),
+cnt AS (SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+cum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM cnt),
+tot AS (SELECT count(*) AS n FROM documents),
+ex AS (SELECT p, n, min(v) AS q_exact
+       FROM ps CROSS JOIN tot JOIN cum ON cum >= p * n GROUP BY 1, 2),
+samp AS (SELECT n_chars FROM (
+    SELECT n_chars, doc_id,
+           CAST(('0x' || substr(sha256('{_Q_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8))
+                AS BIGINT) AS uh
+    FROM documents ORDER BY uh, doc_id LIMIT {_Q_K})),
+scnt AS (SELECT n_chars AS v, count(*) AS c FROM samp GROUP BY 1),
+scum AS (SELECT v, CAST(sum(c) OVER (ORDER BY v) AS BIGINT) AS cum FROM scnt),
+stot AS (SELECT count(*) AS k FROM samp),
+sq AS (SELECT p, k, min(v) AS q_sample
+       FROM ps CROSS JOIN stot JOIN scum ON cum >= p * k GROUP BY 1, 2)
+SELECT ex.p, ex.n AS n_rows, ex.q_exact, sq.k AS k_sample, sq.q_sample,
+       abs(sq.q_sample - ex.q_exact) AS abs_err
+FROM ex JOIN sq ON ex.p = sq.p
+""",
     "bpe_token_counts": f"""
 WITH n AS (SELECT doc_id, text, {NORM_SQL} AS norm FROM documents)
 SELECT doc_id,
@@ -4083,6 +4159,7 @@ QUERIES_SQL_CHECKED = {
     "ngram_heavy_hitters": q_ngram_heavy_hitters,
     "boilerplate_coverage": q_boilerplate_coverage,
     "repetition_report": q_repetition_report,
+    "doclen_quantiles": q_doclen_quantiles,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

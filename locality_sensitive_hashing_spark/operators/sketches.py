@@ -338,3 +338,84 @@ def bottomk_jaccard(
             ).alias("est_jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash-sample quantiles
+# --------------------------------------------------------------------------
+
+QUANTILE_SAMPLE_K = 256
+QUANTILE_SALT = "qsample-r4"
+QUANTILE_PS = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def hash_sample(
+    df: DataFrame,
+    id_col: str,
+    k: int = QUANTILE_SAMPLE_K,
+    salt: str = QUANTILE_SALT,
+) -> DataFrame:
+    """Deterministic uniform k-sample: the k rows whose salted-sha256
+    id hash is smallest (ties broken by id).
+
+    Content-addressed bottom-k sampling: reproducible across runs,
+    partitionings, and engines (same property as ``sample_uniform``'s
+    Bernoulli, but with an EXACT sample size).  Spark plans the global
+    bottom-k as TakeOrderedAndProject — per-partition partial top-k then
+    a k-row merge, no corpus shuffle and no single-partition sort.
+    """
+    from locality_sensitive_hashing_spark.operators.curation import (
+        sample_uniform,
+    )
+
+    u = sample_uniform(id_col, salt)
+    return df.withColumn("_uh", u).orderBy("_uh", id_col).limit(k)
+
+
+def rank_quantiles(
+    df: DataFrame,
+    value_col: str,
+    ps=QUANTILE_PS,
+    out_col: str = "q",
+) -> DataFrame:
+    """Type-1 (inverse-CDF) quantiles of an integer column, computed
+    relationally: per-distinct-value counts -> cumulative rank over the
+    DISTINCT-value table -> smallest value whose cumulative count
+    reaches p*N.
+
+    The window runs over distinct values, not rows — bounded by the
+    value domain (document lengths, not documents), so there is no
+    corpus-sized single-partition sort; the corpus itself is touched by
+    exactly one map-side-combined groupBy.  Integer values + integer
+    cumulative counts: the only cross-engine arithmetic is the
+    ``cum >= p * N`` comparison of an integer against a literal*integer
+    double — identical everywhere.
+    """
+    from pyspark.sql import Window
+
+    cnt = df.groupBy(F.col(value_col).alias("_v")).agg(
+        F.count("*").alias("_c")
+    )
+    # both windows share the one ordering, so Spark plans ONE sort over
+    # the distinct-value table and the corpus is scanned exactly once
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = cnt.select(
+        "_v",
+        F.sum("_c").over(w).alias("_cum"),
+        F.sum("_c").over(wall).alias("_n"),
+    )
+    pdf = df.sparkSession.range(1).select(
+        F.explode(F.array(*[F.lit(float(p)) for p in ps])).alias("p")
+    )
+    return (
+        pdf.join(
+            F.broadcast(cum),
+            F.col("_cum") >= F.col("p") * F.col("_n"),
+        )
+        .groupBy("p", "_n")
+        .agg(F.min("_v").alias(out_col))
+        .select("p", F.col("_n").alias("n_rows"), out_col)
+    )

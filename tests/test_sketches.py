@@ -279,3 +279,81 @@ def test_bottomk_partition_invariance(spark):
         .toPandas().sort_values(["g1", "g2"]).reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+# --------------------------------------------------------------------------
+# Hash-sample quantiles
+# --------------------------------------------------------------------------
+
+from locality_sensitive_hashing_spark.operators.sketches import (  # noqa: E402
+    QUANTILE_PS,
+    hash_sample,
+    rank_quantiles,
+)
+
+
+def _numpy_type1_quantile(vals: np.ndarray, p: float) -> int:
+    """min{v : #(x <= v) >= p * N} — the same double multiply the
+    operator and the DuckDB oracle perform."""
+    xs = np.sort(vals)
+    n = len(xs)
+    import math
+
+    # smallest integer cum with cum >= p*n is ceil of the float product
+    idx = max(int(math.ceil(p * n)), 1)
+    return int(xs[idx - 1])
+
+
+def test_rank_quantiles_numpy_replay(spark):
+    rng = np.random.default_rng(21)
+    vals = rng.integers(0, 500, size=3000, dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"n_chars": vals}))
+    got = rank_quantiles(df, "n_chars").toPandas()
+    assert len(got) == len(QUANTILE_PS)
+    assert (got["n_rows"] == 3000).all()
+    for r in got.itertuples():
+        assert r.q == _numpy_type1_quantile(vals, r.p), r.p
+
+
+def test_rank_quantiles_partition_invariance(spark):
+    rng = np.random.default_rng(22)
+    vals = rng.integers(0, 100, size=2000, dtype=np.int64)
+    df = spark.createDataFrame(pd.DataFrame({"n_chars": vals}))
+    a = rank_quantiles(df, "n_chars").toPandas().sort_values("p")
+    b = (
+        rank_quantiles(df.repartition(17), "n_chars")
+        .toPandas().sort_values("p")
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True), b.reset_index(drop=True)
+    )
+
+
+def test_hash_sample_exact_k_and_deterministic(spark):
+    ids = pd.DataFrame({"doc_id": np.arange(5000, dtype=np.int64),
+                        "n_chars": np.arange(5000, dtype=np.int64) % 311})
+    df = spark.createDataFrame(ids)
+    s1 = set(hash_sample(df, "doc_id", k=128).toPandas()["doc_id"])
+    s2 = set(hash_sample(df.repartition(23), "doc_id", k=128)
+             .toPandas()["doc_id"])
+    assert len(s1) == 128
+    assert s1 == s2  # content-addressed: partitioning-invariant sample
+
+
+def test_hash_sample_quantiles_near_exact(spark):
+    """A 256-row uniform sample pins quantiles of a smooth distribution
+    to within the DKW-style tolerance (loose 5-sigma band on the
+    percentile rank)."""
+    rng = np.random.default_rng(23)
+    vals = rng.integers(0, 10_000, size=20_000, dtype=np.int64)
+    ids = pd.DataFrame({"doc_id": np.arange(len(vals), dtype=np.int64),
+                        "n_chars": vals})
+    df = spark.createDataFrame(ids)
+    samp = rank_quantiles(hash_sample(df, "doc_id"), "n_chars").toPandas()
+    xs = np.sort(vals)
+    k = 256
+    for r in samp.itertuples():
+        # rank of the sample quantile within the true distribution
+        rank_p = np.searchsorted(xs, r.q, side="right") / len(xs)
+        sigma = (r.p * (1 - r.p) / k) ** 0.5
+        assert abs(rank_p - r.p) < 5 * sigma + 1e-6, (r.p, rank_p)
