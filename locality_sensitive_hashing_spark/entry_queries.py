@@ -110,6 +110,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "audio_features": ["audio_clips"],
     "audio_quality_screen": ["audio_clips"],
     "audio_temporal_stats": ["audio_clips"],
+    "audio_spectral_profile": ["audio_clips"],
     "shingle_hll": ["minhash_shingles"],
     "lang_shingle_similarity": ["lang_shingles"],
     "audio_energy_profile": ["audio_lsh_clips"],
@@ -1872,6 +1873,54 @@ SELECT h.clip_id,
        ELSE 0.0 END AS dc_offset
 FROM hdr h LEFT JOIN feat f USING (clip_id)
 """,
+    # audio_spectral_profile: same byte-arithmetic WAV re-decode kept in
+    # INTEGER s16 samples, windowed to the first 256, correlated against
+    # the SAME fixed-point weight integers the kernel matmuls
+    # (multimodal.spectral_weights, embedded below as a VALUES literal by
+    # _SPECTRAL_W_VALUES) -- no libm trig in the checked path, every
+    # column exact int64.  Zero-padding needs no replay: absent sample
+    # rows contribute exactly the zeros padding would.
+    "audio_spectral_profile": """
+WITH w(band, i, wc, ws) AS (VALUES __SPECTRAL_W_VALUES__),
+raw AS (
+  SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+  FROM __AUX_AUDIO_CLIPS__
+), hdr AS (
+  SELECT clip_id, hx,
+    (nb >= 44
+     AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
+  FROM raw
+), idx AS (
+  SELECT clip_id, hx,
+    unnest(generate_series(0, least((data_len // 2)::int, __SPECTRAL_N__) - 1)) AS i
+  FROM hdr WHERE canon AND data_len >= 2
+), x AS (
+  SELECT clip_id, i,
+    (('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+     - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+            >= 32768 THEN 65536 ELSE 0 END) AS v
+  FROM idx
+), s AS (
+  SELECT x.clip_id, w.band,
+    CAST(sum(x.v * w.wc) AS BIGINT) AS cos_sum,
+    CAST(sum(x.v * w.ws) AS BIGINT) AS sin_sum
+  FROM x JOIN w USING (i) GROUP BY 1, 2
+), m AS (
+  SELECT clip_id, CAST(band AS INT) AS band, cos_sum, sin_sum,
+    abs(cos_sum) + abs(sin_sum) AS mag,
+    row_number() OVER (PARTITION BY clip_id
+                       ORDER BY abs(cos_sum) + abs(sin_sum) DESC, band) AS rn
+  FROM s
+)
+SELECT clip_id, band, cos_sum, sin_sum, mag, rn = 1 AS is_dominant FROM m
+""",
     # shingle_hll: the whole sketch replayed -- unsigned view, top-p-bit
     # register index, leading-zero rank via format('{{:b}}') bit length,
     # register max, integer 2^(S-M) terms from the shared pow2 VALUES
@@ -2754,6 +2803,33 @@ def q_audio_temporal_stats(spark, sf_dir):
     clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
     _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_clips")
     return audio_temporal_stats(clips)
+
+
+def q_audio_spectral_profile(spark, sf_dir):
+    """Frequency-domain screen (the fourth audio report, completing
+    time-domain features/quality/temporal): per-clip exact-integer DFT-
+    bin correlations at 4 fixed bins over the first 256 s16 samples,
+    with L1 magnitude and the dominant band — the tone-vs-noise /
+    bandwidth signal an audio curation pass reads next to ZCR.
+
+    The fixed-point weight tables (multimodal.spectral_weights) are the
+    single source of truth: the kernel matmuls them, and this oracle
+    embeds the SAME integers as a VALUES literal — no libm cos/sin in
+    the checked path, every column exact int64, zero rounding contract.
+    Shares the ``audio_clips`` aux blobs; the oracle re-decodes the WAV
+    bytes in DuckDB byte arithmetic and replays the correlations, the
+    magnitude, and the (mag DESC, band ASC) dominance rank."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        audio_spectral_sums,
+    )
+
+    clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
+    _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_clips")
+    sums = audio_spectral_sums(clips)
+    mag = sums.withColumn("mag", F.abs("cos_sum") + F.abs("sin_sum"))
+    w = Window.partitionBy("clip_id").orderBy(F.desc("mag"), F.asc("band"))
+    return mag.withColumn("is_dominant", F.row_number().over(w) == F.lit(1))
 
 
 def q_shingle_hll(spark, sf_dir):
@@ -4085,6 +4161,31 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 })
 
 
+# audio_spectral_profile oracle: inject the kernel's own weight integers
+# and window length (single source of truth -- multimodal.spectral_weights)
+from locality_sensitive_hashing_spark.operators.multimodal import (  # noqa: E402
+    SPECTRAL_WINDOW as _SPEC_N,
+    spectral_weights as _spec_w,
+)
+
+_WC, _WS = _spec_w()
+from locality_sensitive_hashing_spark.operators.multimodal import (  # noqa: E402
+    SPECTRAL_BINS as _SPEC_BINS,
+)
+
+_SPEC_VALUES = ", ".join(
+    f"({k},{i},{int(_WC[j, i])},{int(_WS[j, i])})"
+    for j, k in enumerate(_SPEC_BINS)
+    for i in range(_SPEC_N)
+)
+ORACLE_SQL["audio_spectral_profile"] = (
+    ORACLE_SQL["audio_spectral_profile"]
+    .replace("__SPECTRAL_W_VALUES__", _SPEC_VALUES)
+    .replace("__AUX_AUDIO_CLIPS__", _aux_rp("audio_clips"))
+    .replace("__SPECTRAL_N__", str(_SPEC_N))
+)
+
+
 QUERIES_SQL_CHECKED = {
     "normalize_transcripts": q_normalize,
     "shingle_explode": q_shingle_explode,
@@ -4138,6 +4239,7 @@ QUERIES_SQL_CHECKED = {
     "audio_features": q_audio_features,
     "audio_quality_screen": q_audio_quality_screen,
     "audio_temporal_stats": q_audio_temporal_stats,
+    "audio_spectral_profile": q_audio_spectral_profile,
     "shingle_hll": q_shingle_hll,
     "audio_energy_profile": q_audio_energy_profile,
     "audio_content_near_dups": q_audio_content_near_dups,

@@ -287,3 +287,97 @@ def frame_sample(
         videos[bytes_col].alias(bytes_col),
         videos[duration_col].alias(duration_col),
     ).mapInPandas(extract, FRAME_SAMPLE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frequency-domain spectral profile (exact-integer DFT bins)
+# ---------------------------------------------------------------------------
+
+SPECTRAL_WINDOW = 256          # analysis window: first N samples, zero-padded
+SPECTRAL_BINS = (8, 16, 32, 64)  # DFT bins (cycles per window)
+SPECTRAL_SCALE = 32767         # fixed-point weight scale
+
+AUDIO_SPECTRAL_SCHEMA = "clip_id string, band int, cos_sum long, sin_sum long"
+
+
+def spectral_weights(
+    bins=SPECTRAL_BINS,
+    n: int = SPECTRAL_WINDOW,
+    scale: int = SPECTRAL_SCALE,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Fixed-point DFT-bin weight tables: ``wc[k][i] =
+    round(scale*cos(2*pi*bin_k*i/n))`` and the sin twin, as int64
+    (bins, n) matrices.
+
+    The SINGLE SOURCE OF TRUTH for both engines: the Spark kernel
+    matmuls against these integers and the DuckDB oracle embeds the
+    same integers as a VALUES literal (entry_queries), so no libm
+    cos/sin ever runs inside the checked path and every downstream
+    value is exact int64 — the frequency-domain analogue of
+    :func:`audio_temporal_stats`' zero-rounding contract.
+    """
+    import math
+
+    wc = np.array(
+        [[round(scale * math.cos(2.0 * math.pi * k * i / n)) for i in range(n)]
+         for k in bins],
+        dtype=np.int64,
+    )
+    ws = np.array(
+        [[round(scale * math.sin(2.0 * math.pi * k * i / n)) for i in range(n)]
+         for k in bins],
+        dtype=np.int64,
+    )
+    return wc, ws
+
+
+def audio_spectral_sums(
+    clips: DataFrame,
+    bins=SPECTRAL_BINS,
+    n_window: int = SPECTRAL_WINDOW,
+) -> DataFrame:
+    """Per-clip, per-bin exact-integer spectral correlations: 4 rows per
+    decodable clip with ``cos_sum = sum_i s[i]*wc[bin][i]`` (and the sin
+    twin) over the first ``n_window`` s16 samples, zero-padded.
+
+    ONE int64 matmul per Arrow batch — (B, n) samples x (n, 2K) weights
+    — the same batch shape as the ANN scorers; bounds: |s| <= 32768,
+    |w| <= 32767, n = 256 gives |sum| <= 2.8e14, far inside int64.
+    Undecodable payloads emit no rows (the quality screen owns the
+    decode_ok report).  Scan pruned to (clip_id, bytes).
+    """
+    wc, ws = spectral_weights(bins, n_window)
+    k = len(bins)
+    band_arr = np.array(bins, dtype=np.int32)
+
+    def sums(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[str] = []
+            mats: list[np.ndarray] = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    s, _sr = A.decode_wav_s16(bytes(raw or b""))
+                    if s.size == 0:
+                        raise ValueError("empty")
+                except Exception:
+                    continue
+                win = np.zeros(n_window, dtype=np.int64)
+                m = min(s.size, n_window)
+                win[:m] = s[:m]
+                ids.append(cid)
+                mats.append(win)
+            if not ids:
+                continue
+            S = np.stack(mats)              # (B, n) int64
+            cs = S @ wc.T                   # (B, K) exact
+            sn = S @ ws.T
+            yield pd.DataFrame({
+                "clip_id": np.repeat(np.array(ids, dtype=object), k),
+                "band": np.tile(band_arr, len(ids)),
+                "cos_sum": cs.ravel(),
+                "sin_sum": sn.ravel(),
+            })
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        sums, AUDIO_SPECTRAL_SCHEMA
+    )

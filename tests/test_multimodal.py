@@ -171,3 +171,75 @@ def test_audio_temporal_stats_single_sample(spark):
     assert got["decode_ok"] and got["n_samples"] == 1
     assert got["zero_crossings"] == 0 and got["zcr"] == 0.0
     assert got["dc_offset"] == got["dc_sum"]
+
+
+# ---------------------------------------------------------------------------
+# Spectral profile (exact-integer DFT bins)
+# ---------------------------------------------------------------------------
+
+from locality_sensitive_hashing_spark.operators.multimodal import (  # noqa: E402
+    SPECTRAL_BINS,
+    SPECTRAL_WINDOW,
+    audio_spectral_sums,
+    spectral_weights,
+)
+
+
+def _spectral_clips_df(spark, blobs: dict[str, bytes]):
+    pdf = pd.DataFrame(
+        {"clip_id": list(blobs), "bytes": list(blobs.values())}
+    )
+    return spark.createDataFrame(pdf)
+
+
+def test_spectral_sums_numpy_replay(spark):
+    """Kernel matmul == direct per-sample integer loop, incl. a clip
+    shorter than the window (zero-padding) and one longer (truncation)."""
+    rng = np.random.default_rng(31)
+    pcm_long = rng.uniform(-0.8, 0.8, size=2000)
+    pcm_short = rng.uniform(-0.8, 0.8, size=100)
+    blobs = {
+        "long": A.encode_wav(pcm_long, 8000, "pcm_s16le"),
+        "short": A.encode_wav(pcm_short, 8000, "pcm_s16le"),
+    }
+    got = audio_spectral_sums(_spectral_clips_df(spark, blobs)).toPandas()
+    assert len(got) == 2 * len(SPECTRAL_BINS)
+    wc, ws = spectral_weights()
+    for cid, raw in blobs.items():
+        s, _ = A.decode_wav_s16(raw)
+        win = np.zeros(SPECTRAL_WINDOW, dtype=np.int64)
+        m = min(s.size, SPECTRAL_WINDOW)
+        win[:m] = s[:m]
+        for j, k in enumerate(SPECTRAL_BINS):
+            want_c = int(sum(int(win[i]) * int(wc[j, i])
+                             for i in range(SPECTRAL_WINDOW)))
+            want_s = int(sum(int(win[i]) * int(ws[j, i])
+                             for i in range(SPECTRAL_WINDOW)))
+            row = got[(got.clip_id == cid) & (got.band == k)].iloc[0]
+            assert (int(row.cos_sum), int(row.sin_sum)) == (want_c, want_s)
+
+
+def test_spectral_pure_tone_dominates_its_bin(spark):
+    """A sine at exactly bin k cycles/window concentrates magnitude in
+    band k for every k in the table."""
+    sr = 8000
+    n = np.arange(sr // 4)
+    blobs = {
+        f"tone{k}": A.encode_wav(
+            0.5 * np.sin(2 * np.pi * k * n / SPECTRAL_WINDOW), sr, "pcm_s16le"
+        )
+        for k in SPECTRAL_BINS
+    }
+    got = audio_spectral_sums(_spectral_clips_df(spark, blobs)).toPandas()
+    got["mag"] = got.cos_sum.abs() + got.sin_sum.abs()
+    for k in SPECTRAL_BINS:
+        sub = got[got.clip_id == f"tone{k}"].sort_values("mag")
+        assert int(sub.iloc[-1].band) == k, f"bin {k} not dominant"
+        # dominance is decisive: >= 10x the runner-up
+        assert sub.iloc[-1].mag >= 10 * max(sub.iloc[-2].mag, 1)
+
+
+def test_spectral_garbage_emits_no_rows(spark):
+    blobs = {"junk": b"not a wav at all", "empty": b""}
+    got = audio_spectral_sums(_spectral_clips_df(spark, blobs)).toPandas()
+    assert len(got) == 0
