@@ -3841,6 +3841,26 @@ def q_repetition_report(spark, sf_dir):
     )
 
 
+DOC_TOP_N = 3
+
+
+def q_doc_top_terms(spark, sf_dir):
+    """Per-document distinctive-term extraction
+    (operators/curation.py::doc_top_terms): top-3 terms by
+    (tf DESC, df ASC, term ASC) — integer-exact TF-IDF keyword
+    extraction (df-ascending at equal tf picks the same winners the
+    idf log would, with zero floats anywhere), the per-doc topic
+    signal a curation pass stores next to lang/quality.  The oracle
+    is a direct relational replica; tokens are the house [a-z0-9]+
+    normalization so term ordering is binary-collation-safe."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        doc_top_terms,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return doc_top_terms(docs, DOC_TOP_N)
+
+
 def q_doclen_quantiles(spark, sf_dir):
     """Length-distribution report: exact type-1 quantiles of
     documents.n_chars next to the same quantiles estimated from a
@@ -3897,6 +3917,22 @@ from locality_sensitive_hashing_spark.operators.sketches import (  # noqa: E402
 _Q_PS_SQL = ", ".join(f"(CAST({p!r} AS DOUBLE))" for p in _Q_PS)
 
 ORACLE_SQL.update({
+    # doc_top_terms: the identical (tf DESC, df ASC, term ASC) top-3
+    # ranking replayed relationally -- all integers + ascii binary term
+    # order, zero rounding contract.
+    "doc_top_terms": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+tok AS (SELECT doc_id, unnest(string_split(norm, ' ')) AS w
+        FROM n WHERE norm <> ''),
+tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT w, count(*) AS df FROM tf GROUP BY 1),
+r AS (SELECT tf.doc_id, tf.w, tf.tf, dfq.df,
+      row_number() OVER (PARTITION BY tf.doc_id
+                         ORDER BY tf.tf DESC, dfq.df ASC, tf.w ASC) AS rank
+      FROM tf JOIN dfq USING (w))
+SELECT doc_id, CAST(rank AS INT) AS rank, w AS term, tf, df
+FROM r WHERE rank <= {DOC_TOP_N}
+""",
     # doclen_quantiles: type-1 quantiles replayed relationally (cumsum
     # over distinct lengths, min value with cum >= p*N) for both the
     # full corpus and the content-addressed bottom-256 sample (same
@@ -4262,6 +4298,7 @@ QUERIES_SQL_CHECKED = {
     "boilerplate_coverage": q_boilerplate_coverage,
     "repetition_report": q_repetition_report,
     "doclen_quantiles": q_doclen_quantiles,
+    "doc_top_terms": q_doc_top_terms,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

@@ -551,3 +551,45 @@ def unigram_lm_score(
             ).alias("bits_per_token"),
         )
     )
+
+
+def doc_top_terms(
+    docs: DataFrame,
+    top_n: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document distinctive-term extraction: the ``top_n`` terms
+    ranked by (tf DESC, df ASC, term ASC) — "most frequent, most
+    document-specific" — the integer-exact form of TF-IDF keyword
+    extraction (the log in idf is monotone in 1/df, so ranking by df
+    ascending at equal tf picks the same winners without a single
+    float: no libm, no rounding contract, hash-exact on any engine).
+    Stopwords need no list: their df ~ corpus size demotes them at any
+    tie.
+
+    Shape at scale: the standard TF-IDF relational template — tf
+    aggregate (shuffle by (doc, term)), document frequency from the tf
+    table itself (map-side-combined shuffle by term; tf rows are
+    distinct (doc, term) so count(*) IS df), tf x df join by term, and
+    a per-doc top-k window. Every stage linear; the window's partial
+    sort is bounded by per-doc vocabulary.  Returns (id, rank, term,
+    tf, df).
+    """
+    from pyspark.sql import Window
+
+    toks = docs.select(
+        F.col(id_col),
+        F.explode(word_tokens(normalize_text(text_col))).alias("w"),
+    ).where(F.col("w") != "")
+    tf = toks.groupBy(id_col, "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("tf"), F.asc("df"), F.asc("w")
+    )
+    return (
+        tf.join(dfreq, "w")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_n)
+        .select(F.col(id_col), "rank", F.col("w").alias("term"), "tf", "df")
+    )

@@ -481,3 +481,59 @@ def test_unigram_lm_partition_invariance(spark):
     pd.testing.assert_frame_equal(
         a.reset_index(drop=True), b.reset_index(drop=True)
     )
+
+
+# ---------------------------------------------------------------------------
+# doc_top_terms
+# ---------------------------------------------------------------------------
+
+from locality_sensitive_hashing_spark.operators.curation import (  # noqa: E402
+    doc_top_terms,
+)
+
+
+def _terms_df(spark, texts: dict[str, str]):
+    return spark.createDataFrame(
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())})
+    )
+
+
+def test_doc_top_terms_hand_computed(spark):
+    """tf DESC, then df ASC (distinctive beats common), then term ASC."""
+    docs = _terms_df(spark, {
+        "d1": "apple apple banana common",
+        "d2": "banana common zebra",
+        "d3": "common common",
+    })
+    got = (
+        doc_top_terms(docs, top_n=3)
+        .toPandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    )
+    # df: apple 1, banana 2, common 3, zebra 1
+    want = [
+        ("d1", 1, "apple", 2, 1),    # tf 2 wins
+        ("d1", 2, "banana", 1, 2),   # tf 1 tie -> df 2 < df 3
+        ("d1", 3, "common", 1, 3),
+        ("d2", 1, "zebra", 1, 1),    # all tf 1 -> df then term
+        ("d2", 2, "banana", 1, 2),
+        ("d2", 3, "common", 1, 3),
+        ("d3", 1, "common", 2, 3),   # only term; no rank-2/3 rows
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == want
+
+
+def test_doc_top_terms_normalizes_and_is_partition_invariant(spark):
+    docs = _terms_df(spark, {
+        "a": "Hello, WORLD!! hello-world",
+        "b": "world peace; peace NOW: now now",
+        "c": "",
+    })
+    one = doc_top_terms(docs, top_n=2).toPandas()
+    many = doc_top_terms(docs.repartition(7), top_n=2).toPandas()
+    key = lambda d: sorted(map(tuple, d.values.tolist()))
+    assert key(one) == key(many)
+    # punctuation stripped: "hello-world" -> hello, world
+    a = one[one.doc_id == "a"].set_index("rank")
+    assert set(a.term) <= {"hello", "world"}
+    # empty doc emits no rows
+    assert (one.doc_id != "c").all()
