@@ -111,6 +111,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "audio_quality_screen": ["audio_clips"],
     "audio_temporal_stats": ["audio_clips"],
     "audio_spectral_profile": ["audio_clips"],
+    "audio_resample_check": ["audio_clips"],
     "shingle_hll": ["minhash_shingles"],
     "lang_shingle_similarity": ["lang_shingles"],
     "audio_energy_profile": ["audio_lsh_clips"],
@@ -1921,6 +1922,60 @@ raw AS (
 )
 SELECT clip_id, band, cos_sum, sin_sum, mag, rn = 1 AS is_dominant FROM m
 """,
+    # audio_resample_check: byte-arithmetic re-decode + the identical
+    # scale-by-2 linear interpolation via lead() over sample rows: even
+    # outputs 2*v, odd outputs v+next.  All integers, zero rounding.
+    "audio_resample_check": f"""
+WITH raw AS (
+  SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+  FROM {_aux_rp('audio_clips')}
+), hdr AS (
+  SELECT clip_id, hx,
+    (nb >= 44
+     AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::bigint
+    END AS sr_hz,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
+  FROM raw
+), idx AS (
+  SELECT clip_id, hx,
+    unnest(generate_series(0, (data_len // 2)::int - 1)) AS i
+  FROM hdr WHERE canon AND data_len >= 2
+), x AS (
+  SELECT clip_id, i,
+    (('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+     - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+            >= 32768 THEN 65536 ELSE 0 END) AS v
+  FROM idx
+), lg AS (
+  SELECT clip_id, v, lead(v) OVER (PARTITION BY clip_id ORDER BY i) AS nxt
+  FROM x
+), feat AS (
+  SELECT clip_id, count(*) AS n,
+    CAST(sum(2*v) + coalesce(sum(v+nxt) FILTER (WHERE nxt IS NOT NULL), 0)
+         AS BIGINT) AS out_sum,
+    CAST(sum(abs(2*v))
+         + coalesce(sum(abs(v+nxt)) FILTER (WHERE nxt IS NOT NULL), 0)
+         AS BIGINT) AS out_abs_sum,
+    CAST(greatest(
+        max(abs(2*v)),
+        coalesce(max(abs(v+nxt)) FILTER (WHERE nxt IS NOT NULL), 0)
+    ) AS BIGINT) AS out_peak
+  FROM lg GROUP BY clip_id
+)
+SELECT h.clip_id, CAST(h.sr_hz AS INT) AS sr_in,
+  CAST(2 * h.sr_hz AS INT) AS sr_out,
+  CAST(f.n AS BIGINT) AS n_in, CAST(2 * f.n - 1 AS BIGINT) AS n_out,
+  f.out_sum, f.out_abs_sum, f.out_peak
+FROM hdr h JOIN feat f USING (clip_id)
+""",
     # shingle_hll: the whole sketch replayed -- unsigned view, top-p-bit
     # register index, leading-zero rank via format('{{:b}}') bit length,
     # register max, integer 2^(S-M) terms from the shared pow2 VALUES
@@ -2830,6 +2885,25 @@ def q_audio_spectral_profile(spark, sf_dir):
     mag = sums.withColumn("mag", F.abs("cos_sum") + F.abs("sin_sum"))
     w = Window.partitionBy("clip_id").orderBy(F.desc("mag"), F.asc("band"))
     return mag.withColumn("is_dominant", F.row_number().over(w) == F.lit(1))
+
+
+def q_audio_resample_check(spark, sf_dir):
+    """Resample-to-canonical-rate plumbing (the audio form of the
+    rubric's multimodal "resize" stage): decode → exact-integer 2x
+    linear upsample (scale-by-2, so midpoints need no rounding rule) →
+    checksummed evidence per clip (output sum, L1 norm, peak, lengths,
+    rates).  The L1 checksum pins every output sample, so the DuckDB
+    oracle — WAV byte re-decode + the same interpolation via lead()
+    over sample rows — certifies the whole resampled signal with zero
+    rounding contract.  Shares the ``audio_clips`` aux blobs."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        audio_resample_stats,
+    )
+
+    clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
+    _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_clips")
+    return audio_resample_stats(clips)
 
 
 def q_shingle_hll(spark, sf_dir):
@@ -4276,6 +4350,7 @@ QUERIES_SQL_CHECKED = {
     "audio_quality_screen": q_audio_quality_screen,
     "audio_temporal_stats": q_audio_temporal_stats,
     "audio_spectral_profile": q_audio_spectral_profile,
+    "audio_resample_check": q_audio_resample_check,
     "shingle_hll": q_shingle_hll,
     "audio_energy_profile": q_audio_energy_profile,
     "audio_content_near_dups": q_audio_content_near_dups,

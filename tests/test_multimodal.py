@@ -243,3 +243,57 @@ def test_spectral_garbage_emits_no_rows(spark):
     blobs = {"junk": b"not a wav at all", "empty": b""}
     got = audio_spectral_sums(_spectral_clips_df(spark, blobs)).toPandas()
     assert len(got) == 0
+
+
+# ---------------------------------------------------------------------------
+# Resample (exact-integer 2x upsample)
+# ---------------------------------------------------------------------------
+
+from locality_sensitive_hashing_spark.operators.multimodal import (  # noqa: E402
+    audio_resample_stats,
+    resample2x_s16,
+)
+
+
+def test_resample2x_numpy_replay():
+    """Vectorized kernel == naive per-sample loop, incl. n=1 and n=0."""
+    rng = np.random.default_rng(41)
+    for n in (0, 1, 2, 7, 500):
+        s = rng.integers(-32768, 32768, size=n, dtype=np.int64)
+        got = resample2x_s16(s)
+        want = []
+        for t in range(n):
+            want.append(2 * int(s[t]))
+            if t + 1 < n:
+                want.append(int(s[t]) + int(s[t + 1]))
+        assert got.tolist() == want
+        assert got.size == (2 * n - 1 if n else 0)
+
+
+def test_resample2x_halves_to_linear_interpolation():
+    """Divided by the scale factor, odd outputs are exact midpoints."""
+    s = np.array([0, 100, -50], dtype=np.int64)
+    o = resample2x_s16(s)
+    assert o.tolist() == [0, 100, 200, 50, -100]
+    # o/2 = [0, 50, 100, 25, -50]: originals at even slots, midpoints odd
+    assert (o[0::2] // 2).tolist() == s.tolist()
+    assert (o[1::2]).tolist() == [0 + 100, 100 + (-50)]
+
+
+def test_audio_resample_stats_engineered(spark):
+    rng = np.random.default_rng(43)
+    pcm = rng.uniform(-0.9, 0.9, size=300)
+    blobs = {
+        "clip": A.encode_wav(pcm, 8000, "pcm_s16le"),
+        "junk": b"\x00" * 10,
+    }
+    got = audio_resample_stats(_spectral_clips_df(spark, blobs)).toPandas()
+    assert list(got.clip_id) == ["clip"]          # junk emits no row
+    s, sr = A.decode_wav_s16(blobs["clip"])
+    o = resample2x_s16(s)
+    r = got.iloc[0]
+    assert (r.sr_in, r.sr_out) == (8000, 16000)
+    assert (r.n_in, r.n_out) == (s.size, o.size)
+    assert r.out_sum == o.sum()
+    assert r.out_abs_sum == np.abs(o).sum()
+    assert r.out_peak == np.abs(o).max()
