@@ -112,6 +112,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "audio_temporal_stats": ["audio_clips"],
     "audio_spectral_profile": ["audio_clips"],
     "audio_resample_check": ["audio_clips"],
+    "audio_silence_runs": ["audio_clips"],
     "shingle_hll": ["minhash_shingles"],
     "lang_shingle_similarity": ["lang_shingles"],
     "audio_energy_profile": ["audio_lsh_clips"],
@@ -1700,6 +1701,9 @@ FROM a
 # the flag splits non-degenerately; the clipping/duration terms are part
 # of the contract and exercised by synthetic unit fixtures.
 AQ_SILENCE_T = 0.004
+from locality_sensitive_hashing_spark.operators.multimodal import (  # noqa: E402
+    SILENCE_RAW_T as _SIL_RAW_T,  # single source of truth with the kernel
+)
 AQ_SILENCE_MAX = 0.01
 AQ_CLIP_MAX = 0.1
 AQ_MIN_DUR = 0.05
@@ -1975,6 +1979,59 @@ SELECT h.clip_id, CAST(h.sr_hz AS INT) AS sr_in,
   CAST(f.n AS BIGINT) AS n_in, CAST(2 * f.n - 1 AS BIGINT) AS n_out,
   f.out_sum, f.out_abs_sum, f.out_peak
 FROM hdr h JOIN feat f USING (clip_id)
+""",
+    # audio_silence_runs: byte-arithmetic re-decode + gaps-and-islands
+    # (i - row_number() island key) over the integer silent flag.
+    "audio_silence_runs": f"""
+WITH raw AS (
+  SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+  FROM {_aux_rp('audio_clips')}
+), hdr AS (
+  SELECT clip_id, hx,
+    (nb >= 44
+     AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
+  FROM raw
+), idx AS (
+  SELECT clip_id, hx,
+    unnest(generate_series(0, (data_len // 2)::int - 1)) AS i
+  FROM hdr WHERE canon AND data_len >= 2
+), f AS (
+  SELECT clip_id, i,
+    (abs(('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+     - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+            >= 32768 THEN 65536 ELSE 0 END) <= {_SIL_RAW_T}) AS sil
+  FROM idx
+), tot AS (
+  SELECT clip_id, count(*) AS n,
+         count(*) FILTER (WHERE sil) AS ns
+  FROM f GROUP BY 1
+), isl AS (
+  SELECT clip_id, i,
+         i - row_number() OVER (PARTITION BY clip_id ORDER BY i) AS grp
+  FROM f WHERE sil
+), r AS (
+  SELECT clip_id, grp, count(*) AS len, min(i) AS lo, max(i) AS hi
+  FROM isl GROUP BY 1, 2
+), agg AS (
+  SELECT r.clip_id, count(*) AS n_runs, max(r.len) AS longest_run,
+    coalesce(max(CASE WHEN r.lo = 0 THEN r.len END), 0) AS leading_run,
+    coalesce(max(CASE WHEN r.hi = t.n - 1 THEN r.len END), 0) AS trailing_run
+  FROM r JOIN tot t USING (clip_id) GROUP BY 1
+)
+SELECT t.clip_id, CAST(t.n AS BIGINT) AS n_samples,
+  CAST(t.ns AS BIGINT) AS n_silent,
+  CAST(coalesce(a.n_runs, 0) AS BIGINT) AS n_runs,
+  CAST(coalesce(a.longest_run, 0) AS BIGINT) AS longest_run,
+  CAST(coalesce(a.leading_run, 0) AS BIGINT) AS leading_run,
+  CAST(coalesce(a.trailing_run, 0) AS BIGINT) AS trailing_run
+FROM tot t LEFT JOIN agg a USING (clip_id)
 """,
     # shingle_hll: the whole sketch replayed -- unsigned view, top-p-bit
     # register index, leading-zero rank via format('{{:b}}') bit length,
@@ -2904,6 +2961,27 @@ def q_audio_resample_check(spark, sf_dir):
     clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
     _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_clips")
     return audio_resample_stats(clips)
+
+
+def q_audio_silence_runs(spark, sf_dir):
+    """Silence segmentation (the VAD precursor next to the quality
+    screen's silence RATIO): per-clip run-length statistics of the
+    silent-sample islands — total silent, number of runs, longest run,
+    and the leading/trailing pads a trim stage would cut.  The silent
+    flag is an integer threshold on the RAW s16 sample (|s| <= 131,
+    ~-48 dBFS), so flag, islands, and every statistic are exact
+    integers; the DuckDB oracle re-decodes the WAV bytes and replays
+    the islands with the classic i - row_number() key — the
+    gaps-and-islands pattern, zero rounding contract.  Shares the
+    ``audio_clips`` aux blobs."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        audio_silence_runs,
+    )
+
+    clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
+    _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_clips")
+    return audio_silence_runs(clips)
 
 
 def q_shingle_hll(spark, sf_dir):
@@ -4351,6 +4429,7 @@ QUERIES_SQL_CHECKED = {
     "audio_temporal_stats": q_audio_temporal_stats,
     "audio_spectral_profile": q_audio_spectral_profile,
     "audio_resample_check": q_audio_resample_check,
+    "audio_silence_runs": q_audio_silence_runs,
     "shingle_hll": q_shingle_hll,
     "audio_energy_profile": q_audio_energy_profile,
     "audio_content_near_dups": q_audio_content_near_dups,

@@ -451,3 +451,68 @@ def audio_resample_stats(clips: DataFrame) -> DataFrame:
     return clips.select("clip_id", "bytes").mapInPandas(
         stats, AUDIO_RESAMPLE_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Silence-run segmentation (gaps-and-islands over samples)
+# ---------------------------------------------------------------------------
+
+SILENCE_RAW_T = 131  # |s16| <= 131 ~ 0.004 full scale ~ -48 dBFS
+
+AUDIO_SILENCE_SCHEMA = (
+    "clip_id string, n_samples long, n_silent long, n_runs long, "
+    "longest_run long, leading_run long, trailing_run long"
+)
+
+
+def audio_silence_runs(
+    clips: DataFrame, raw_t: int = SILENCE_RAW_T
+) -> DataFrame:
+    """Silence segmentation per clip — the VAD precursor: how much
+    silence, in how many runs, the longest run, and the leading/trailing
+    pads a trim stage would cut.  A sample is silent iff ``|s16| <=
+    raw_t`` (integer threshold on the RAW sample, so the flag itself is
+    engine-exact; default ~-48 dBFS, the float screen's 0.004 in raw
+    units).
+
+    All outputs are integer run-length statistics — the relational
+    gaps-and-islands pattern over decoded samples, which the DuckDB
+    oracle replays with the classic ``i - row_number()`` island key.
+    Kernel side it is one vectorized numpy diff per clip.  Undecodable
+    payloads emit no rows.
+    """
+
+    def runs(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for cid, raw in zip(pdf["clip_id"], pdf["bytes"]):
+                try:
+                    s, _sr = A.decode_wav_s16(bytes(raw or b""))
+                    if s.size == 0:
+                        raise ValueError("empty")
+                except Exception:
+                    continue
+                b = np.abs(s) <= raw_t
+                # run boundaries: transitions in the padded flag vector
+                edges = np.flatnonzero(np.diff(b.astype(np.int8)))
+                starts = np.concatenate(([0], edges + 1))
+                ends = np.concatenate((edges + 1, [b.size]))
+                lens = ends - starts
+                silent_runs = lens[b[starts]]
+                rows.append((
+                    cid, int(s.size), int(b.sum()),
+                    int(silent_runs.size),
+                    int(silent_runs.max()) if silent_runs.size else 0,
+                    int(lens[0]) if b[0] else 0,
+                    int(lens[-1]) if b[-1] else 0,
+                ))
+            if rows:
+                yield pd.DataFrame(
+                    rows,
+                    columns=["clip_id", "n_samples", "n_silent", "n_runs",
+                             "longest_run", "leading_run", "trailing_run"],
+                )
+
+    return clips.select("clip_id", "bytes").mapInPandas(
+        runs, AUDIO_SILENCE_SCHEMA
+    )

@@ -297,3 +297,60 @@ def test_audio_resample_stats_engineered(spark):
     assert r.out_sum == o.sum()
     assert r.out_abs_sum == np.abs(o).sum()
     assert r.out_peak == np.abs(o).max()
+
+
+# ---------------------------------------------------------------------------
+# Silence runs (gaps-and-islands)
+# ---------------------------------------------------------------------------
+
+from locality_sensitive_hashing_spark.operators.multimodal import (  # noqa: E402
+    SILENCE_RAW_T,
+    audio_silence_runs,
+)
+
+
+def _pcm_from_raw(raw_s16: np.ndarray) -> bytes:
+    """Encode EXACT raw s16 values (encode_wav round-trips s/32767)."""
+    return A.encode_wav(raw_s16.astype(np.float64) / 32767.0, 8000,
+                        "pcm_s16le")
+
+
+def test_silence_runs_engineered(spark):
+    """Hand-built flag pattern: [sil x3, loud x2, sil x1, loud x1, sil x2]."""
+    loud = 20000
+    s = np.array([0, 50, -131, loud, -loud, 131, loud, 10, -10],
+                 dtype=np.int64)
+    got = audio_silence_runs(
+        _spectral_clips_df(spark, {"c": _pcm_from_raw(s)})
+    ).toPandas().iloc[0]
+    assert got.n_samples == 9
+    assert got.n_silent == 6
+    assert got.n_runs == 3
+    assert got.longest_run == 3
+    assert got.leading_run == 3
+    assert got.trailing_run == 2
+
+
+def test_silence_runs_all_and_none(spark):
+    all_sil = np.zeros(50, dtype=np.int64)
+    none_sil = np.full(50, 30000, dtype=np.int64)
+    got = audio_silence_runs(_spectral_clips_df(spark, {
+        "all": _pcm_from_raw(all_sil), "none": _pcm_from_raw(none_sil),
+    })).toPandas().set_index("clip_id")
+    a = got.loc["all"]
+    assert (a.n_silent, a.n_runs, a.longest_run, a.leading_run,
+            a.trailing_run) == (50, 1, 50, 50, 50)
+    n = got.loc["none"]
+    assert (n.n_silent, n.n_runs, n.longest_run, n.leading_run,
+            n.trailing_run) == (0, 0, 0, 0, 0)
+
+
+def test_silence_threshold_boundary(spark):
+    """|s| == SILENCE_RAW_T is silent; one more raw unit is not."""
+    s = np.array([SILENCE_RAW_T, SILENCE_RAW_T + 1,
+                  -SILENCE_RAW_T, -(SILENCE_RAW_T + 1)], dtype=np.int64)
+    got = audio_silence_runs(
+        _spectral_clips_df(spark, {"b": _pcm_from_raw(s)})
+    ).toPandas().iloc[0]
+    assert got.n_silent == 2
+    assert got.n_runs == 2
