@@ -149,9 +149,20 @@ def run_paired(args, here: str) -> None:
         # windows (observed ceiling 1.01 <-> 0.55), and 32-thread runs
         # track it while 8-thread runs barely move, so each pair's
         # efficiency is only interpretable against ITS OWN ceiling
-        cres, cev = run_monitored(
-            [sys.executable, os.path.join(here, "bench_ceiling.py")],
-            dict(os.environ, CEILING_LEVELS=f"{args.low},{args.high}"))
+        # the probe is gated like the bench legs (pairs 14/20/21 read
+        # against ceilings depressed by probe-window bursts before this):
+        # retry up to 3 times on a contaminated probe, and if the burst
+        # outlasts the retries keep the LAST probe but flag it
+        for probe_try in range(3):
+            cres, cev = run_monitored(
+                [sys.executable, os.path.join(here, "bench_ceiling.py")],
+                dict(os.environ, CEILING_LEVELS=f"{args.low},{args.high}"))
+            if cev["neighbor_cores_avg"] < args.neighbor_max:
+                break
+            print(f"    probe contaminated "
+                  f"({cev['neighbor_cores_avg']} neighbor cores); retrying",
+                  file=sys.stderr)
+        probe_clean = cev["neighbor_cores_avg"] < args.neighbor_max
         ceil = cres["pairs"][f"{args.low}->{args.high}"]["ceiling"]
         pairs.append({
             "wall_low": lo[0]["value"], "wall_high": hi[0]["value"],
@@ -160,6 +171,7 @@ def run_paired(args, here: str) -> None:
             "efficiency": round(eff, 3),
             "ceiling": ceil,
             "of_ceiling": round(eff / ceil, 3) if ceil else None,
+            "probe_clean": probe_clean,
             "neighbors": [lo[1]["neighbor_cores_avg"],
                           hi[1]["neighbor_cores_avg"],
                           cev["neighbor_cores_avg"]],
