@@ -262,3 +262,55 @@ def test_repetition_metrics_stays_jvm_partial_agged(spark, clips_parquet):
     assert "partial_count" in plan or "partial, count" in plan.lower() or (
         "HashAggregate" in plan
     ), plan
+
+
+# ---------------------------------------------------------------------------
+# Round-4 analytics queries: plan pins for the claims their docstrings make
+# ---------------------------------------------------------------------------
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_doclen_quantiles_plan(spark):
+    """Sample path = global bottom-k (TakeOrderedAndProject, no corpus
+    shuffle); exactly ONE parquet scan per path; zero Python nodes."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    plan = _plan(QUERIES_SQL_CHECKED["doclen_quantiles"](spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l
+             and l.strip().startswith("(")]
+    assert len(scans) == 2, scans  # one per path (exact + sample)
+    assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_doc_top_terms_plan_is_jvm_only(spark):
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    plan = _plan(QUERIES_SQL_CHECKED["doc_top_terms"](spark, SF001))
+    assert "Python" not in plan and "ArrowEval" not in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "text" in read_schema and "lang" not in read_schema
+
+
+def test_audio_kernel_queries_prune_documents_scan(spark):
+    """The three new audio kernels ride the clip-synth fixture: the
+    documents scan must be pruned to (doc_id, text) and each plan must
+    cross into Python exactly twice (synth + kernel), never per-row."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    for name in ("audio_spectral_profile", "audio_resample_check",
+                 "audio_silence_runs"):
+        plan = _plan(QUERIES_SQL_CHECKED[name](spark, SF001))
+        rs = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+        assert "doc_id" in rs and "text" in rs and "lang" not in rs, (name, rs)
+        py_nodes = [l for l in plan.splitlines()
+                    if "MapInPandas" in l and l.strip().startswith("(")]
+        assert len(py_nodes) == 2, (name, py_nodes)
+        assert "BatchEvalPython" not in plan, name  # no row-at-a-time UDFs
