@@ -244,7 +244,10 @@ def main() -> None:
     ap.add_argument("--neighbor-max", type=float, default=1.5)
     ap.add_argument("--attempts", type=int, default=4)
     ap.add_argument("--cmd", default="bench.py")
-    ap.add_argument("--out", default="BENCH/SCALING_8_32.md")
+    # default is a scratch file: BENCH/SCALING_8_32.md is the
+    # hand-consolidated round table and two sessions clobbered it by
+    # writing here directly -- fold new epochs in manually
+    ap.add_argument("--out", default="BENCH/SCALING_8_32_last.md")
     ap.add_argument("--paired", type=int, default=0, metavar="P",
                     help="interleaved mode: P back-to-back (N, 4N) pairs; "
                     "per-pair efficiency, median reported. Defeats the "
