@@ -126,6 +126,7 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
         "attr_bands", "attr_fps", "attr_anchors", "attr_shingles", "mm_clips",
     ],
     "semantic_dedup": ["semdedup_cells"],
+    "transcript_rate_screen": ["rate_clips"],
 }
 
 
@@ -4374,6 +4375,310 @@ ORACLE_SQL["audio_spectral_profile"] = (
 )
 
 
+# ---------------------------------------------------------------------------
+# exact set-similarity join (prefix filtering), Bloom membership screen,
+# cross-modal transcript-rate audit, events rollup (grouping sets)
+# ---------------------------------------------------------------------------
+
+# tau/n measured against the sf0.01 corpus: 3-gram sets are document-
+# discriminative there (unigram token SETS saturate -- most docs share
+# most words of the bounded synthetic vocabulary, J >= 0.6 corpus-wide),
+# and at tau=0.7 the prefix filter cuts C(500,2)=124,750 potential pairs
+# to 28 candidates with ZERO posting lists over the cap.
+SSJ_TAU = 0.7
+SSJ_N = 3
+SSJ_CAP = 256
+
+
+def q_setsim_join_pairs(spark, sf_dir):
+    """Exact-threshold set-similarity self-join via prefix filtering
+    (operators/setsim.py -- AllPairs/PPJoin family): every doc pair
+    with 3-gram-set Jaccard >= 0.7, candidacy bounded by the
+    prefix-filtering principle instead of banding probabilities (the
+    EXACT complement to the MinHash detector: complete by construction
+    while no prefix posting list exceeds the cap).  The oracle replays
+    the entire chain relationally -- df-ascending global order, per-doc
+    prefixes, capped posting self-join, exact intersection -- all
+    integers plus one int/int division rounded to 6 dp."""
+    from locality_sensitive_hashing_spark.operators.setsim import setsim_join
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return setsim_join(docs, SSJ_TAU, SSJ_CAP, n=SSJ_N)
+
+
+# m deliberately small enough that false positives are VISIBLE in the
+# hashed result at the corpus's ~167 reference keys (fp ~ (1-e^(-kn/m))^k
+# ~ 0.24; measured 84 of 333 non-members flagged maybe) while the
+# one-sided guarantee (zero false negatives, pinned corpus-wide by the
+# no_false_neg column) stays exact -- the same carried-evidence pattern
+# as token_cms_estimate's overestimate column.  Production sizes m per
+# the fp budget; the operator is parameterized.
+BLOOM_REF_MOD = 3
+BLOOM_M_Q = 512
+BLOOM_K_Q = 3
+BLOOM_SALT = "bloom-v1:"
+
+
+def q_bloom_membership(spark, sf_dir):
+    """Bloom-filter membership screen (operators/sketches.py): the
+    sketch-ahead-of-exact pattern a 10^12-row intake uses to skip the
+    shuffle-heavy exact anti-join for rows that CANNOT be duplicates.
+    Reference set = normalized texts of every 3rd doc (the committed-
+    corpus stand-in); every doc probes the m=512/k=3 filter built from
+    it.  Result carries exact membership next to the bloom verdict, so
+    the one-sided guarantee (bloom_maybe covers every member -- no
+    false negative, ever) and the false-positive mass are both inside
+    the hash-checked result.  All integer sha256 arithmetic; the bit
+    table (<= m rows) broadcasts."""
+    from locality_sensitive_hashing_spark.operators.sketches import bloom_probe
+
+    docs = read_testdata(spark, sf_dir, "documents").select(
+        "doc_id", TX.normalize_text("text").alias("norm")
+    )
+    ref = docs.where(F.col("doc_id") % BLOOM_REF_MOD == 0).select("norm")
+    maybe = bloom_probe(
+        ref, docs.select("norm").distinct(), "norm",
+        m=BLOOM_M_Q, k=BLOOM_K_Q, salt=BLOOM_SALT,
+    )
+    refd = ref.distinct().withColumn("_in", F.lit(True))
+    exact_in = F.coalesce(F.col("_in"), F.lit(False))
+    return (
+        docs.join(F.broadcast(maybe), "norm")
+        .join(F.broadcast(refd), "norm", "left")
+        .select(
+            "doc_id",
+            exact_in.alias("exact_in"),
+            "bloom_maybe",
+            (F.col("bloom_maybe") & ~exact_in).alias("false_pos"),
+            (exact_in & ~F.col("bloom_maybe")).alias("false_neg"),
+        )
+    )
+
+
+# chars/sec bounds inside the measured corpus spread (normalized
+# transcript length 48-549 over the fixture's 250 ms clips -> cps
+# 192-2196, p10~428, p90~1976), so both flags split non-degenerately --
+# the same measured-threshold rationale as AQ_SILENCE_T.
+RATE_MIN_CPS = 500.0
+RATE_MAX_CPS = 1800.0
+RATE_DUR_MUT_MOD = 17   # every 17th doc: dur_ms metadata off by +10
+RATE_SR_MUT_MOD = 23    # every 23rd doc (offset 5): sr_hz metadata +100
+
+
+def q_transcript_rate_screen(spark, sf_dir):
+    """Cross-modal payload/metadata/transcript integrity audit
+    (operators/multimodal.py::transcript_consistency): decoded-header
+    sample rate and sample-count duration vs the DECLARED sr_hz/dur_ms
+    columns (meta_ok -- planted metadata corruption on a deterministic
+    doc-id rhythm makes the flag non-degenerate), plus the speech-rate
+    plausibility screen (normalized transcript chars per DECODED
+    second).  The aux table commits the (mutated) metadata next to the
+    blobs, so the oracle re-derives the decoded side from the WAV bytes
+    alone -- header byte arithmetic, integer div duration -- and every
+    comparison is exact (the one double is the cps division, rounded
+    6 dp on both engines)."""
+    from locality_sensitive_hashing_spark.fixtures import clips_from_documents_df
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        transcript_consistency,
+    )
+
+    clips = clips_from_documents_df(spark, sf_dir, seed=CFG.seed, limit=200)
+    docnum = F.substring("clip_id", 4, 8).cast("int")
+    mutated = clips.withColumn(
+        "dur_ms",
+        F.when(
+            docnum % RATE_DUR_MUT_MOD == 0, F.col("dur_ms") + F.lit(10)
+        ).otherwise(F.col("dur_ms")),
+    ).withColumn(
+        "sr_hz",
+        F.when(
+            docnum % RATE_SR_MUT_MOD == 5, F.col("sr_hz") + F.lit(100)
+        ).otherwise(F.col("sr_hz")),
+    )
+    _aux_write(
+        mutated.select("clip_id", "bytes", "sr_hz", "dur_ms", "transcript"),
+        sf_dir, "rate_clips",
+    )
+    # run the screen over the COMMITTED table, not the synth lineage:
+    # this is the production shape (clips live in a table), and it plans
+    # as two column-pruned scans of rate_clips -- (clip_id, bytes) for
+    # the decode branch, (clip_id, sr_hz, dur_ms, transcript) for the
+    # metadata branch -- with exactly ONE Python crossing (the decode);
+    # riding the synth df instead would re-run the fixture kernel once
+    # per branch (plan-pinned in tests/test_plans.py).
+    committed = spark.read.parquet(
+        os.path.join(AUX_ROOT, os.path.basename(sf_dir.rstrip("/")),
+                     "rate_clips")
+    )
+    return transcript_consistency(committed, RATE_MIN_CPS, RATE_MAX_CPS)
+
+
+def q_event_type_rollup(spark, sf_dir):
+    """Multi-level aggregate via grouping sets: ROLLUP over
+    (event_type, UTC day) -- per-cell, per-type, and grand-total rows
+    in ONE pass (Spark plans a single Expand + hash aggregate; no
+    self-union of three scans).  Grouped-out keys surface as the
+    explicit g_type/g_day flags plus 'ALL'/-1 placeholders so the
+    result is null-free; money rides as exact integer cents (the
+    house events contract)."""
+    ev = read_testdata(spark, sf_dir, "events")
+    base = ev.select(
+        F.unix_micros(
+            F.date_trunc("day", F.col("ts")).cast("timestamp")
+        ).alias("day_us"),
+        "event_type",
+        "user_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    return (
+        base.rollup("event_type", "day_us")
+        .agg(
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day_us").cast("int").alias("g_day"),
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.sum("cents").alias("sum_cents"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("day_us", F.lit(-1)).cast("long").alias("day_us"),
+            "g_type", "g_day", "n_events", "n_users", "sum_cents",
+        )
+    )
+
+
+ORACLE_SQL.update({
+    # setsim_join_pairs: full relational replay of prefix filtering --
+    # distinct 3-gram sets, df-ascending order, per-doc row_number
+    # prefixes (sz - ceil(tau*sz) + 1 -- the same double multiply +
+    # ceil on both engines), capped posting-list self-join, exact
+    # intersection counts, one int/int division rounded 6 dp.
+    "setsim_join_pairs": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+wn AS (SELECT doc_id, norm,
+      unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {SSJ_N - 1}, 0))) AS i FROM n),
+tok AS (SELECT DISTINCT doc_id,
+      array_to_string(list_slice(string_split(norm,' '), i, i + {SSJ_N - 1}), ' ') AS w FROM wn),
+sz AS (SELECT doc_id, count(*) AS sz FROM tok GROUP BY 1),
+dfq AS (SELECT w, count(*) AS df FROM tok GROUP BY 1),
+ordr AS (SELECT t.doc_id, t.w,
+        row_number() OVER (PARTITION BY t.doc_id ORDER BY d.df ASC, t.w ASC) AS pos
+        FROM tok t JOIN dfq d USING (w)),
+pref AS (SELECT o.doc_id, o.w FROM ordr o JOIN sz USING (doc_id)
+         WHERE o.pos <= sz.sz - ceil({SSJ_TAU} * sz.sz) + 1),
+bsz AS (SELECT w, count(*) AS bn FROM pref GROUP BY 1),
+elig AS (SELECT w FROM bsz WHERE bn > 1 AND bn <= {SSJ_CAP}),
+cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+         FROM pref a JOIN elig USING (w) JOIN pref b USING (w)
+         WHERE a.doc_id < b.doc_id),
+inter AS (SELECT c.id1, c.id2, count(*) AS nc
+          FROM cand c JOIN tok t1 ON t1.doc_id = c.id1
+                       JOIN tok t2 ON t2.doc_id = c.id2 AND t2.w = t1.w
+          GROUP BY 1, 2)
+SELECT c.id1, c.id2, s1.sz AS n1, s2.sz AS n2,
+       i.nc AS n_common,
+       round(i.nc * 1.0 / (s1.sz + s2.sz - i.nc), 6) AS jaccard
+FROM cand c
+JOIN sz s1 ON s1.doc_id = c.id1
+JOIN sz s2 ON s2.doc_id = c.id2
+JOIN inter i ON i.id1 = c.id1 AND i.id2 = c.id2
+WHERE round(i.nc * 1.0 / (s1.sz + s2.sz - i.nc), 6) >= {SSJ_TAU}
+""",
+    # bloom_membership: bit positions + probes replayed with the same
+    # salted-sha256 arithmetic as the CMS oracle; membership and the
+    # error columns re-derived relationally.  All integers.
+    "bloom_membership": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+ref AS (SELECT DISTINCT norm FROM n WHERE doc_id % {BLOOM_REF_MOD} = 0),
+rr(r) AS (VALUES (0), (1), (2)),
+bits AS (SELECT DISTINCT
+  CAST(CAST(('0x' || substr(sha256('{BLOOM_SALT}' || CAST(rr.r AS VARCHAR) || ':' || ref.norm), 1, 8)) AS BIGINT) % {BLOOM_M_Q} AS INT) AS pos
+  FROM ref CROSS JOIN rr),
+probe AS (SELECT DISTINCT norm FROM n),
+pp AS (SELECT probe.norm, rr.r,
+  CAST(CAST(('0x' || substr(sha256('{BLOOM_SALT}' || CAST(rr.r AS VARCHAR) || ':' || probe.norm), 1, 8)) AS BIGINT) % {BLOOM_M_Q} AS INT) AS pos
+  FROM probe CROSS JOIN rr),
+hits AS (SELECT pp.norm, count(*) AS h FROM pp JOIN bits USING (pos) GROUP BY 1),
+mb AS (SELECT p.norm, coalesce(h.h, 0) = {BLOOM_K_Q} AS bloom_maybe
+       FROM probe p LEFT JOIN hits h USING (norm)),
+ex AS (SELECT n.doc_id, n.norm,
+       n.norm IN (SELECT norm FROM ref) AS exact_in FROM n)
+SELECT ex.doc_id, ex.exact_in, mb.bloom_maybe,
+       (mb.bloom_maybe AND NOT ex.exact_in) AS false_pos,
+       (ex.exact_in AND NOT mb.bloom_maybe) AS false_neg
+FROM ex JOIN mb USING (norm)
+""",
+    # transcript_rate_screen: decoded side re-derived from the WAV
+    # bytes alone (header byte arithmetic, n = data_len/2, integer-div
+    # duration); declared metadata + transcript come from the committed
+    # aux columns.  FIXTURE CONTRACT: canonical pcm_s16le only, same as
+    # the audio_features oracle.  The one double is the cps division,
+    # rounded 6 dp on both engines.
+    "transcript_rate_screen": f"""
+WITH raw AS (
+  SELECT clip_id, sr_hz AS sr_meta, dur_ms AS dur_ms_meta, transcript,
+         hex(bytes) AS hx, octet_length(bytes) AS nb
+  FROM {_aux_rp('rate_clips')}
+), hdr AS (
+  SELECT clip_id, sr_meta, dur_ms_meta, transcript,
+    (nb >= 44
+     AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::bigint
+    END AS sr0,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
+  FROM raw
+), d AS (
+  SELECT clip_id, sr_meta, dur_ms_meta,
+    (canon AND coalesce(data_len // 2, 0) > 0) AS decode_ok,
+    CASE WHEN canon AND coalesce(data_len // 2, 0) > 0
+         THEN sr0 ELSE 0 END AS sr_dec,
+    CASE WHEN canon AND coalesce(data_len // 2, 0) > 0
+         THEN ((data_len // 2) * 1000) // sr0 ELSE 0 END AS dur_ms_dec,
+    length(trim(regexp_replace(lower(transcript), '[^a-z0-9]+', ' ', 'g'))) AS n_chars
+  FROM hdr
+), m AS (
+  SELECT clip_id, decode_ok,
+    CAST(sr_meta AS INT) AS sr_meta, CAST(sr_dec AS INT) AS sr_dec,
+    CAST(dur_ms_meta AS INT) AS dur_ms_meta,
+    CAST(dur_ms_dec AS BIGINT) AS dur_ms_dec,
+    (decode_ok AND sr_meta = sr_dec AND dur_ms_meta = dur_ms_dec) AS meta_ok,
+    CAST(n_chars AS INT) AS n_chars,
+    CASE WHEN decode_ok AND dur_ms_dec > 0
+         THEN round(n_chars * 1000.0 / dur_ms_dec, 6) ELSE 0.0 END AS chars_per_s
+  FROM d
+)
+SELECT clip_id, decode_ok, sr_meta, sr_dec, dur_ms_meta, dur_ms_dec,
+       meta_ok, n_chars, chars_per_s,
+       (decode_ok AND chars_per_s >= {RATE_MIN_CPS}
+        AND chars_per_s <= {RATE_MAX_CPS}) AS rate_ok
+FROM m
+""",
+    # event_type_rollup: GROUP BY ROLLUP with GROUPING flags -- DuckDB
+    # runs the identical grouping-sets semantics; placeholders and the
+    # integer cents contract match the Spark side exactly.
+    "event_type_rollup": """
+WITH e AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+                  user_id, CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(day_us, -1) AS day_us,
+       CAST(GROUPING(event_type) AS INT) AS g_type,
+       CAST(GROUPING(day_us) AS INT) AS g_day,
+       count(*) AS n_events,
+       count(DISTINCT user_id) AS n_users,
+       CAST(sum(cents) AS BIGINT) AS sum_cents
+FROM e GROUP BY ROLLUP (event_type, day_us)
+""",
+})
+
+
 QUERIES_SQL_CHECKED = {
     "normalize_transcripts": q_normalize,
     "shingle_explode": q_shingle_explode,
@@ -4453,6 +4758,10 @@ QUERIES_SQL_CHECKED = {
     "repetition_report": q_repetition_report,
     "doclen_quantiles": q_doclen_quantiles,
     "doc_top_terms": q_doc_top_terms,
+    "setsim_join_pairs": q_setsim_join_pairs,
+    "bloom_membership": q_bloom_membership,
+    "transcript_rate_screen": q_transcript_rate_screen,
+    "event_type_rollup": q_event_type_rollup,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

@@ -516,3 +516,74 @@ def audio_silence_runs(
     return clips.select("clip_id", "bytes").mapInPandas(
         runs, AUDIO_SILENCE_SCHEMA
     )
+
+
+TRANSCRIPT_RATE_MIN = 40.0   # chars/sec bounds: see entry_queries rationale
+TRANSCRIPT_RATE_MAX = 4000.0
+
+
+def transcript_consistency(
+    clips: DataFrame,
+    min_cps: float = TRANSCRIPT_RATE_MIN,
+    max_cps: float = TRANSCRIPT_RATE_MAX,
+) -> DataFrame:
+    """Cross-modal payload/metadata/transcript integrity screen — the
+    audit an audio+transcript corpus runs at intake, BEFORE any detector
+    trusts a metadata column:
+
+    - ``meta_ok``: the DECLARED (sr_hz, dur_ms) columns agree with the
+      decoded payload (sample rate from the WAV header; duration from
+      the actual sample count) — a mismatch means the metadata lied and
+      every dur_ms-derived statistic downstream is wrong for this row.
+    - ``chars_per_s`` + ``rate_ok``: normalized-transcript length over
+      DECODED duration — the speech-rate plausibility screen (a
+      transcript wildly long or short for its audio flags a
+      misalignment: wrong pairing, truncated clip, or empty filler).
+
+    Composition, not a new kernel: the payload side reuses the
+    :func:`audio_features` decode (one Arrow crossing, scan pruned to
+    (clip_id, bytes)); metadata and transcript arithmetic stay JVM-side
+    (``dur_ms_dec`` is exact integer ``n_samples * 1000 div sr``; the
+    one double is the chars/sec division, rounded to 6 dp).
+    Undecodable payloads report decode_ok=false with zeroed fields and
+    meta_ok=rate_ok=false — never an error.
+    """
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.functions.text import normalize_text
+
+    feats = audio_features(clips).select(
+        "clip_id", "decode_ok", "n_samples",
+        F.col("sr_hz").alias("sr_dec"),
+    )
+    meta = clips.select(
+        "clip_id",
+        F.col("sr_hz").alias("sr_meta"),
+        F.col("dur_ms").alias("dur_ms_meta"),
+        F.length(normalize_text("transcript")).cast("int").alias("n_chars"),
+    )
+    dur_dec = F.when(
+        F.col("decode_ok"),
+        F.expr("n_samples * 1000 div sr_dec"),
+    ).otherwise(F.lit(0)).cast("long")
+    j = meta.join(feats, "clip_id").withColumn("dur_ms_dec", dur_dec)
+    cps = F.when(
+        F.col("decode_ok") & (F.col("dur_ms_dec") > 0),
+        F.round(F.col("n_chars") * 1000.0 / F.col("dur_ms_dec"), 6),
+    ).otherwise(F.lit(0.0))
+    meta_ok = (
+        F.col("decode_ok")
+        & (F.col("sr_meta") == F.col("sr_dec"))
+        & (F.col("dur_ms_meta") == F.col("dur_ms_dec"))
+    )
+    return j.select(
+        "clip_id", "decode_ok",
+        "sr_meta", "sr_dec", "dur_ms_meta", "dur_ms_dec",
+        meta_ok.alias("meta_ok"),
+        "n_chars",
+        cps.alias("chars_per_s"),
+        (
+            F.col("decode_ok")
+            & (cps >= min_cps) & (cps <= max_cps)
+        ).alias("rate_ok"),
+    )

@@ -419,3 +419,83 @@ def rank_quantiles(
         .agg(F.min("_v").alias(out_col))
         .select("p", F.col("_n").alias("n_rows"), out_col)
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom filter (Bloom 1970; Broder & Mitzenmacher 2004 survey)
+# --------------------------------------------------------------------------
+
+BLOOM_M = 8192  # bits
+BLOOM_K = 3     # hash functions
+
+
+def bloom_bits(
+    values: DataFrame,
+    value_col: str,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = "bloom-v1:",
+) -> DataFrame:
+    """The SET bit positions of a Bloom filter over a value column:
+    one ``pos`` column, <= m rows.
+
+    The relational form of the bitmap: each value explodes to its k
+    salted-sha256 positions (the same engine-portable uniform as the
+    Count-Min buckets) and a distinct aggregate map-side combines down
+    to <= m rows — so the shuffle is O(m * partitions) regardless of
+    input size and the sketch is a few KB at any corpus scale.  Two
+    filters built with the same (m, k, salt) merge by UNION of their
+    bit sets (= bitwise OR), the property that lets every partition
+    build its shard independently.
+    """
+    col = F.col(value_col)
+    poss = F.array(*[
+        _sha_bucket(col, f"{salt}{r}:", m) for r in range(k)
+    ])
+    return (
+        values.select(F.explode(poss).alias("pos"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    values: DataFrame,
+    probes: DataFrame,
+    value_col: str,
+    probe_col: str | None = None,
+    m: int = BLOOM_M,
+    k: int = BLOOM_K,
+    salt: str = "bloom-v1:",
+) -> DataFrame:
+    """Membership screen of ``probes`` against the Bloom filter of
+    ``values``: (probe, bloom_maybe) with the one-sided guarantee
+    bloom_maybe = true for EVERY probe actually present (no false
+    negatives, ever); false positives occur at the classic
+    (1 - e^(-kn/m))^k rate.
+
+    The bit table is tiny (<= m rows) so it BROADCASTS onto the probe
+    side — at production scale this is the cheap pre-screen that lets
+    the shuffle-heavy EXACT membership join run only over the maybes
+    (the same sketch-ahead-of-exact shape as Spark's own runtime Bloom
+    join pruning, but as a first-class, engine-replayable operator).
+    """
+    probe_col = probe_col or value_col
+    bits = bloom_bits(values, value_col, m, k, salt)
+    col = F.col(probe_col)
+    poss = F.array(*[
+        _sha_bucket(col, f"{salt}{r}:", m) for r in range(k)
+    ])
+    probe_pos = probes.select(
+        col.alias(probe_col), F.explode(poss).alias("pos")
+    )
+    return (
+        probe_pos.join(F.broadcast(bits), "pos", "left_semi")
+        .groupBy(probe_col)
+        .agg(F.count("*").alias("_hits"))
+        .join(probes.select(col.alias(probe_col)).distinct(),
+              probe_col, "right")
+        .select(
+            probe_col,
+            (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("bloom_maybe"),
+        )
+    )

@@ -354,3 +354,81 @@ def test_silence_threshold_boundary(spark):
     ).toPandas().iloc[0]
     assert got.n_silent == 2
     assert got.n_runs == 2
+
+
+# --------------------------------------------------------------------------
+# cross-modal transcript/metadata consistency
+# --------------------------------------------------------------------------
+
+def _consistency_clips(spark, rows):
+    """rows: (clip_id, pcm float array, sr_true, sr_meta, dur_ms_meta,
+    transcript) -- encodes real WAV bytes at sr_true, declares the meta
+    columns as given."""
+    recs = []
+    for cid, pcm, sr_true, sr_meta, dur_meta, txt in rows:
+        raw = A.encode_wav(np.asarray(pcm, dtype=np.float64), sr_true,
+                           "pcm_s16le")
+        recs.append((cid, raw, sr_meta, dur_meta, "pcm_s16le", txt))
+    return spark.createDataFrame(
+        pd.DataFrame(recs, columns=["clip_id", "bytes", "sr_hz", "dur_ms",
+                                    "codec", "transcript"])
+    )
+
+
+def test_transcript_consistency_flags(spark):
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        transcript_consistency,
+    )
+
+    sr = 8000
+    pcm = np.sin(np.linspace(0, 20, 2000))  # 2000 samples @ 8k = 250 ms
+    # 250 chars / 0.25 s = 1000 cps (normalized length: letters+spaces)
+    txt_ok = ("abcde " * 50)[:250].strip()
+    rows = [
+        ("ok", pcm, sr, sr, 250, txt_ok),
+        ("baddur", pcm, sr, sr, 260, txt_ok),          # dur_ms lies
+        ("badsr", pcm, sr, sr + 100, 250, txt_ok),     # sr_hz lies
+        ("fast", pcm, sr, sr, 250, "z" * 600),         # 2400 cps > max
+        ("slow", pcm, sr, sr, 250, "hi"),              # 8 cps < min
+        ("garbage", None, sr, sr, 250, txt_ok),
+    ]
+    recs = []
+    for cid, p, srt, srm, dm, txt in rows:
+        raw = (b"nope" if p is None else
+               A.encode_wav(np.asarray(p), srt, "pcm_s16le"))
+        recs.append((cid, raw, srm, dm, "pcm_s16le", txt))
+    df = spark.createDataFrame(
+        pd.DataFrame(recs, columns=["clip_id", "bytes", "sr_hz", "dur_ms",
+                                    "codec", "transcript"])
+    )
+    got = transcript_consistency(df, 500.0, 1800.0).toPandas().set_index(
+        "clip_id"
+    )
+    ok = got.loc["ok"]
+    assert ok.decode_ok and ok.meta_ok and ok.rate_ok
+    assert ok.dur_ms_dec == 250 and ok.sr_dec == 8000
+    assert abs(ok.chars_per_s - len(ok_norm := txt_ok) * 4.0) < 1e-9
+    assert not got.loc["baddur"].meta_ok and got.loc["baddur"].rate_ok
+    assert not got.loc["badsr"].meta_ok
+    assert got.loc["badsr"].sr_meta == 8100 and got.loc["badsr"].sr_dec == 8000
+    assert got.loc["fast"].meta_ok and not got.loc["fast"].rate_ok
+    assert got.loc["slow"].meta_ok and not got.loc["slow"].rate_ok
+    g = got.loc["garbage"]
+    assert not g.decode_ok and not g.meta_ok and not g.rate_ok
+    assert g.dur_ms_dec == 0 and g.chars_per_s == 0.0
+
+
+def test_transcript_consistency_integer_duration(spark):
+    """dur_ms_dec is exact integer floor(n_samples*1000/sr) -- including
+    non-divisible sample counts."""
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        transcript_consistency,
+    )
+
+    pcm = np.zeros(1001)  # 1001 samples @ 8000 Hz = 125.125 ms -> 125
+    df = _consistency_clips(
+        spark, [("t", pcm, 8000, 8000, 125, "some text here")]
+    )
+    got = transcript_consistency(df).toPandas().iloc[0]
+    assert got.dur_ms_dec == 1001 * 1000 // 8000 == 125
+    assert got.meta_ok

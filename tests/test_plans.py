@@ -314,3 +314,69 @@ def test_audio_kernel_queries_prune_documents_scan(spark):
                     if "MapInPandas" in l and l.strip().startswith("(")]
         assert len(py_nodes) == 2, (name, py_nodes)
         assert "BatchEvalPython" not in plan, name  # no row-at-a-time UDFs
+
+
+def test_setsim_join_plan_is_jvm_only(spark):
+    """The exact set-similarity join never leaves the JVM (prefix
+    filtering is pure relational algebra) and the documents scan is
+    pruned to (doc_id, text)."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    plan = _plan(QUERIES_SQL_CHECKED["setsim_join_pairs"](spark, SF001))
+    assert "Python" not in plan and "ArrowEval" not in plan
+    for l in plan.splitlines():
+        if "ReadSchema" in l:
+            assert "lang" not in l and "source" not in l, l
+
+
+def test_bloom_membership_plan_broadcasts_sketch(spark):
+    """The bit table and the per-norm verdict both broadcast back onto
+    the corpus -- the probe side never sort-merges; zero Python."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    plan = _plan(QUERIES_SQL_CHECKED["bloom_membership"](spark, SF001))
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "SortMergeJoin" not in plan, "sketch join must broadcast"
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+
+
+def test_transcript_rate_screen_one_python_crossing(spark):
+    """The screen runs over the COMMITTED clips table (the production
+    shape): the decode is the ONLY Python crossing, and each branch's
+    scan is pruned -- the payload branch reads (clip_id, bytes), the
+    metadata branch reads (clip_id, sr_hz, dur_ms, transcript), and
+    NEITHER branch reads the other's columns."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    plan = _plan(QUERIES_SQL_CHECKED["transcript_rate_screen"](spark, SF001))
+    py_nodes = [l for l in plan.splitlines()
+                if "MapInPandas" in l and l.strip().startswith("(")]
+    assert len(py_nodes) == 1, py_nodes
+    assert "BatchEvalPython" not in plan
+    schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert len(schemas) == 2, schemas
+    payload = [s for s in schemas if "bytes" in s]
+    meta = [s for s in schemas if "transcript" in s]
+    assert len(payload) == 1 and len(meta) == 1, schemas
+    assert "transcript" not in payload[0] and "bytes" not in meta[0]
+
+
+def test_event_rollup_single_scan_expand(spark):
+    """ROLLUP compiles to ONE scan + Expand + hash aggregate -- not a
+    self-union of per-level scans; zero Python."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    plan = _plan(QUERIES_SQL_CHECKED["event_type_rollup"](spark, SF001))
+    assert "Expand" in plan
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l
+             and l.strip().startswith("(")]
+    assert len(scans) == 1, scans
+    assert "Python" not in plan and "ArrowEval" not in plan

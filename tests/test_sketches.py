@@ -357,3 +357,81 @@ def test_hash_sample_quantiles_near_exact(spark):
         rank_p = np.searchsorted(xs, r.q, side="right") / len(xs)
         sigma = (r.p * (1 - r.p) / k) ** 0.5
         assert abs(rank_p - r.p) < 5 * sigma + 1e-6, (r.p, rank_p)
+
+
+# --------------------------------------------------------------------------
+# Bloom filter
+# --------------------------------------------------------------------------
+
+def _bloom_positions_py(val: str, m: int, k: int, salt: str = "bloom-v1:"):
+    import hashlib as _h
+
+    return {
+        int(_h.sha256(f"{salt}{r}:{val}".encode()).hexdigest()[:8], 16) % m
+        for r in range(k)
+    }
+
+
+def test_bloom_bits_hashlib_replay(spark):
+    from locality_sensitive_hashing_spark.operators.sketches import bloom_bits
+
+    vals = [f"key{i}" for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    got = {r.pos for r in bloom_bits(df, "v", m=512, k=3).collect()}
+    exp = set().union(*(_bloom_positions_py(v, 512, 3) for v in vals))
+    assert got == exp
+
+
+def test_bloom_no_false_negatives_ever(spark):
+    """The one-sided guarantee: EVERY member probes maybe=true, at any
+    (m, k) -- including an overloaded tiny filter."""
+    from locality_sensitive_hashing_spark.operators.sketches import bloom_probe
+
+    vals = [f"member{i}" for i in range(200)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    for m in (64, 512, 8192):
+        got = bloom_probe(df, df, "v", m=m, k=3).collect()
+        assert len(got) == 200
+        assert all(r.bloom_maybe for r in got), f"false negative at m={m}"
+
+
+def test_bloom_absent_keys_mostly_false_at_sized_m(spark):
+    """At a properly sized filter (kn/m << 1) non-members probe false;
+    fp probability ~ (1 - e^(-kn/m))^k ~ 4e-8 here, so ALL 500 absent
+    probes must read false (a single fp would be a 1-in-40k fluke)."""
+    from locality_sensitive_hashing_spark.operators.sketches import bloom_probe
+
+    members = spark.createDataFrame(
+        pd.DataFrame({"v": [f"in{i}" for i in range(20)]})
+    )
+    absent = spark.createDataFrame(
+        pd.DataFrame({"v": [f"out{i}" for i in range(500)]})
+    )
+    got = bloom_probe(members, absent, "v", m=8192, k=3).collect()
+    assert len(got) == 500
+    assert not any(r.bloom_maybe for r in got)
+
+
+def test_bloom_merge_equals_union(spark):
+    """bits(A union B) == bits(A) | bits(B): partitions can build their
+    filter shards independently and OR them."""
+    from locality_sensitive_hashing_spark.operators.sketches import bloom_bits
+
+    a = spark.createDataFrame(pd.DataFrame({"v": [f"a{i}" for i in range(30)]}))
+    b = spark.createDataFrame(pd.DataFrame({"v": [f"b{i}" for i in range(30)]}))
+    ab = a.union(b)
+    bits = lambda df: {r.pos for r in bloom_bits(df, "v", m=256, k=3).collect()}
+    assert bits(ab) == bits(a) | bits(b)
+
+
+def test_bloom_partition_invariance(spark):
+    from locality_sensitive_hashing_spark.operators.sketches import bloom_probe
+
+    vals = pd.DataFrame({"v": [f"k{i}" for i in range(100)]})
+    refs = spark.createDataFrame(vals.iloc[:40])
+    probes = spark.createDataFrame(vals)
+    one = sorted(map(tuple, bloom_probe(refs, probes, "v", m=512).collect()))
+    many = sorted(map(tuple, bloom_probe(
+        refs.repartition(7), probes.repartition(5), "v", m=512
+    ).collect()))
+    assert one == many
