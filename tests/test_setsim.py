@@ -146,3 +146,43 @@ def test_prefix_postings_shape(spark):
     # exactly one prefix token per doc, and never the df=3 'common'
     assert len(rows) == 3
     assert all(w != "common" for _, w in rows)
+
+
+def test_positional_filter_subset_and_complete(spark):
+    """The PPJoin positional filter only ever REMOVES candidates
+    (subset of the unfiltered set) and never a true >= tau pair."""
+    from locality_sensitive_hashing_spark.operators.setsim import (
+        setsim_candidates,
+    )
+
+    rng = np.random.default_rng(99)
+    vocab = [f"v{i:02d}" for i in range(30)]
+    texts = {
+        i: " ".join(rng.choice(vocab, size=int(rng.integers(4, 12))))
+        for i in range(50)
+    }
+    for i in range(50, 60):  # plant true pairs
+        texts[i] = texts[i - 50]
+    df = _docs_df(spark, texts, n_parts=4)
+    toks = doc_gram_sets(df, 1)
+    tau = 0.6
+    with_f = {(r.id1, r.id2) for r in
+              setsim_candidates(toks, tau, cap=10_000).collect()}
+    without = {(r.id1, r.id2) for r in
+               setsim_candidates(toks, tau, cap=10_000,
+                                 positional=False).collect()}
+    assert with_f <= without
+    truth = set(_brute_pairs(texts, tau, 1))
+    assert truth <= with_f, truth - with_f
+    # and on this corpus the filter actually bites
+    assert len(with_f) < len(without), (len(with_f), len(without))
+
+
+def test_boundary_pair_exactly_at_tau_survives(spark):
+    """J == tau exactly (2/4 at tau=0.5) must pass the positional
+    filter and the rounded verify."""
+    texts = {1: "a b c", 2: "a b d"}
+    got = setsim_join(_docs_df(spark, texts), 0.5, n=1).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.id1, r.id2, r.n_common, r.jaccard) == (1, 2, 2, 0.5)
