@@ -4547,7 +4547,48 @@ def q_event_type_rollup(spark, sf_dir):
     )
 
 
+def q_purchase_view_window(spark, sf_dir):
+    """Bounded interval join (operators/sessions.py::windowed_count_join):
+    for every purchase, the count of same-user views in the prior 30
+    minutes (strictly earlier, half-open at the far edge).  Spark has no
+    native interval join in batch; the naive formulation is a per-user
+    cartesian filtered by the time predicate.  This plans it as pure
+    EQUALITY: time binned at window width, each view emitted into its
+    own bin and the next (an in-window view is always in one of the
+    anchor's two bins), join on (user, bin), exact predicate filters the
+    <=2-bin candidates -- shuffle 2|views| + |purchases| rows, hash-
+    joinable, AQE-splittable.  Oracle is the direct correlated range
+    join; epoch-micros contract as the rest of the session tier."""
+    from locality_sensitive_hashing_spark.operators.sessions import (
+        SESSION_GAP_US,
+        windowed_count_join,
+    )
+
+    ev = read_testdata(spark, sf_dir, "events")
+    return windowed_count_join(
+        ev,
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+        SESSION_GAP_US,
+    )
+
+
 ORACLE_SQL.update({
+    # purchase_view_window: the direct correlated range join DuckDB can
+    # express natively -- the binned equality plan must match it exactly
+    # (integer epoch micros, integer window, zero rounding contract).
+    "purchase_view_window": """
+WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+a AS (SELECT event_id, user_id, us FROM e WHERE event_type = 'purchase'),
+r AS (SELECT user_id, us FROM e WHERE event_type = 'view'),
+c AS (SELECT a.event_id, count(*) AS n
+      FROM a JOIN r ON r.user_id = a.user_id
+       AND r.us < a.us AND r.us >= a.us - 1800000000
+      GROUP BY 1)
+SELECT a.event_id, a.user_id, a.us AS ts_us,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_in_window
+FROM a LEFT JOIN c USING (event_id)
+""",
     # setsim_join_pairs: full relational replay of prefix filtering --
     # distinct 3-gram sets, df-ascending order, per-doc row_number
     # prefixes (sz - ceil(tau*sz) + 1 -- the same double multiply +
@@ -4762,6 +4803,7 @@ QUERIES_SQL_CHECKED = {
     "bloom_membership": q_bloom_membership,
     "transcript_rate_screen": q_transcript_rate_screen,
     "event_type_rollup": q_event_type_rollup,
+    "purchase_view_window": q_purchase_view_window,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

@@ -116,3 +116,63 @@ def as_of_attach(
             F.last(F.when(ref_filter, F.col(c)), ignorenulls=True).over(w),
         )
     return out.where(anchor_filter)
+
+
+def windowed_count_join(
+    events: DataFrame,
+    anchor_filter: F.Column,
+    ref_filter: F.Column,
+    window_us: int = SESSION_GAP_US,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Bounded INTERVAL join via time binning: for every ANCHOR event,
+    count same-user REFERENCE events in the half-open window
+    ``[anchor_ts - window_us, anchor_ts)`` (strictly earlier, like the
+    as-of join; an event exactly window_us before IS counted).
+
+    The naive range join is a per-user cartesian filtered by the time
+    predicate — quadratic in a hot user's event count and un-plannable
+    as a hash join (inequality key).  The scalable form bins time into
+    ``window_us``-wide buckets: an in-window reference is always in the
+    anchor's bin or the one before, so each reference row is emitted
+    into exactly TWO (user, bin) join keys and the join is pure
+    EQUALITY — shuffle 2|refs| + |anchors| rows, hash-joinable, AQE-
+    splittable on skew; the exact time predicate then filters the
+    <= 2-bin candidates.  Anchors with no in-window references are
+    restored by a left join against the anchor projection (count 0).
+
+    Returns (id, user, ts_us, n_in_window).
+    """
+    us = epoch_us(ts_col)
+    # `div` = exact integer division (a double quotient cast could misbin
+    # a value within rounding distance of a bin edge)
+    anchors = events.where(anchor_filter).select(
+        F.col(id_col), F.col(user_col), us.alias("ts_us"),
+    ).withColumn("_bin", F.expr(f"ts_us div {int(window_us)}"))
+    refs = events.where(ref_filter).select(
+        F.col(user_col), us.alias("_ref_us"),
+    ).withColumn("_rbin", F.expr(f"_ref_us div {int(window_us)}"))
+    # each ref lands in candidate anchor-bins rbin and rbin+1
+    ref2 = refs.select(
+        user_col, "_ref_us",
+        F.explode(F.array(F.col("_rbin"), F.col("_rbin") + 1)).alias("_bin"),
+    )
+    hits = (
+        anchors.join(ref2, [user_col, "_bin"])
+        .where(
+            (F.col("_ref_us") < F.col("ts_us"))
+            & (F.col("_ref_us") >= F.col("ts_us") - F.lit(window_us))
+        )
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_in_window"))
+    )
+    return (
+        anchors.select(id_col, user_col, "ts_us")
+        .join(hits, id_col, "left")
+        .select(
+            id_col, user_col, "ts_us",
+            F.coalesce("n_in_window", F.lit(0)).alias("n_in_window"),
+        )
+    )

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
 
@@ -146,3 +147,84 @@ def test_session_plan_single_exchange(spark, tmp_path):
     )
     assert n_exchange == 1, plan
     assert "ArrowEval" not in plan and "BatchEvalPython" not in plan, plan
+
+
+# --------------------------------------------------------------------------
+# bounded interval join (windowed_count_join)
+# --------------------------------------------------------------------------
+
+def test_windowed_count_join_boundaries(spark):
+    from locality_sensitive_hashing_spark.operators.sessions import (
+        windowed_count_join,
+    )
+
+    W = 30 * 60  # seconds; window_us = W * 1e6
+    rows = [
+        # anchor purchase at t=10000
+        (1, 1, 10000, "purchase", 0.0),
+        (2, 1, 10000 - W, "view", 0.0),       # exactly window before: IN
+        (3, 1, 10000 - W - 1, "view", 0.0),   # one past the window: OUT
+        (4, 1, 9999, "view", 0.0),            # strictly earlier: IN
+        (5, 1, 10000, "view", 0.0),           # simultaneous: OUT (strict)
+        (6, 1, 10001, "view", 0.0),           # later: OUT
+        (7, 2, 9999, "view", 0.0),            # other user: OUT
+        (8, 2, 500, "purchase", 0.0),         # anchor with zero views
+    ]
+    got = windowed_count_join(
+        _events(spark, rows),
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+        W * 1_000_000,
+    ).toPandas().set_index("event_id")
+    assert got.loc[1].n_in_window == 2  # events 2 and 4
+    assert got.loc[8].n_in_window == 0
+    assert len(got) == 2  # anchors only
+
+
+def test_windowed_count_join_vs_brute_force(spark):
+    from locality_sensitive_hashing_spark.operators.sessions import (
+        windowed_count_join,
+    )
+
+    rng = np.random.default_rng(31)
+    rows = [
+        (i, int(rng.integers(0, 6)), int(rng.integers(0, 20000)),
+         ("view", "purchase")[int(rng.integers(0, 2))], 0.0)
+        for i in range(400)
+    ]
+    W_US = 1800 * 1_000_000
+    ev = _events(spark, rows).repartition(7)
+    got = windowed_count_join(
+        ev, F.col("event_type") == "purchase",
+        F.col("event_type") == "view", W_US,
+    ).toPandas().set_index("event_id")["n_in_window"].to_dict()
+    views = [(u, s * 1_000_000) for _, u, s, t, _ in rows if t == "view"]
+    exp = {}
+    for e, u, s, t, _ in rows:
+        if t != "purchase":
+            continue
+        a_us = s * 1_000_000
+        exp[e] = sum(
+            1 for vu, v_us in views
+            if vu == u and v_us < a_us and v_us >= a_us - W_US
+        )
+    assert got == exp and sum(exp.values()) > 0
+
+
+def test_windowed_count_join_no_cartesian_plan(spark):
+    """The binned formulation must plan as an equality join -- never a
+    BroadcastNestedLoop/Cartesian over the inequality predicate."""
+    from locality_sensitive_hashing_spark.operators.sessions import (
+        windowed_count_join,
+    )
+
+    rows = [(i, i % 3, i * 100, ("view", "purchase")[i % 2], 0.0)
+            for i in range(50)]
+    df = windowed_count_join(
+        _events(spark, rows),
+        F.col("event_type") == "purchase",
+        F.col("event_type") == "view",
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Cartesian" not in plan and "NestedLoop" not in plan, plan
+    assert "Python" not in plan
