@@ -4573,7 +4573,49 @@ def q_purchase_view_window(spark, sf_dir):
     )
 
 
+WS_K = 64
+WS_SALT = "wsample-r4:"
+
+
+def q_weighted_doc_sample(spark, sf_dir):
+    """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    PPSWOR, operators/curation.py::weighted_sample): the 64 docs with
+    the largest u^(1/n_tokens) keys -- a token-mass-proportional sample,
+    the probability-proportional-to-size draw a corpus-stats pass uses.
+    Completes the deterministic sampling family next to the Bernoulli
+    stratified sampler, the uniform bottom-k, and the budget mix; same
+    salted-sha256 uniform, so reproducible across runs/engines/
+    partitionings, and the top-k plans as TakeOrderedAndProject (no
+    corpus shuffle).  Keys mergeable across shards (reservoir property,
+    pinned by test); the oracle replays u, pow, 6-dp round, and the
+    (key DESC, id) rank relationally."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return weighted_sample(
+        docs, TX.token_count("text"), WS_K, WS_SALT
+    ).select(
+        "doc_id", F.col("weight").cast("int").alias("n_tokens"), "es_key"
+    )
+
+
 ORACLE_SQL.update({
+    # weighted_doc_sample: same sha256 uniform as every sampler, pow +
+    # 6-dp round (the bits_per_token libm contract), (key DESC, id) rank.
+    "weighted_doc_sample": f"""
+WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+t AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens FROM n),
+u AS (SELECT doc_id,
+  CAST(('0x' || substr(sha256('{WS_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS uh
+  FROM documents),
+k AS (SELECT t.doc_id, t.n_tokens,
+      round(pow((u.uh + 1) / 4294967296.0, 1.0 / t.n_tokens), 6) AS es_key
+      FROM t JOIN u USING (doc_id) WHERE t.n_tokens > 0)
+SELECT doc_id, n_tokens, es_key FROM k
+ORDER BY es_key DESC, doc_id LIMIT {WS_K}
+""",
     # purchase_view_window: the direct correlated range join DuckDB can
     # express natively -- the binned equality plan must match it exactly
     # (integer epoch micros, integer window, zero rounding contract).
@@ -4804,6 +4846,7 @@ QUERIES_SQL_CHECKED = {
     "transcript_rate_screen": q_transcript_rate_screen,
     "event_type_rollup": q_event_type_rollup,
     "purchase_view_window": q_purchase_view_window,
+    "weighted_doc_sample": q_weighted_doc_sample,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

@@ -593,3 +593,58 @@ def doc_top_terms(
         .where(F.col("rank") <= top_n)
         .select(F.col(id_col), "rank", F.col("w").alias("term"), "tf", "df")
     )
+
+
+def weighted_sample_keys(
+    docs: DataFrame,
+    weight: F.Column,
+    salt: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Efraimidis–Spirakis A-ES keys for weighted sampling WITHOUT
+    replacement (Efraimidis & Spirakis 2006, "Weighted random sampling
+    with a reservoir"): key = u^(1/w) with u uniform in (0, 1] — the
+    k rows with the LARGEST keys are an exact PPSWOR sample of size k.
+
+    u derives from the same salted-sha256 uniform as every sampler here
+    (``(uh + 1) / 2^32`` — the +1 keeps u > 0 so pow never sees 0), so
+    the sample is deterministic across runs, engines, and partitionings.
+    Keys are rounded to 6 dp (pow may differ by libm ULPs across
+    engines; ties at the rounded key break by id) — the bits_per_token
+    contract.  Rows with weight <= 0 are excluded (they can never be
+    sampled).
+
+    Returns (id, weight, es_key).  Selecting the top-k by
+    (es_key DESC, id) plans as TakeOrderedAndProject — per-partition
+    partial top-k then a k-row merge, NO corpus shuffle — and the keys
+    are MERGEABLE: top-k of a union equals top-k over the per-shard
+    top-k's (the distributed-reservoir property; pinned by test).
+    """
+    u = (sample_uniform(id_col, salt) + F.lit(1)).cast("double") / F.lit(
+        4294967296.0
+    )
+    w = weight.cast("double")
+    return (
+        docs.select(F.col(id_col), w.alias("weight"))
+        .where(F.col("weight") > 0)
+        .withColumn(
+            "es_key",
+            F.round(F.pow(u, F.lit(1.0) / F.col("weight")), 6),
+        )
+    )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    weight: F.Column,
+    k: int,
+    salt: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """The k-row PPSWOR sample itself: top-k of
+    :func:`weighted_sample_keys` by (es_key DESC, id ASC)."""
+    return (
+        weighted_sample_keys(docs, weight, salt, id_col)
+        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .limit(k)
+    )

@@ -537,3 +537,91 @@ def test_doc_top_terms_normalizes_and_is_partition_invariant(spark):
     assert set(a.term) <= {"hello", "world"}
     # empty doc emits no rows
     assert (one.doc_id != "c").all()
+
+
+# --------------------------------------------------------------------------
+# weighted sampling (Efraimidis-Spirakis PPSWOR)
+# --------------------------------------------------------------------------
+
+def _es_key_py(doc_id: int, w: float, salt: str) -> float:
+    uh = int(hashlib.sha256(f"{salt}{doc_id}".encode()).hexdigest()[:8], 16)
+    return ((uh + 1) / 2**32) ** (1.0 / w)
+
+
+def test_weighted_sample_keys_math_replay(spark):
+    from locality_sensitive_hashing_spark.operators.curation import (
+        weighted_sample_keys,
+    )
+
+    rng = np.random.default_rng(5)
+    rows = [(i, " ".join(["tok"] * int(rng.integers(1, 40))))
+            for i in range(150)]
+    df = _docs(spark, rows)
+    from locality_sensitive_hashing_spark.functions.text import token_count
+
+    got = weighted_sample_keys(
+        df, token_count("text"), "ws-test:"
+    ).toPandas().set_index("doc_id")
+    assert len(got) == 150
+    for i, text in rows:
+        w = len(text.split())
+        assert got.loc[i].weight == w
+        assert abs(got.loc[i].es_key - _es_key_py(i, w, "ws-test:")) < 1e-6
+
+
+def test_weighted_sample_topk_and_merge_property(spark):
+    """top-k(A union B) == top-k( top-k(A) union top-k(B) ) -- the
+    distributed-reservoir property; and the sample matches the python
+    replay's top-k."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rng = np.random.default_rng(6)
+    rows = [(i, " ".join(["t"] * int(rng.integers(1, 60))))
+            for i in range(200)]
+    df = _docs(spark, rows)
+    K, SALT = 16, "ws-merge:"
+    wcol = F.size(F.split(F.col("text"), " "))
+    full = weighted_sample(df, wcol, K, SALT)
+    ids = [r.doc_id for r in full.collect()]
+    # python replay
+    keys = {i: _es_key_py(i, len(t.split()), SALT) for i, t in rows}
+    exp = [i for i, _ in sorted(keys.items(),
+                                key=lambda kv: (-kv[1], kv[0]))[:K]]
+    assert ids == exp
+    # merge property over two shards: each shard's top-k keys carried
+    # forward and re-ranked reproduce the global top-k exactly
+    a = weighted_sample(df.where(F.col("doc_id") < 100), wcol, K, SALT)
+    b = weighted_sample(df.where(F.col("doc_id") >= 100), wcol, K, SALT)
+    both = pd.concat([a.toPandas(), b.toPandas()]).sort_values(
+        ["es_key", "doc_id"], ascending=[False, True]
+    ).head(K)
+    assert list(both.doc_id) == exp
+
+
+def test_weighted_sample_higher_weight_wins_more(spark):
+    """Across many salts, a weight-50 row is sampled (k=1) far more
+    often than a weight-1 row -- the PPSWOR property, checked in the
+    pure replay (no Spark loop)."""
+    weights = {1: 50.0, 2: 1.0, 3: 1.0, 4: 1.0}
+    wins = {i: 0 for i in weights}
+    for s in range(300):
+        keys = {i: _es_key_py(i, w, f"salt{s}:") for i, w in weights.items()}
+        wins[max(keys, key=keys.get)] += 1
+    # E[win share of id 1] = 50/53 ~ 0.943
+    assert wins[1] > 240, wins
+
+
+def test_weighted_sample_partition_invariance(spark):
+    from locality_sensitive_hashing_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    rows = [(i, " ".join(["x"] * (1 + i % 30))) for i in range(120)]
+    df = _docs(spark, rows)
+    wcol = F.size(F.split(F.col("text"), " "))
+    one = [r.doc_id for r in weighted_sample(df, wcol, 10, "s:").collect()]
+    many = [r.doc_id for r in
+            weighted_sample(df.repartition(11), wcol, 10, "s:").collect()]
+    assert one == many and len(one) == 10

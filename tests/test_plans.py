@@ -380,3 +380,16 @@ def test_event_rollup_single_scan_expand(spark):
              and l.strip().startswith("(")]
     assert len(scans) == 1, scans
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_weighted_sample_plan_topk_no_shuffle(spark):
+    """The PPSWOR top-k plans as TakeOrderedAndProject (per-partition
+    partial top-k + k-row merge) -- no corpus-wide sort exchange; zero
+    Python."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    plan = _plan(QUERIES_SQL_CHECKED["weighted_doc_sample"](spark, SF001))
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan and "ArrowEval" not in plan
