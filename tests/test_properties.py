@@ -105,3 +105,82 @@ def test_winnow_anchors_subset_of_gram_hashes(t):
     anchors = H.winnow_anchors(t, g, w)
     grams = H.hash_kgrams(t, g)
     assert np.isin(anchors, grams).all()
+
+
+# --------------------------------------------------------------------------
+# prefix-filtering / positional-filter / interval-bin invariants
+# (pure set/integer math -- the guarantees operators/setsim.py and
+# operators/sessions.py::windowed_count_join rely on)
+# --------------------------------------------------------------------------
+
+import math
+
+SMALL_SET = st.sets(st.integers(min_value=0, max_value=30), min_size=1,
+                    max_size=15)
+TAU = st.sampled_from([0.3, 0.5, 0.6, 0.7, 0.8, 0.9])
+
+
+def _prefix(s: frozenset, tau: float, order: dict) -> set:
+    """The (|s| - ceil(tau*|s|) + 1)-prefix under a global order."""
+    k = len(s) - math.ceil(tau * len(s)) + 1
+    return set(sorted(s, key=lambda t: order[t])[:k])
+
+
+@settings(max_examples=300, deadline=None)
+@given(SMALL_SET, SMALL_SET, TAU, st.randoms(use_true_random=False))
+def test_prefix_filter_completeness(a, b, tau, rnd):
+    """The pigeonhole guarantee: J(a,b) >= tau implies the two prefixes
+    share a token, under EVERY global order (here: a random one)."""
+    a, b = frozenset(a), frozenset(b)
+    inter = len(a & b)
+    j = inter / (len(a) + len(b) - inter)
+    toks = sorted(a | b)
+    rnd.shuffle(toks)
+    order = {t: i for i, t in enumerate(toks)}
+    if j >= tau:
+        assert _prefix(a, tau, order) & _prefix(b, tau, order), (a, b, tau)
+
+
+@settings(max_examples=300, deadline=None)
+@given(SMALL_SET, SMALL_SET, TAU, st.randoms(use_true_random=False))
+def test_positional_filter_soundness(a, b, tau, rnd):
+    """The PPJoin positional bound never rejects a true >= tau pair:
+    for every shared PREFIX token at sorted positions (i, j),
+    min(i,j) + min(|a|-i, |b|-j) >= overlap, hence the min over shared
+    prefix tokens >= tau/(1+tau)*(|a|+|b|) whenever J >= tau."""
+    a, b = frozenset(a), frozenset(b)
+    inter = len(a & b)
+    j = inter / (len(a) + len(b) - inter)
+    if j < tau:
+        return
+    toks = sorted(a | b)
+    rnd.shuffle(toks)
+    order = {t: i for i, t in enumerate(toks)}
+    sa = sorted(a, key=lambda t: order[t])
+    sb = sorted(b, key=lambda t: order[t])
+    pa, pb = _prefix(a, tau, order), _prefix(b, tau, order)
+    shared = pa & pb
+    assert shared  # completeness (previous property)
+    bound = min(
+        min(sa.index(t) + 1, sb.index(t) + 1)
+        + min(len(a) - sa.index(t) - 1, len(b) - sb.index(t) - 1)
+        for t in shared
+    )
+    alpha = tau / (1 + tau) * (len(a) + len(b))
+    assert bound + 1e-9 >= alpha, (a, b, tau, bound, alpha)
+    assert bound >= inter  # it really is an overlap upper bound
+
+
+@settings(max_examples=300, deadline=None)
+@given(st.integers(min_value=0, max_value=2**45),
+       st.integers(min_value=0, max_value=10**9),
+       st.integers(min_value=1, max_value=10**9))
+def test_interval_bin_cover(anchor_us, delta, window_us):
+    """Any reference in [anchor - W, anchor) lands in the anchor's bin
+    or the one before -- the 2-bin emission of windowed_count_join
+    covers every in-window reference."""
+    ref_us = anchor_us - (delta % (window_us + 1))  # in [a - W, a]
+    if ref_us < 0 or ref_us >= anchor_us:
+        return
+    ab, rb = anchor_us // window_us, ref_us // window_us
+    assert ab in (rb, rb + 1), (anchor_us, ref_us, window_us)
