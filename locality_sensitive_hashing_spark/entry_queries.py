@@ -4573,6 +4573,48 @@ def q_purchase_view_window(spark, sf_dir):
     )
 
 
+EVENT_TYPES = ("click", "purchase", "signup", "view")  # pinned pivot domain
+
+
+def q_daily_type_pivot(spark, sf_dir):
+    """Pivot (wide-format conditional aggregation): per UTC day, one
+    count column and one exact-cents sum column per event type.  The
+    pivot VALUES are pinned explicitly -- Spark's inferring form runs an
+    extra distinct job over the corpus to discover the domain, and an
+    unbounded domain would make the schema data-dependent (both
+    unacceptable at 10^12 rows); with the list given, the plan is ONE
+    scan + ONE hash aggregate, exactly like the plain groupBy.  The
+    oracle is portable conditional aggregation (count/sum FILTER), the
+    relational identity pivot compiles to on every engine."""
+    ev = read_testdata(spark, sf_dir, "events")
+    base = ev.select(
+        F.unix_micros(
+            F.date_trunc("day", F.col("ts")).cast("timestamp")
+        ).alias("day_us"),
+        "event_type",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    piv = (
+        base.groupBy("day_us")
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(
+            # count("*") is rejected inside Pivot; count(lit(1)) is the
+            # same aggregate
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents"),
+        )
+    )
+    cols = [F.col("day_us")]
+    for t in EVENT_TYPES:
+        cols.append(
+            F.coalesce(F.col(f"{t}_n"), F.lit(0)).alias(f"n_{t}")
+        )
+        cols.append(
+            F.coalesce(F.col(f"{t}_cents"), F.lit(0)).alias(f"cents_{t}")
+        )
+    return piv.select(*cols)
+
+
 WS_K = 64
 WS_SALT = "wsample-r4:"
 
@@ -4602,6 +4644,23 @@ def q_weighted_doc_sample(spark, sf_dir):
 
 
 ORACLE_SQL.update({
+    # daily_type_pivot: pivot == conditional aggregation; exact integer
+    # counts/cents, zero rounding contract.
+    "daily_type_pivot": """
+WITH e AS (SELECT epoch_us(date_trunc('day', ts)) AS day_us, event_type,
+                  CAST(round(value * 100) AS BIGINT) AS cents
+           FROM events)
+SELECT day_us,
+  count(*) FILTER (WHERE event_type = 'click') AS n_click,
+  CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'click'), 0) AS BIGINT) AS cents_click,
+  count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+  CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'purchase'), 0) AS BIGINT) AS cents_purchase,
+  count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+  CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'signup'), 0) AS BIGINT) AS cents_signup,
+  count(*) FILTER (WHERE event_type = 'view') AS n_view,
+  CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'view'), 0) AS BIGINT) AS cents_view
+FROM e GROUP BY day_us
+""",
     # weighted_doc_sample: same sha256 uniform as every sampler, pow +
     # 6-dp round (the bits_per_token libm contract), (key DESC, id) rank.
     "weighted_doc_sample": f"""
@@ -4847,6 +4906,7 @@ QUERIES_SQL_CHECKED = {
     "event_type_rollup": q_event_type_rollup,
     "purchase_view_window": q_purchase_view_window,
     "weighted_doc_sample": q_weighted_doc_sample,
+    "daily_type_pivot": q_daily_type_pivot,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

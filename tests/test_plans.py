@@ -393,3 +393,19 @@ def test_weighted_sample_plan_topk_no_shuffle(spark):
     plan = _plan(QUERIES_SQL_CHECKED["weighted_doc_sample"](spark, SF001))
     assert "TakeOrderedAndProject" in plan
     assert "Python" not in plan and "ArrowEval" not in plan
+
+
+def test_pivot_single_scan_single_agg(spark):
+    """Pivot with PINNED values compiles to one scan + hash aggregates
+    over it -- no extra distinct job to discover the domain, no
+    self-union of per-type scans, zero Python."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+
+    plan = _plan(QUERIES_SQL_CHECKED["daily_type_pivot"](spark, SF001))
+    scans = [l for l in plan.splitlines() if "Scan parquet" in l
+             and l.strip().startswith("(")]
+    assert len(scans) == 1, scans
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert "HashAggregate" in plan
