@@ -4615,6 +4615,38 @@ def q_daily_type_pivot(spark, sf_dir):
     return piv.select(*cols)
 
 
+Z_BITS = 10           # n_chars < 1024 corpus-wide; 5 langs
+Z_FILE_SHIFT = 14     # 2*Z_BITS - 6 -> 64 layout files
+Z_LANGS = ("de", "en", "es", "fr", "zh")  # pinned ordinal domain
+
+
+def q_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering layout
+    (operators/curation.py::zorder_key): per doc, the interleaved-bit
+    key over (lang ordinal, n_chars) and the 64-way layout file it
+    sorts into -- the multi-dimensional data-layout step (Delta/Iceberg
+    OPTIMIZE ZORDER analog) that lets a 100 TB table prune file scans
+    for range predicates on EITHER dimension.  Pure integer bit
+    arithmetic inside whole-stage codegen; the oracle replays the
+    identical interleave expression (generated from the same loop --
+    single source of truth)."""
+    from locality_sensitive_hashing_spark.operators.curation import zorder_key
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    lang_ord = F.lit(-1)
+    for i, l in enumerate(Z_LANGS):
+        lang_ord = F.when(F.col("lang") == l, F.lit(i)).otherwise(lang_ord)
+    d2 = F.least(F.col("n_chars"), F.lit((1 << Z_BITS) - 1))
+    z = zorder_key(lang_ord, d2, Z_BITS)
+    return docs.select(
+        "doc_id",
+        lang_ord.cast("int").alias("lang_ord"),
+        d2.cast("int").alias("len_key"),
+        z.alias("zkey"),
+        F.shiftright(z, Z_FILE_SHIFT).cast("int").alias("file_id"),
+    )
+
+
 WS_K = 64
 WS_SALT = "wsample-r4:"
 
@@ -4821,6 +4853,32 @@ FROM e GROUP BY ROLLUP (event_type, day_us)
 })
 
 
+# zorder_layout oracle: the interleave expression is GENERATED by the
+# same loop as the Column form (operators/curation.py::zorder_key_sql --
+# single source of truth), lang ordinals and the length cap replayed
+# relationally.  All integers, zero rounding contract.
+from locality_sensitive_hashing_spark.operators.curation import (  # noqa: E402
+    zorder_key_sql as _zsql,
+)
+
+_Z_LANG_CASE = "CASE " + " ".join(
+    f"WHEN lang = '{l}' THEN {i}" for i, l in enumerate(Z_LANGS)
+) + " ELSE -1 END"
+ORACLE_SQL["zorder_layout"] = f"""
+WITH d AS (SELECT doc_id,
+    {_Z_LANG_CASE} AS lang_ord,
+    least(n_chars, {(1 << Z_BITS) - 1}) AS len_key
+  FROM documents),
+z AS (SELECT doc_id, CAST(lang_ord AS INT) AS lang_ord,
+    CAST(len_key AS INT) AS len_key,
+    CAST({_zsql('lang_ord', 'len_key', Z_BITS)} AS BIGINT) AS zkey
+  FROM d)
+SELECT doc_id, lang_ord, len_key, zkey,
+       CAST(zkey >> {Z_FILE_SHIFT} AS INT) AS file_id
+FROM z
+"""
+
+
 QUERIES_SQL_CHECKED = {
     "normalize_transcripts": q_normalize,
     "shingle_explode": q_shingle_explode,
@@ -4907,6 +4965,7 @@ QUERIES_SQL_CHECKED = {
     "purchase_view_window": q_purchase_view_window,
     "weighted_doc_sample": q_weighted_doc_sample,
     "daily_type_pivot": q_daily_type_pivot,
+    "zorder_layout": q_zorder_layout,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

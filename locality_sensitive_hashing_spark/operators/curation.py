@@ -648,3 +648,44 @@ def weighted_sample(
         .orderBy(F.desc("es_key"), F.asc(id_col))
         .limit(k)
     )
+
+
+def zorder_key(d1: F.Column, d2: F.Column, bits: int = 10) -> F.Column:
+    """Morton / Z-order key: interleave the low ``bits`` bits of two
+    integer dimensions (d1 on even positions, d2 on odd).
+
+    The multi-dimensional CLUSTERING key behind data-layout optimization
+    (Delta/Iceberg OPTIMIZE ZORDER): writing a 100 TB table ordered by
+    zorder_key(dim_a, dim_b) makes a range predicate on EITHER dimension
+    prune to a bounded set of contiguous files, instead of choosing one
+    sort dimension and scanning everything for the other.  Pure integer
+    Column arithmetic (shift/and/or of 2*bits terms inside whole-stage
+    codegen), exactly replayable in any engine -- no UDF, no floats.
+    Inputs are masked to ``bits`` bits (callers cap/bucket their
+    dimensions first; the mask keeps an out-of-range value from
+    corrupting neighbors' bit positions).
+    """
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(d1.cast("long"), i).bitwiseAND(F.lit(1)),
+                        2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(d2.cast("long"), i).bitwiseAND(F.lit(1)),
+                        2 * i + 1)
+        )
+    return z
+
+
+def zorder_key_sql(e1: str, e2: str, bits: int = 10) -> str:
+    """The identical interleave as a SQL expression string (single
+    source of truth with :func:`zorder_key` -- same loop, same bit
+    positions), for the DuckDB oracle."""
+    terms = []
+    for i in range(bits):
+        # every term fully parenthesized: DuckDB gives << and | the same
+        # precedence (left-assoc), so a bare `a << 0 | b << 1` compounds
+        # the shifts instead of OR-ing the terms
+        terms.append(f"(((({e1}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({e2}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " | ".join(terms) + ")"

@@ -625,3 +625,71 @@ def test_weighted_sample_partition_invariance(spark):
     many = [r.doc_id for r in
             weighted_sample(df.repartition(11), wcol, 10, "s:").collect()]
     assert one == many and len(one) == 10
+
+
+# --------------------------------------------------------------------------
+# Z-order (Morton) clustering key
+# --------------------------------------------------------------------------
+
+def _morton_py(a: int, b: int, bits: int) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i)
+        z |= ((b >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_key_python_replay(spark):
+    from locality_sensitive_hashing_spark.operators.curation import zorder_key
+
+    rng = np.random.default_rng(11)
+    rows = [(i, int(rng.integers(0, 1024)), int(rng.integers(0, 1024)))
+            for i in range(300)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["i", "a", "b"]))
+    got = df.select(
+        "i", zorder_key(F.col("a"), F.col("b"), 10).alias("z")
+    ).toPandas().set_index("i")["z"].to_dict()
+    assert got == {i: _morton_py(a, b, 10) for i, a, b in rows}
+
+
+def test_zorder_sql_twin_matches_column_form(spark):
+    """zorder_key_sql (the oracle's expression) is generated by the same
+    loop -- evaluate it through Spark SQL and compare to the Column form."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        zorder_key,
+        zorder_key_sql,
+    )
+
+    rng = np.random.default_rng(12)
+    rows = [(int(rng.integers(0, 1024)), int(rng.integers(0, 1024)))
+            for _ in range(100)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["a", "b"]))
+    both = df.select(
+        zorder_key(F.col("a"), F.col("b"), 10).alias("zc"),
+        F.expr(zorder_key_sql("a", "b", 10)).cast("long").alias("zs"),
+    ).toPandas()
+    assert (both.zc == both.zs).all()
+
+
+def test_zorder_locality_prunes_files(spark):
+    """The layout property the key exists for: a range predicate on ONE
+    dimension touches a bounded subset of the 64 layout files, for
+    EITHER dimension -- a single-column sort only gives this for its
+    own column."""
+    from locality_sensitive_hashing_spark.operators.curation import zorder_key
+
+    rows = [(a, b) for a in range(0, 1024, 32) for b in range(0, 1024, 32)]
+    df = spark.createDataFrame(pd.DataFrame(rows, columns=["a", "b"]))
+    z = df.select(
+        "a", "b",
+        F.shiftright(zorder_key(F.col("a"), F.col("b"), 10), 14)
+        .alias("file_id"),
+    ).toPandas()
+    total = z.file_id.nunique()
+    assert total == 64
+    # a narrow range on EITHER dimension prunes to 1/8 of the files
+    # (the top 6 z-bits interleave 3 high bits of each dim)
+    fa = z[z.a.between(0, 127)].file_id.nunique()
+    fb = z[z.b.between(0, 127)].file_id.nunique()
+    assert fa == total / 8, (fa, total)
+    assert fb == total / 8, (fb, total)

@@ -409,3 +409,17 @@ def test_pivot_single_scan_single_agg(spark):
     assert len(scans) == 1, scans
     assert "Python" not in plan and "ArrowEval" not in plan
     assert "HashAggregate" in plan
+
+
+def test_zorder_layout_pure_project(spark):
+    """The layout key is pure integer Column arithmetic: single scan,
+    no exchange, no Python -- the 100 TB write is sortWithinPartitions
+    over this Project."""
+    from locality_sensitive_hashing_spark.entry_queries import (
+        QUERIES_SQL_CHECKED,
+    )
+    import re
+
+    plan = _plan(QUERIES_SQL_CHECKED["zorder_layout"](spark, SF001))
+    assert "Python" not in plan and "ArrowEval" not in plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
