@@ -32,7 +32,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-checkable subset; UDF/hash-family/iterative operators are
-    rows-only by design (the pinned hash family cannot be reproduced in
-    SQL) -- their exactness gate is the numpy-oracle pytest suite."""
+    """One DuckDB replica per queries() entry -- NO rows-only queries
+    remain (since round 3): UDF-kernel queries commit their kernel
+    output to aux parquet tables and the oracle replays the entire
+    downstream derivation relationally (hash family as literals,
+    byte-arithmetic WAV decode, recursive-CTE closures), so every
+    driver query is value-hash-checked."""
     return dict(EQ.ORACLE_SQL)
