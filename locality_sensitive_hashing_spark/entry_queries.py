@@ -4879,58 +4879,21 @@ FROM z
 """
 
 
+# ORDERING CONTRACT (round 5): the driver's correctness harness checks
+# exactly the FIRST 50 names in dict order (`list(all_queries())[:50]`,
+# VERDICT r4). Rounds 1-4 certified 50 of the 85 registered queries; the
+# 35 added in round 4 never received a driver-side CORRECTNESS row. The
+# dict is therefore ordered in three tiers:
+#   tier 1 (35): every query with NO green driver row in r1-r4 — the
+#     round-4 curation/audio-content/sketch/incremental-capstone surface;
+#   tier 2 (15): already-certified sentinels spanning the flagship
+#     pipeline, the three detectors, incremental/streaming, audio decode
+#     and ANN — so the driver still re-certifies the core each round;
+#   tier 3 (35): the remaining r1-r4-certified queries, past slot 50.
+# Every tier-3 name has a green hash_match row in CORRECTNESS_r0{1..4}
+# .json and stays covered by tests/test_entry.py's 85-query replica.
 QUERIES_SQL_CHECKED = {
-    "normalize_transcripts": q_normalize,
-    "shingle_explode": q_shingle_explode,
-    "shingle_counts": q_shingle_counts,
-    "word_shingles": q_word_shingles,
-    "bucket_sizes": q_bucket_sizes,
-    "candidate_pairs": q_candidate_pairs,
-    "pair_jaccard_topk": q_pair_jaccard_topk,
-    "pair_containment_topk": q_pair_containment_topk,
-    "lsh_tuning_report": q_lsh_tuning_report,
-    "exact_dedup": q_exact_dedup,
-    "lang_id_counts": q_lang_id_counts,
-    "quality_scores": q_quality_scores,
-    "token_counts": q_token_counts,
-    "doc_fingerprints": q_doc_fingerprints,
-    "embedding_cosine_topk": q_embedding_cosine_topk,
-    "events_type_agg": q_events_type_agg,
-    "pricing_summary": q_pricing_summary,
-    "shipping_priority": q_shipping_priority,
-    "regional_nation_revenue": q_regional_nation_revenue,
-    "user_sessions": q_user_sessions,
-    "click_view_attribution": q_click_view_attribution,
-    "hourly_event_rollup": q_hourly_event_rollup,
-    "top_docs_per_lang": q_top_docs_per_lang,
-    "sql_dedup_clusters": q_sql_dedup_clusters,
-    "incremental_dedup_clusters": q_incremental_dedup_clusters,
-    "incremental_relabel_view": q_incremental_relabel_view,
-    "keyindex_membership": q_keyindex_membership,
-    "mismatched_transcripts": q_mismatched_transcripts,
-    "keep_best_quality": q_keep_best_quality,
-    "ann_topk_per_query": q_ann_topk_per_query,
-    "content_keys": q_content_keys,
-    "streaming_dedup_state": q_streaming_dedup_state,
-    # kernel-backed, SQL-checked via aux tables (module docstring)
-    "minhash_signatures": q_minhash_signatures,
-    "minhash_candidates": q_minhash_candidates,
-    "simhash_fingerprints": q_simhash_fingerprints,
-    "simhash_candidates": q_simhash_candidates,
-    "sa_substring_candidates": q_sa_candidates,
-    "full_pipeline_clusters": q_full_pipeline_clusters,
-    "dedup_keep_list": q_dedup_keep_list,
-    "eval_planted_recall": q_eval_planted_recall,
-    "cluster_size_hist": q_cluster_size_hist,
-    "cluster_quality_report": q_cluster_quality_report,
-    "dedup_summary": q_dedup_summary,
-    "ann_lsh_topk": q_ann_lsh_topk,
-    "ann_ivf_topk": q_ann_ivf_topk,
-    "ann_pq_topk": q_ann_pq_topk,
-    "ann_ivfpq_topk": q_ann_ivfpq_topk,
-    "embedding_near_dups": q_embedding_near_dups,
-    "audio_features": q_audio_features,
-    "audio_quality_screen": q_audio_quality_screen,
+    # ---- tier 1: never driver-certified before round 5 (35) ----
     "audio_temporal_stats": q_audio_temporal_stats,
     "audio_spectral_profile": q_audio_spectral_profile,
     "audio_resample_check": q_audio_resample_check,
@@ -4966,6 +4929,58 @@ QUERIES_SQL_CHECKED = {
     "weighted_doc_sample": q_weighted_doc_sample,
     "daily_type_pivot": q_daily_type_pivot,
     "zorder_layout": q_zorder_layout,
+    # ---- tier 2: already-certified sentinels (15; slots 36-50) ----
+    "minhash_signatures": q_minhash_signatures,
+    "minhash_candidates": q_minhash_candidates,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "simhash_candidates": q_simhash_candidates,
+    "sa_substring_candidates": q_sa_candidates,
+    "full_pipeline_clusters": q_full_pipeline_clusters,
+    "dedup_keep_list": q_dedup_keep_list,
+    "eval_planted_recall": q_eval_planted_recall,
+    "incremental_dedup_clusters": q_incremental_dedup_clusters,
+    "incremental_relabel_view": q_incremental_relabel_view,
+    "keyindex_membership": q_keyindex_membership,
+    "streaming_dedup_state": q_streaming_dedup_state,
+    "audio_features": q_audio_features,
+    "ann_lsh_topk": q_ann_lsh_topk,
+    "ann_ivfpq_topk": q_ann_ivfpq_topk,
+    # ---- tier 3: r1-r4-certified, past the driver's 50-slot window ----
+    "normalize_transcripts": q_normalize,
+    "shingle_explode": q_shingle_explode,
+    "shingle_counts": q_shingle_counts,
+    "word_shingles": q_word_shingles,
+    "bucket_sizes": q_bucket_sizes,
+    "candidate_pairs": q_candidate_pairs,
+    "pair_jaccard_topk": q_pair_jaccard_topk,
+    "pair_containment_topk": q_pair_containment_topk,
+    "lsh_tuning_report": q_lsh_tuning_report,
+    "exact_dedup": q_exact_dedup,
+    "lang_id_counts": q_lang_id_counts,
+    "quality_scores": q_quality_scores,
+    "token_counts": q_token_counts,
+    "doc_fingerprints": q_doc_fingerprints,
+    "embedding_cosine_topk": q_embedding_cosine_topk,
+    "events_type_agg": q_events_type_agg,
+    "pricing_summary": q_pricing_summary,
+    "shipping_priority": q_shipping_priority,
+    "regional_nation_revenue": q_regional_nation_revenue,
+    "user_sessions": q_user_sessions,
+    "click_view_attribution": q_click_view_attribution,
+    "hourly_event_rollup": q_hourly_event_rollup,
+    "top_docs_per_lang": q_top_docs_per_lang,
+    "sql_dedup_clusters": q_sql_dedup_clusters,
+    "mismatched_transcripts": q_mismatched_transcripts,
+    "keep_best_quality": q_keep_best_quality,
+    "ann_topk_per_query": q_ann_topk_per_query,
+    "content_keys": q_content_keys,
+    "cluster_size_hist": q_cluster_size_hist,
+    "cluster_quality_report": q_cluster_quality_report,
+    "dedup_summary": q_dedup_summary,
+    "ann_ivf_topk": q_ann_ivf_topk,
+    "ann_pq_topk": q_ann_pq_topk,
+    "embedding_near_dups": q_embedding_near_dups,
+    "audio_quality_screen": q_audio_quality_screen,
 }
 
 # empty since round 3: audio_features gained a full-decode DuckDB oracle

@@ -89,6 +89,40 @@ def _check_aux_snapshot_fresh(name: str) -> None:
         )
 
 
+# The driver's correctness harness checks exactly the first 50 names in
+# queries() dict order (VERDICT r4). These 35 queries had no driver-side
+# CORRECTNESS row in rounds 1-4, so round 5 pins them inside the window
+# (tier 1 of the ordering contract in entry_queries.QUERIES_SQL_CHECKED).
+_ROUND5_WINDOW_REQUIRED = {
+    "audio_temporal_stats", "audio_spectral_profile", "audio_resample_check",
+    "audio_silence_runs", "shingle_hll", "audio_energy_profile",
+    "audio_content_near_dups", "audio_content_clusters",
+    "audio_eval_planted_recall", "incremental_audio_clusters",
+    "incremental_substring_clusters", "incremental_maintenance_clusters",
+    "detector_attribution", "decontamination", "semantic_dedup",
+    "stratified_sample", "shard_layout", "token_budget_mix",
+    "token_cms_estimate", "lang_shingle_similarity", "unigram_lm_score",
+    "bpe_token_counts", "ngram_heavy_hitters", "boilerplate_coverage",
+    "repetition_report", "doclen_quantiles", "doc_top_terms",
+    "setsim_join_pairs", "bloom_membership", "transcript_rate_screen",
+    "event_type_rollup", "purchase_view_window", "weighted_doc_sample",
+    "daily_type_pivot", "zorder_layout",
+    # tier-2 sentinels: the core pipeline must stay driver-certified
+    "full_pipeline_clusters", "eval_planted_recall", "minhash_signatures",
+    "simhash_candidates", "sa_substring_candidates", "audio_features",
+    "incremental_relabel_view", "streaming_dedup_state",
+}
+
+
+def test_driver_window_ordering_contract():
+    """The driver certifies list(queries())[:50]; every name above must
+    occupy one of those 50 slots or its correctness evidence silently
+    degrades to local-only (the r4 verdict's top finding)."""
+    window = set(list(E.queries())[:50])
+    missing = _ROUND5_WINDOW_REQUIRED - window
+    assert missing == set(), f"pushed out of driver window: {sorted(missing)}"
+
+
 def test_no_rows_only_queries_remain():
     """Since round 3 every queries() entry has an oracle_sql() replica
     (audio_features gained a full-decode DuckDB oracle) -- a regression
