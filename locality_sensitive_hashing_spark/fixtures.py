@@ -276,7 +276,16 @@ def clips_from_documents_df(spark, sf_dir: str, seed: int = 42,
     """Distributed clips synthesis from the driver's ``documents`` table.
 
     One clip per doc; with ``plant_dups`` every 10th doc gains an exact
-    copy 'x' and a near-dup transcript variant 'n' sharing the audio.
+    copy 'x' and a near-dup transcript variant 'n' sharing the audio, and
+    every 20th doc additionally gains an audio-CONTENT pair: an enveloped
+    500 ms master 'e' (its own unrelated transcript) plus a head-trimmed
+    republication 'f' of the SAME recording under ANOTHER unrelated
+    transcript -- different bytes, different transcripts, so only the
+    frame-energy content detector (operators/audio_lsh.py, folded into
+    the flagship DAG round 5) can cluster e with f.  The 250 ms flat-tone
+    base clips sit below the detector's MIN_PROFILE_SHINGLES floor by
+    construction, so they are excluded from energy blocking exactly as a
+    web corpus's short/silent clips would be.
     Audio synthesis + variant generation run IN EXECUTORS via mapInPandas
     with a per-doc seeded rng -- no driver-side pandas corpus, so the
     generator itself scales with the cluster (the round-1 driver-loop
@@ -311,6 +320,23 @@ def clips_from_documents_df(spark, sf_dir: str, seed: int = 42,
                     rows.append((
                         base + "n", raw, sr, dur, "pcm_s16le",
                         " ".join(_near_variant(rng, toks, 0.7, 1, 3)),
+                    ))
+                if plant_dups and doc_id % 20 == 0:
+                    # audio-content pair: enveloped master + head-trimmed
+                    # republication, both under unrelated transcripts
+                    # (disjoint rng substream so base clips are unchanged)
+                    erng = np.random.default_rng([seed, doc_id, 7])
+                    edur = 500
+                    epcm = synth_env_pcm(erng, sr, edur)
+                    rows.append((
+                        base + "e", A.encode_wav(epcm, sr, "pcm_s16le"),
+                        sr, edur, "pcm_s16le",
+                        f"enveloped master recording number {doc_id}",
+                    ))
+                    rows.append((
+                        base + "f", A.encode_wav(epcm[800:], sr, "pcm_s16le"),
+                        sr, 400, "pcm_s16le",
+                        f"retake {doc_id} republished with the opening trimmed",
                     ))
             yield pd.DataFrame(
                 rows,

@@ -61,22 +61,32 @@ def distinct_texts(keyed: DataFrame) -> DataFrame:
     return keyed.groupBy("text_key").agg(F.min("norm").alias("norm"))
 
 
-def audio_classes(keyed: DataFrame, clips: DataFrame | None = None) -> DataFrame:
+def audio_classes(
+    keyed: DataFrame,
+    clips: DataFrame | None = None,
+    cfg: Config | None = None,
+) -> DataFrame:
     """(text_key, audio_key, rep, n_members [, decode_ok, n_samples,
-    digest]): one row per byte-identical payload class within a text
-    group; rep = min clip_id.
+    digest, e_ok, e_shingles, e_sig]): one row per byte-identical payload
+    class within a text group; rep = min clip_id.
 
     When ``clips`` is given, the representative payload is decoded ONCE
     per class and summarized (decodability, sample count, quantized sample
     digest) so pair verification can screen JVM-side on 256-byte digests
-    instead of shuffling full payloads (operators/verify.py).
+    instead of shuffling full payloads (operators/verify.py).  The SAME
+    decode pass also emits the frame-energy content profile
+    (operators/audio_lsh.py kernels: quantized log-energy shingles + the
+    seed-pinned MinHash signature over them), so the flagship's
+    audio-content detector costs zero additional passes over payload
+    bytes -- at 10^12 clips a second decode sweep would double the
+    corpus-linear I/O for the audio axis.
     """
     cls = keyed.groupBy("text_key", "audio_key").agg(
         F.min("clip_id").alias("rep"), F.count("*").alias("n_members")
     )
     if clips is None:
         return cls
-    meta = class_audio_meta_udf()
+    meta = class_audio_meta_udf(cfg)
     return (
         cls.join(clips.select(F.col("clip_id").alias("rep"), "bytes"), "rep")
         .withColumn("_m", meta(F.col("bytes")))
@@ -85,30 +95,69 @@ def audio_classes(keyed: DataFrame, clips: DataFrame | None = None) -> DataFrame
             F.col("_m.decode_ok").alias("decode_ok"),
             F.col("_m.n_samples").alias("n_samples"),
             F.col("_m.digest").alias("digest"),
+            F.col("_m.e_ok").alias("e_ok"),
+            F.col("_m.e_shingles").alias("e_shingles"),
+            F.col("_m.e_sig").alias("e_sig"),
         )
     )
 
 
-def class_audio_meta_udf():
-    """pandas UDF: wav bytes -> struct(decode_ok, n_samples, digest).
+def class_audio_meta_udf(cfg: Config | None = None):
+    """pandas UDF: wav bytes -> struct(decode_ok, n_samples, digest,
+    e_ok, e_shingles, e_sig).
 
     Runs once per audio class representative; the digest feeds the exact
-    allclose pre-screen (audio.pcm_digest)."""
-    from locality_sensitive_hashing_spark import audio as A
+    allclose pre-screen (audio.pcm_digest), the e_* columns feed the
+    frame-energy content detector (operators/audio_lsh.py -- e_ok is the
+    canonical-s16le parse flag; the energy kernels only define semantics
+    over canonical pcm_s16le payloads, matching the standalone detector
+    and its DuckDB oracle)."""
+    import numpy as np
 
-    @F.pandas_udf("decode_ok boolean, n_samples long, digest array<long>")
+    from locality_sensitive_hashing_spark import audio as A
+    from locality_sensitive_hashing_spark import hashing as H
+    from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        _canonical_s16le_samples,
+        frame_energy_symbols,
+        shingle_encode,
+    )
+
+    c = cfg or DEFAULT_CONFIG
+    ha, hb = H.hash_family(c)
+    prime = c.modulo_prime
+
+    @F.pandas_udf(
+        "decode_ok boolean, n_samples long, digest array<long>, "
+        "e_ok boolean, e_shingles array<int>, e_sig array<int>"
+    )
     def compute(b: pd.Series) -> pd.DataFrame:
-        oks, ns, digs = [], [], []
+        oks, ns, digs, eoks, eshs, esigs = [], [], [], [], [], []
         for raw in b:
+            raw = bytes(raw or b"")
             try:
-                pcm, _ = A.decode_wav(bytes(raw or b""))
+                pcm, _ = A.decode_wav(raw)
                 ok = pcm.size > 0
             except Exception:
                 pcm, ok = None, False
             oks.append(ok)
             ns.append(int(pcm.size) if ok else 0)
             digs.append(A.pcm_digest(pcm).tolist() if ok else [])
-        return pd.DataFrame({"decode_ok": oks, "n_samples": ns, "digest": digs})
+            ints = _canonical_s16le_samples(raw)
+            if ints is not None and ints.size > 0:
+                sh = shingle_encode(frame_energy_symbols(ints))
+                sig = H.minhash_signature(sh.astype(np.uint64), ha, hb, prime)
+                eoks.append(True)
+                eshs.append(sh.astype(np.int32).tolist())
+                esigs.append(sig.astype(np.int32).tolist())
+            else:
+                eoks.append(False)
+                eshs.append([])
+                esigs.append([])
+        return pd.DataFrame({
+            "decode_ok": oks, "n_samples": ns, "digest": digs,
+            "e_ok": eoks, "e_shingles": eshs, "e_sig": esigs,
+        })
 
     return compute
 

@@ -164,14 +164,89 @@ def _audio_verdict(pairs: DataFrame, clips: DataFrame) -> DataFrame:
     )
 
 
+def energy_class_feats(classes: DataFrame) -> DataFrame:
+    """One frame-energy feature row per DISTINCT payload (audio_key):
+    (audio_key, clip_id=global rep, shingles, sig, decode_ok=true), in the
+    shape operators/audio_lsh.py's blocking functions expect."""
+    return (
+        classes.where("e_ok")
+        .groupBy("audio_key")
+        .agg(
+            F.min("rep").alias("clip_id"),
+            # all rows of one audio_key carry identical e_* values (pure
+            # functions of the shared byte payload); min_by picks the
+            # global rep's copy deterministically
+            F.min_by("e_shingles", "rep").alias("shingles"),
+            F.min_by("e_sig", "rep").alias("sig"),
+        )
+        .withColumn("decode_ok", F.lit(True))
+    )
+
+
+def energy_content_edges(classes: DataFrame, cfg: Config) -> DataFrame:
+    """Audio-CONTENT edges (kind="audio_content") between distinct
+    payloads: the frame-energy LSH detector folded into the flagship DAG.
+
+    Pairs re-masters whose BYTES differ and whose TRANSCRIPTS differ --
+    head-trimmed or re-recorded-with-noise republications that no text
+    detector and no byte-equality class can reach (operators/audio_lsh.py
+    module docstring).  Consumes the e_* columns the ``audio_classes``
+    kernel already computed (zero extra decode passes); runs once per
+    DISTINCT payload (audio_key), so byte-identical republication adds no
+    work, and the member clips reach the content edge through their class
+    chain/star edges exactly like the PCM axis.
+
+    Semantics match the standalone detector (q_audio_content_near_dups):
+    canonical-s16le payloads only (e_ok), the MIN_PROFILE_SHINGLES
+    low-information floor, tuple-band LSH blocking at cfg.bucket_cap, and
+    an EXACT shingle-Jaccard verdict.  Emitted rows carry est_jaccard =
+    that exact Jaccard; allclose/snr_db are reported False/-inf ("PCM
+    compare not run" -- bytes differ by construction for every
+    cross-payload pair), hamming/lcs as the -1 not-computed sentinel, and
+    is_dup = jaccard >= audio_lsh.JACCARD_THRESHOLD.
+    """
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        JACCARD_THRESHOLD,
+        audio_candidate_pairs,
+    )
+
+    feats = energy_class_feats(classes)
+    pairs = audio_candidate_pairs(feats, cfg)
+    s1 = feats.select(F.col("clip_id").alias("id1"), F.col("shingles").alias("_sh1"))
+    s2 = feats.select(F.col("clip_id").alias("id2"), F.col("shingles").alias("_sh2"))
+    jac = (
+        F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+        / F.size(F.array_union("_sh1", "_sh2"))
+    )
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("est_jaccard", jac)
+        .select(
+            "id1", "id2",
+            F.lit("audio_content").alias("kind"),
+            F.array(F.lit("energy")).alias("detectors"),
+            "est_jaccard",
+            F.lit(False).alias("teq"),
+            F.lit(-1).alias("hamming"),
+            F.lit(-1).cast("long").alias("lcs"),
+            F.lit(False).alias("allclose"),
+            F.lit(_NEG_INF).alias("snr_db"),
+            (F.col("est_jaccard") >= F.lit(JACCARD_THRESHOLD)).alias("is_dup"),
+        )
+    )
+
+
 def expand_and_verify(
     text_verified: DataFrame,
     classes: DataFrame,
     chains: DataFrame,
     clips: DataFrame,
     cfg: Config,
+    energy: bool = True,
 ) -> DataFrame:
-    """Clip-level verified edges: chain + within-group + cross-group.
+    """Clip-level verified edges: chain + within-group + cross-group
+    (+ audio-content energy edges when ``energy``).
 
     ``classes``: (text_key, audio_key, rep, n_members);
     ``chains``: (id1, id2, text_key, audio_key).
@@ -272,8 +347,13 @@ def expand_and_verify(
         F.lit(False).alias("is_dup"),
     )
 
-    return (
+    out = (
         chain.select(*VERIFIED_COLUMNS)
         .unionByName(survivors.select(*VERIFIED_COLUMNS))
         .unionByName(rejected.select(*VERIFIED_COLUMNS))
     )
+    if energy:
+        out = out.unionByName(
+            energy_content_edges(classes, cfg).select(*VERIFIED_COLUMNS)
+        )
+    return out

@@ -75,6 +75,26 @@ def _class_meta(raw: bytes) -> tuple[bool, int, np.ndarray]:
     return False, 0, np.empty(0, dtype=np.int64)
 
 
+def _energy_profile(
+    raw: bytes, a: np.ndarray, b: np.ndarray, prime: int
+) -> tuple[bool, np.ndarray, np.ndarray]:
+    """(e_ok, e_shingles, e_sig) -- mirrors the energy half of
+    class_audio_meta_udf (operators/audio_lsh.py kernels, canonical-s16le
+    payloads only)."""
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        _canonical_s16le_samples,
+        frame_energy_symbols,
+        shingle_encode,
+    )
+
+    ints = _canonical_s16le_samples(raw)
+    if ints is None or ints.size == 0:
+        return False, np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64)
+    sh = shingle_encode(frame_energy_symbols(ints))
+    sig = H.minhash_signature(sh.astype(np.uint64), a, b, prime)
+    return True, sh, sig.astype(np.int64)
+
+
 def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
     """Run the whole dedup pipeline single-process over a clips DataFrame.
 
@@ -195,9 +215,16 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
         .reset_index()
     )
     meta = {r.rep: _class_meta(bytes(blobs[r.rep])) for r in cls.itertuples()}
+    emeta = {
+        r.rep: _energy_profile(bytes(blobs[r.rep]), a, b, cfg.modulo_prime)
+        for r in cls.itertuples()
+    }
     cls["decode_ok"] = [meta[r][0] for r in cls["rep"]]
     cls["n_samples"] = [meta[r][1] for r in cls["rep"]]
     cls["digest"] = [meta[r][2].tolist() for r in cls["rep"]]
+    cls["e_ok"] = [emeta[r][0] for r in cls["rep"]]
+    cls["e_shingles"] = [emeta[r][1].tolist() for r in cls["rep"]]
+    cls["e_sig"] = [emeta[r][2].tolist() for r in cls["rep"]]
     classes_df = cls.sort_values(["text_key", "audio_key"]).reset_index(drop=True)
     n_classes = cls.groupby("text_key")["rep"].size().to_dict()
     dropped_groups_df = pd.DataFrame(
@@ -261,6 +288,43 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
                     (i1, i2, "cross", dets, est_j, False, ham, lcs, close, snr, dup)
                 )
 
+    # audio-content energy edges over distinct payloads (mirrors
+    # operators/verify.py energy_content_edges: one feature row per
+    # audio_key at its GLOBAL rep, MIN_PROFILE_SHINGLES floor at blocking,
+    # tuple-band LSH at bucket_cap, exact shingle-Jaccard verdict)
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        JACCARD_THRESHOLD,
+        MIN_PROFILE_SHINGLES,
+    )
+
+    ak_rep: dict[str, str] = {}
+    for r in cls.itertuples():
+        if r.e_ok and (r.audio_key not in ak_rep or r.rep < ak_rep[r.audio_key]):
+            ak_rep[r.audio_key] = r.rep
+    efeats = {
+        rep: emeta[rep][1]
+        for rep in ak_rep.values()
+        if emeta[rep][1].size >= MIN_PROFILE_SHINGLES
+    }
+    r_pb = cfg.rows_per_band
+    egroups: dict[tuple[int, tuple], list[str]] = {}
+    for rep in efeats:
+        sig = emeta[rep][2]
+        for j in range(cfg.bands):
+            egroups.setdefault(
+                (j, tuple(sig[j * r_pb : (j + 1) * r_pb].tolist())), []
+            ).append(rep)
+    ekept = {k: m for k, m in egroups.items() if 1 < len(m) <= cfg.bucket_cap}
+    n_energy_pairs = 0
+    for e1, e2 in sorted(_pairs_from_groups(ekept)):
+        s1, s2 = efeats[e1], efeats[e2]
+        j = len(np.intersect1d(s1, s2)) / len(np.union1d(s1, s2))
+        n_energy_pairs += 1
+        ver_rows.append(
+            (e1, e2, "audio_content", ["energy"], float(j), False, -1, -1,
+             False, NEG_INF, bool(j >= JACCARD_THRESHOLD))
+        )
+
     verified_df = pd.DataFrame(
         ver_rows,
         columns=["id1", "id2", "kind", "detectors", "est_jaccard", "teq",
@@ -294,6 +358,7 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
         "n_minhash_pairs": len(minhash_pairs),
         "n_simhash_pairs": len(simhash_pairs),
         "n_sa_pairs": len(sa_pairs),
+        "n_energy_pairs": n_energy_pairs,
         "n_text_candidates": len(all_pairs),
         "n_verified_edges": len(ver_rows),
         "n_dup_edges": int(verified_df["is_dup"].sum()) if len(verified_df) else 0,

@@ -13,7 +13,11 @@ operators/textgroup.py):
     SIGNATURES -> cand_sa(O15)           [text pairs]
     cand_* -> CANDIDATES(O16) -> text_metrics -> TEXT_VERIFIED(O11, O20)
     KEYED -> AUDIO_CLASSES / chain_edges
-    TEXT_VERIFIED + classes -> VERIFIED(O17-O18, clip-level edges)
+      (the audio_classes kernel also emits the frame-energy content
+       profile per distinct payload -- operators/audio_lsh.py -- so the
+       fourth detector rides the same decode pass)
+    TEXT_VERIFIED + classes -> VERIFIED(O17-O18, clip-level edges:
+       chain / within / cross PCM edges + audio_content energy edges)
     VERIFIED -> CLUSTERS(O21-O22)
 
 The reference ran its dataflow as GAE MapReduce phases materialized
@@ -121,7 +125,7 @@ class DedupPipeline:
         cfg: Config,
         io: TableIO,
         run_id: str | None = None,
-        detectors: tuple[str, ...] = ("minhash", "simhash", "sa"),
+        detectors: tuple[str, ...] = ("minhash", "simhash", "sa", "energy"),
         materialize: frozenset[str] | str | None = None,
     ):
         self.spark = spark
@@ -217,7 +221,7 @@ class DedupPipeline:
         keyed = self._stage("keyed", lambda: with_content_keys(clips))
 
         def build_classes():
-            cl = audio_classes(keyed, clips)
+            cl = audio_classes(keyed, clips, cfg)
             self.io.write(dropped_groups(cl, cfg), "dropped_groups", cfg.config_id)
             return cl
 
@@ -341,9 +345,42 @@ class DedupPipeline:
         )
         if tm_cached:
             text_metrics.unpersist()
+        energy = "energy" in self.detectors
+        if energy and not self.io.committed(
+            "dropped_energy_buckets", cfg.config_id
+        ):
+            # same loud-drop contract as the text banding caps (O25):
+            # over-cap energy tuple-buckets are counted, never silent.
+            # Advisory logging -> async pool, drained before run() returns.
+            def emit_dropped_energy():
+                from locality_sensitive_hashing_spark.operators.audio_lsh import (
+                    explode_energy_bands,
+                )
+                from locality_sensitive_hashing_spark.operators.verify import (
+                    energy_class_feats,
+                )
+
+                self.io.write(
+                    dropped_blocks(
+                        explode_energy_bands(energy_class_feats(classes), cfg),
+                        ["band_id", "bkey"],
+                        cfg.bucket_cap,
+                    ),
+                    "dropped_energy_buckets",
+                    cfg.config_id,
+                )
+
+            if self._metrics_pool is not None:
+                self._metrics_futures.append(
+                    self._metrics_pool.submit(emit_dropped_energy)
+                )
+            else:
+                emit_dropped_energy()
         verified = self._stage(
             "verified",
-            lambda: expand_and_verify(text_verified, classes, chains, clips, cfg),
+            lambda: expand_and_verify(
+                text_verified, classes, chains, clips, cfg, energy=energy
+            ),
         )
         clusters = self._stage(
             "clusters",
