@@ -504,11 +504,11 @@ def pq_codebooks(
     Deterministic on purpose (same contract as :func:`ivf_centroids`):
     the hash-checked driver query needs a codebook both engines can
     derive exactly -- the DuckDB oracle re-slices the same first-k rows
-    relationally, so the codebook itself needs NO aux table.  A
-    production deployment would k-means each subspace
-    (:func:`kmeans_centroids` on the slice); everything downstream --
-    broadcast books, byte codes, LUT scoring -- is identical, and that
-    is the part that has to scale.  Collect is codebook-sized.
+    relationally, so the codebook itself needs NO aux table.  The
+    production books are :func:`pq_codebooks_kmeans`
+    (``trainer="kmeans"``); everything downstream -- broadcast books,
+    byte codes, LUT scoring -- is identical, and that is the part that
+    has to scale.  Collect is codebook-sized.
     """
     rows = (
         emb.orderBy(id_col).limit(k_codes)
@@ -520,6 +520,127 @@ def pq_codebooks(
         raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
     sub = dim // m_sub
     return X.reshape(k, m_sub, sub).transpose(1, 0, 2)  # (m, k, sub)
+
+
+def pq_codebooks_kmeans(
+    emb: DataFrame,
+    m_sub: int = 4,
+    k_codes: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """(m_sub, k_codes, sub_dim) PQ codebooks, k-means-trained per
+    subspace -- the production alternative to the deterministic first-k
+    books (:func:`pq_codebooks`), selected via
+    ``pq_topk(..., trainer="kmeans")`` (VERDICT r4 item 3: without it,
+    recall suffers whenever low ids are unrepresentative of the
+    embedding manifold).
+
+    Mirrors :func:`kmeans_centroids`'s scale contract, Euclidean
+    geometry (no normalization -- PQ quantizes raw subvectors):
+
+    - **init**: k-means++ per subspace, run on the driver over a
+      DETERMINISTIC hash-sample (lowest ``sample_cap`` values of
+      ``xxhash64(id, seed)`` -- a TakeOrderedAndProject, identical
+      regardless of partitioning).  The collect is sample-sized and
+      bounded, exactly the FAISS-style train-on-a-sample step.
+    - **refine** (Lloyd): every iteration is ONE scan of the full corpus;
+      a single mapInPandas task assigns ALL m_sub subspaces with one
+      matmul each and emits per-partition (m, cell, count, sum-vector)
+      partials -- at most n_partitions * m_sub * k_codes codebook-sized
+      rows reach the driver, no shuffle, no N x dim materialization.
+
+    Empty cells keep their previous centroid (same policy as the IVF
+    trainer).  Deterministic for a given (data, seed) up to float sum
+    order inside a partition, which is why the hash-checked driver
+    queries keep the first-k path; recall is pytest-gated instead
+    (tests/test_ann.py::test_pq_kmeans_beats_first_k_on_skewed_ids).
+    """
+    v = _prep(emb, id_col, vec_col).cache()
+    samp = (
+        v.orderBy(F.abs(F.xxhash64("_id", F.lit(seed))), F.col("_id"))
+        .limit(sample_cap).select("_v").collect()
+    )
+    if not samp:
+        raise ValueError("pq_codebooks_kmeans: empty input")
+    X = np.array([r[0] for r in samp], dtype=np.float64)
+    n, dim = X.shape
+    if dim % m_sub:
+        raise ValueError(f"dim {dim} not divisible by m_sub {m_sub}")
+    sub = dim // m_sub
+    Xs = X.reshape(n, m_sub, sub)
+    k = min(k_codes, n)
+    rng = np.random.default_rng(seed)
+    books = np.empty((m_sub, k, sub), dtype=np.float64)
+    for j in range(m_sub):
+        S = Xs[:, j, :]
+        picks = [int(rng.integers(len(S)))]
+        d2 = ((S - S[picks[0]]) ** 2).sum(axis=1)
+        while len(picks) < k:
+            tot = d2.sum()
+            if tot <= 0:  # all remaining points coincide with a centroid
+                picks.append(picks[-1])
+            else:
+                picks.append(int(rng.choice(len(S), p=d2 / tot)))
+            d2 = np.minimum(d2, ((S - S[picks[-1]]) ** 2).sum(axis=1))
+        books[j] = S[picks]
+
+    for _ in range(n_iters):
+        B_it = books
+
+        def partials(it, B_=B_it):
+            m_, k_, s_ = B_.shape
+            acc_ = np.zeros((m_, k_, s_))
+            cnt_ = np.zeros((m_, k_), dtype=np.int64)
+            cc_ = (B_ * B_).sum(axis=2)  # (m, k) codeword self-dots
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                V = np.vstack(
+                    [np.asarray(x, dtype=np.float64) for x in pdf["_v"]]
+                ).reshape(-1, m_, s_)
+                for j_ in range(m_):
+                    d_ = cc_[j_][None, :] - 2.0 * (V[:, j_, :] @ B_[j_].T)
+                    cells_ = d_.argmin(axis=1)  # == pq_encode_udf's argmin
+                    np.add.at(acc_[j_], cells_, V[:, j_, :])
+                    cnt_[j_] += np.bincount(cells_, minlength=k_)
+            mm, kk = np.nonzero(cnt_)
+            yield pd.DataFrame({
+                "m": mm.astype("int32"),
+                "cell": kk.astype("int32"),
+                "n": cnt_[mm, kk],
+                "s": [acc_[a, b].tolist() for a, b in zip(mm, kk)],
+            })
+
+        rows = v.select("_v").mapInPandas(
+            partials, "m int, cell int, n long, s array<double>"
+        ).collect()
+        newB = books.copy()
+        acc = np.zeros_like(books)
+        cnt = np.zeros(books.shape[:2])
+        for row in rows:
+            acc[row["m"], row["cell"]] += np.asarray(row["s"])
+            cnt[row["m"], row["cell"]] += row["n"]
+        nz = cnt > 0
+        newB[nz] = acc[nz] / cnt[nz][:, None]
+        books = newB
+    v.unpersist()
+    return books
+
+
+def _train_pq_books(
+    emb: DataFrame, m_sub: int, k_codes: int, trainer: str, seed: int,
+    id_col: str, vec_col: str,
+) -> np.ndarray:
+    if trainer == "kmeans":
+        return pq_codebooks_kmeans(
+            emb, m_sub, k_codes, seed=seed, id_col=id_col, vec_col=vec_col)
+    if trainer == "first_k":
+        return pq_codebooks(emb, m_sub, k_codes, id_col, vec_col)
+    raise ValueError(f"unknown PQ trainer {trainer!r}")
 
 
 def pq_encode_udf(books: np.ndarray):
@@ -601,8 +722,14 @@ def pq_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     codes: DataFrame | None = None,
+    trainer: str = "first_k",
+    seed: int = 42,
 ) -> DataFrame:
     """Exhaustive PQ-ADC top-k by approximate inner product.
+
+    ``trainer``: ``"first_k"`` (deterministic codebook, used by the
+    hash-checked fixture query) or ``"kmeans"`` (per-subspace distributed
+    Lloyd, :func:`pq_codebooks_kmeans` -- the production books).
 
     Shape (all JVM once the codes exist): the per-query lookup table
     (query_id, m, code, part = q_m . c) is built relationally -- exploded
@@ -618,7 +745,7 @@ def pq_topk(
     not vectors); for sublinear candidate counts compose with IVF:
     restrict `codes` to the probed cells' vectors first.
     """
-    books = pq_codebooks(emb, m_sub, k_codes, id_col, vec_col)
+    books = _train_pq_books(emb, m_sub, k_codes, trainer, seed, id_col, vec_col)
     if codes is None:
         codes = with_pq_codes(emb, books, id_col, vec_col)
     lut = pq_query_lut(emb, books, id_col, vec_col)
@@ -650,20 +777,32 @@ def ivf_pq_topk(
     index_cells: DataFrame | None = None,
     probe_cells: DataFrame | None = None,
     codes: DataFrame | None = None,
+    trainer: str = "first_k",
+    seed: int = 42,
 ) -> DataFrame:
     """IVF + PQ: the production ANN composition.  The coarse quantizer
     prunes candidates to ~N * nprobe / n_cells per query (IVF), and each
     surviving candidate is scored by m_sub LUT lookups over its byte
     codes (PQ-ADC) -- sublinear candidate count AND no float vector read
     on the index side.  Rounds scores to 6 dp before ranking, same
-    cross-engine contract as :func:`pq_topk`."""
+    cross-engine contract as :func:`pq_topk`.
+
+    ``trainer`` selects BOTH models: ``"first_k"`` keeps the
+    deterministic coarse centroids + PQ books (hash-checked fixture
+    query); ``"kmeans"`` trains the coarse quantizer with
+    :func:`kmeans_centroids` and the subspace books with
+    :func:`pq_codebooks_kmeans` (production path)."""
     if index_cells is None or probe_cells is None:
-        C = ivf_centroids(emb, n_cells, id_col, vec_col)
+        if trainer == "kmeans":
+            C = kmeans_centroids(emb, n_cells, seed=seed,
+                                 id_col=id_col, vec_col=vec_col)
+        else:
+            C = ivf_centroids(emb, n_cells, id_col, vec_col)
         if index_cells is None:
             index_cells = with_ivf_cells(emb, C, 1, id_col, vec_col)
         if probe_cells is None:
             probe_cells = with_ivf_cells(emb, C, nprobe, id_col, vec_col)
-    books = pq_codebooks(emb, m_sub, k_codes, id_col, vec_col)
+    books = _train_pq_books(emb, m_sub, k_codes, trainer, seed, id_col, vec_col)
     if codes is None:
         codes = with_pq_codes(emb, books, id_col, vec_col)
     lut = pq_query_lut(emb, books, id_col, vec_col)
