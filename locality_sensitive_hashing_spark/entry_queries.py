@@ -4649,7 +4649,12 @@ def q_zorder_layout(spark, sf_dir):
     from locality_sensitive_hashing_spark.operators.curation import zorder_key
 
     docs = read_testdata(spark, sf_dir, "documents")
-    lang_ord = F.lit(-1)
+    # out-of-domain langs route to the next free ordinal (len(Z_LANGS)),
+    # NOT a -1 sentinel: -1's masked low bits are all ones, which would
+    # silently interleave as the MAXIMAL ordinal and cluster unknown
+    # langs above every real one (ADVICE r4).  The ordinal domain is
+    # thus [0, len(Z_LANGS)] subset [0, 2^bits) by construction.
+    lang_ord = F.lit(len(Z_LANGS))
     for i, l in enumerate(Z_LANGS):
         lang_ord = F.when(F.col("lang") == l, F.lit(i)).otherwise(lang_ord)
     d2 = F.least(F.col("n_chars"), F.lit((1 << Z_BITS) - 1))
@@ -4670,15 +4675,17 @@ WS_SALT = "wsample-r4:"
 def q_weighted_doc_sample(spark, sf_dir):
     """Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
     PPSWOR, operators/curation.py::weighted_sample): the 64 docs with
-    the largest u^(1/n_tokens) keys -- a token-mass-proportional sample,
-    the probability-proportional-to-size draw a corpus-stats pass uses.
+    the smallest ln(-ln(u)) - ln(n_tokens) keys (the double-log form of
+    u^(1/w), scale-free under 6-dp rounding at any weight -- ADVICE r4)
+    -- a token-mass-proportional sample, the
+    probability-proportional-to-size draw a corpus-stats pass uses.
     Completes the deterministic sampling family next to the Bernoulli
     stratified sampler, the uniform bottom-k, and the budget mix; same
     salted-sha256 uniform, so reproducible across runs/engines/
     partitionings, and the top-k plans as TakeOrderedAndProject (no
     corpus shuffle).  Keys mergeable across shards (reservoir property,
-    pinned by test); the oracle replays u, pow, 6-dp round, and the
-    (key DESC, id) rank relationally."""
+    pinned by test); the oracle replays u, the double log, 6-dp round,
+    and the (key ASC, id) rank relationally."""
     from locality_sensitive_hashing_spark.operators.curation import (
         weighted_sample,
     )
@@ -4709,8 +4716,9 @@ SELECT day_us,
   CAST(coalesce(sum(cents) FILTER (WHERE event_type = 'view'), 0) AS BIGINT) AS cents_view
 FROM e GROUP BY day_us
 """,
-    # weighted_doc_sample: same sha256 uniform as every sampler, pow +
-    # 6-dp round (the bits_per_token libm contract), (key DESC, id) rank.
+    # weighted_doc_sample: same sha256 uniform as every sampler; the
+    # double-log ES key (ln(-ln(u)) - ln(w), smallest-k wins) + 6-dp
+    # round (the libm contract), (key ASC, id) rank.
     "weighted_doc_sample": f"""
 WITH n AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
 t AS (SELECT doc_id, CAST(len(string_split(norm, ' ')) AS INT) AS n_tokens FROM n),
@@ -4718,10 +4726,10 @@ u AS (SELECT doc_id,
   CAST(('0x' || substr(sha256('{WS_SALT}' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS uh
   FROM documents),
 k AS (SELECT t.doc_id, t.n_tokens,
-      round(pow((u.uh + 1) / 4294967296.0, 1.0 / t.n_tokens), 6) AS es_key
+      round(ln(-ln((u.uh + 0.5) / 4294967296.0)) - ln(t.n_tokens), 6) AS es_key
       FROM t JOIN u USING (doc_id) WHERE t.n_tokens > 0)
 SELECT doc_id, n_tokens, es_key FROM k
-ORDER BY es_key DESC, doc_id LIMIT {WS_K}
+ORDER BY es_key ASC, doc_id LIMIT {WS_K}
 """,
     # purchase_view_window: the direct correlated range join DuckDB can
     # express natively -- the binned equality plan must match it exactly
@@ -4879,7 +4887,7 @@ from locality_sensitive_hashing_spark.operators.curation import (  # noqa: E402
 
 _Z_LANG_CASE = "CASE " + " ".join(
     f"WHEN lang = '{l}' THEN {i}" for i, l in enumerate(Z_LANGS)
-) + " ELSE -1 END"
+) + f" ELSE {len(Z_LANGS)} END"  # unknown lang -> next free ordinal, in-domain
 ORACLE_SQL["zorder_layout"] = f"""
 WITH d AS (SELECT doc_id,
     {_Z_LANG_CASE} AS lang_ord,

@@ -603,24 +603,32 @@ def weighted_sample_keys(
 ) -> DataFrame:
     """Efraimidis–Spirakis A-ES keys for weighted sampling WITHOUT
     replacement (Efraimidis & Spirakis 2006, "Weighted random sampling
-    with a reservoir"): key = u^(1/w) with u uniform in (0, 1] — the
-    k rows with the LARGEST keys are an exact PPSWOR sample of size k.
+    with a reservoir"), carried in the DOUBLE-LOG domain:
+    ``es_key = ln(-ln(u)) - ln(w)`` with u uniform in (0, 1) — a
+    monotone transform of the classic u^(1/w), so the k rows with the
+    SMALLEST keys are an exact PPSWOR sample of size k.
+
+    Why double-log (ADVICE r4): the classic key u^(1/w) saturates at
+    1.000000 under 6-dp rounding once w exceeds ~10^6, silently
+    de-weighting every heavy row at corpus-stats scale; 6 dp in the
+    double-log domain is RELATIVE resolution, scale-free in w (adding
+    ln(10^6) merely shifts the key by ~13.8).
 
     u derives from the same salted-sha256 uniform as every sampler here
-    (``(uh + 1) / 2^32`` — the +1 keeps u > 0 so pow never sees 0), so
-    the sample is deterministic across runs, engines, and partitionings.
-    Keys are rounded to 6 dp (pow may differ by libm ULPs across
-    engines; ties at the rounded key break by id) — the bits_per_token
-    contract.  Rows with weight <= 0 are excluded (they can never be
-    sampled).
+    (``(uh + 0.5) / 2^32`` — the +0.5 keeps u strictly inside (0, 1) so
+    neither ln sees 0; Spark's ``log`` returns NULL at 0 where DuckDB
+    returns -inf, so the open interval is also the cross-engine
+    contract).  Keys are rounded to 6 dp (libm log may differ by ULPs
+    across engines; ties at the rounded key break by id).  Rows with
+    weight <= 0 are excluded (they can never be sampled).
 
-    Returns (id, weight, es_key).  Selecting the top-k by
-    (es_key DESC, id) plans as TakeOrderedAndProject — per-partition
+    Returns (id, weight, es_key).  Selecting the k SMALLEST by
+    (es_key ASC, id) plans as TakeOrderedAndProject — per-partition
     partial top-k then a k-row merge, NO corpus shuffle — and the keys
     are MERGEABLE: top-k of a union equals top-k over the per-shard
     top-k's (the distributed-reservoir property; pinned by test).
     """
-    u = (sample_uniform(id_col, salt) + F.lit(1)).cast("double") / F.lit(
+    u = (sample_uniform(id_col, salt) + F.lit(0.5)).cast("double") / F.lit(
         4294967296.0
     )
     w = weight.cast("double")
@@ -629,7 +637,7 @@ def weighted_sample_keys(
         .where(F.col("weight") > 0)
         .withColumn(
             "es_key",
-            F.round(F.pow(u, F.lit(1.0) / F.col("weight")), 6),
+            F.round(F.log(-F.log(u)) - F.log(F.col("weight")), 6),
         )
     )
 
@@ -641,11 +649,11 @@ def weighted_sample(
     salt: str,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """The k-row PPSWOR sample itself: top-k of
-    :func:`weighted_sample_keys` by (es_key DESC, id ASC)."""
+    """The k-row PPSWOR sample itself: the k SMALLEST rows of
+    :func:`weighted_sample_keys` by (es_key ASC, id ASC)."""
     return (
         weighted_sample_keys(docs, weight, salt, id_col)
-        .orderBy(F.desc("es_key"), F.asc(id_col))
+        .orderBy(F.asc("es_key"), F.asc(id_col))
         .limit(k)
     )
 

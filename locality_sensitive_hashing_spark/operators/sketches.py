@@ -485,15 +485,21 @@ def bloom_probe(
     poss = F.array(*[
         _sha_bucket(col, f"{salt}{r}:", m) for r in range(k)
     ])
-    probe_pos = probes.select(
-        col.alias(probe_col), F.explode(poss).alias("pos")
+    # Dedupe probe VALUES before exploding (ADVICE r4): a value probed d
+    # times would otherwise accumulate _hits = d*k and fail the == k test
+    # -- a false NEGATIVE, violating the one-sided guarantee. Duplicate
+    # positions WITHIN one value's k hashes must still count to k (two of
+    # the k hash functions may collide on a position), so the explode
+    # keeps all k rows per value rather than array_distinct-ing them.
+    uprobes = probes.select(col.alias(probe_col)).distinct()
+    probe_pos = uprobes.select(
+        F.col(probe_col), F.explode(poss).alias("pos")
     )
     return (
         probe_pos.join(F.broadcast(bits), "pos", "left_semi")
         .groupBy(probe_col)
         .agg(F.count("*").alias("_hits"))
-        .join(probes.select(col.alias(probe_col)).distinct(),
-              probe_col, "right")
+        .join(uprobes, probe_col, "right")
         .select(
             probe_col,
             (F.coalesce(F.col("_hits"), F.lit(0)) == k).alias("bloom_maybe"),

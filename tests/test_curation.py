@@ -4,6 +4,7 @@ decontamination, SemDeDup, deterministic stratified sampling."""
 from __future__ import annotations
 
 import hashlib
+import math
 
 import numpy as np
 import pandas as pd
@@ -544,8 +545,10 @@ def test_doc_top_terms_normalizes_and_is_partition_invariant(spark):
 # --------------------------------------------------------------------------
 
 def _es_key_py(doc_id: int, w: float, salt: str) -> float:
+    # double-log ES key (ADVICE r4): monotone transform of u^(1/w) that
+    # keeps 6-dp resolution at any weight scale; SMALLEST keys win
     uh = int(hashlib.sha256(f"{salt}{doc_id}".encode()).hexdigest()[:8], 16)
-    return ((uh + 1) / 2**32) ** (1.0 / w)
+    return math.log(-math.log((uh + 0.5) / 2**32)) - math.log(w)
 
 
 def test_weighted_sample_keys_math_replay(spark):
@@ -588,14 +591,14 @@ def test_weighted_sample_topk_and_merge_property(spark):
     # python replay
     keys = {i: _es_key_py(i, len(t.split()), SALT) for i, t in rows}
     exp = [i for i, _ in sorted(keys.items(),
-                                key=lambda kv: (-kv[1], kv[0]))[:K]]
+                                key=lambda kv: (kv[1], kv[0]))[:K]]
     assert ids == exp
     # merge property over two shards: each shard's top-k keys carried
     # forward and re-ranked reproduce the global top-k exactly
     a = weighted_sample(df.where(F.col("doc_id") < 100), wcol, K, SALT)
     b = weighted_sample(df.where(F.col("doc_id") >= 100), wcol, K, SALT)
     both = pd.concat([a.toPandas(), b.toPandas()]).sort_values(
-        ["es_key", "doc_id"], ascending=[False, True]
+        ["es_key", "doc_id"], ascending=[True, True]
     ).head(K)
     assert list(both.doc_id) == exp
 
@@ -608,7 +611,7 @@ def test_weighted_sample_higher_weight_wins_more(spark):
     wins = {i: 0 for i in weights}
     for s in range(300):
         keys = {i: _es_key_py(i, w, f"salt{s}:") for i, w in weights.items()}
-        wins[max(keys, key=keys.get)] += 1
+        wins[min(keys, key=keys.get)] += 1
     # E[win share of id 1] = 50/53 ~ 0.943
     assert wins[1] > 240, wins
 
@@ -693,3 +696,27 @@ def test_zorder_locality_prunes_files(spark):
     fb = z[z.b.between(0, 127)].file_id.nunique()
     assert fa == total / 8, (fa, total)
     assert fb == total / 8, (fb, total)
+
+
+def test_weighted_sample_scale_free_at_heavy_weights(spark):
+    """ADVICE r4 (low): the classic u^(1/w) key saturates at 1.000000
+    under 6-dp rounding once w >~ 10^6, degenerating the order to
+    ascending id among heavy rows.  The double-log key must keep
+    discriminating: at k=1 over rows of weight 10^9, the winner must be
+    the true PPSWOR draw (python replay), not simply the lowest id --
+    checked across many salts so an id-order degeneration cannot hide."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        weighted_sample,
+    )
+
+    n = 40
+    df = _docs(spark, [(i, "x") for i in range(n)])
+    wcol = F.lit(1_000_000_000.0)
+    id_wins = 0
+    for s in range(8):
+        salt = f"heavy{s}:"
+        got = [r.doc_id for r in weighted_sample(df, wcol, 1, salt).collect()]
+        exp = min(range(n), key=lambda i: (_es_key_py(i, 1e9, salt), i))
+        assert got == [exp], (s, got, exp)
+        id_wins += got[0] == 0
+    assert id_wins < 8  # not degenerate ascending-id order

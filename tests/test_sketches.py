@@ -435,3 +435,25 @@ def test_bloom_partition_invariance(spark):
         refs.repartition(7), probes.repartition(5), "v", m=512
     ).collect()))
     assert one == many
+
+
+def test_bloom_duplicate_probe_rows_keep_guarantee(spark):
+    """ADVICE r4 (medium): a value probed d times must still report
+    bloom_maybe=true when present -- the pre-fix plan accumulated
+    _hits = d*k across duplicate probe ROWS and failed the == k test, a
+    false negative.  Output stays one row per DISTINCT probe value, and
+    absent duplicated probes stay (mostly) false."""
+    from locality_sensitive_hashing_spark.operators.sketches import bloom_probe
+
+    vals = [f"member{i}" for i in range(50)]
+    df = spark.createDataFrame(pd.DataFrame({"v": vals}))
+    # every present value probed 3x, plus absent values probed 2x
+    probes = spark.createDataFrame(pd.DataFrame({
+        "v": vals * 3 + [f"absent{i}" for i in range(200)] * 2
+    }))
+    got = bloom_probe(df, probes, "v", m=8192, k=3).toPandas()
+    assert len(got) == 250  # distinct probe values
+    present = got[got.v.str.startswith("member")]
+    assert present.bloom_maybe.all(), "false negative on duplicated probe"
+    absent = got[got.v.str.startswith("absent")]
+    assert (~absent.bloom_maybe).sum() >= 195  # fp rate ~ 4e-8 at this m
