@@ -10,7 +10,8 @@ clusters) and prints ONE JSON line:
 
 Env knobs: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
 SPARK_GRAFT_CPUS (default 32), BENCH_REPLICATE (default 20),
-BENCH_RUNS (default 1 timed run; protocol runs in BENCH/BASELINE.md use 3),
+BENCH_RUNS (default 3 timed runs, median reported -- VERDICT r4 item 6:
+the per-round driver record should not be single-window noise),
 BENCH_WARMUP ("sample" default = one discarded small-sample run to warm
 JIT/codegen/Python workers; "1" = one discarded full-size run, used by
 scaling epochs; "0" = none), BENCH_WARMUP_ROWS (default 5000).
@@ -31,7 +32,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     replicate = int(os.environ.get("BENCH_REPLICATE", "20"))
-    runs = int(os.environ.get("BENCH_RUNS", "1"))
+    runs = int(os.environ.get("BENCH_RUNS", "3"))
     # The first pipeline execution in a fresh JVM pays JIT/codegen +
     # Python-worker warm-up (observed +30% on run 1 at local[32]).
     # BENCH_WARMUP: "sample" (default) = one discarded run over a small
