@@ -57,6 +57,7 @@ from pyspark.sql import functions as F
 from locality_sensitive_hashing_spark import hashing as H
 from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
 from locality_sensitive_hashing_spark.operators import audio_lsh as AL
+from locality_sensitive_hashing_spark.operators import audio_fingerprint as AFP
 from locality_sensitive_hashing_spark.functions import text as TX
 from locality_sensitive_hashing_spark.sources.tables import read_testdata
 
@@ -115,6 +116,9 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "audio_silence_runs": ["audio_clips"],
     "shingle_hll": ["minhash_shingles"],
     "lang_shingle_similarity": ["lang_shingles"],
+    "audio_fingerprints": ["audio_fp_clips"],
+    "audio_gain_near_dups": ["audio_fp_clips"],
+    "audio_gain_eval_recall": ["audio_fp_clips"],
     "audio_energy_profile": ["audio_lsh_clips"],
     "audio_content_near_dups": ["audio_lsh_clips"],
     "audio_content_clusters": ["audio_lsh_clips"],
@@ -2241,6 +2245,149 @@ FROM agg
 """,
 })
 
+# --- gain-invariant audio fingerprint (operators/audio_fingerprint.py) -----
+# The ENTIRE Haitsma-Kalker detector -- WAV decode, per-frame integer
+# band correlations, L1 magnitudes, difference-of-differences sign codes,
+# activity floor, pigeonhole window packs, capped buckets, exact-BER
+# verify -- is replayed from the RAW BYTES of the committed corpus.  The
+# weight integers are the SAME multimodal.spectral_weights table the
+# kernel matmuls (single source of truth, embedded as a VALUES literal
+# keyed by in-frame position p = i % FRAME_N); every magnitude and every
+# difference is exact int64 on both engines (module docstring bounds), so
+# the sign bits -- and therefore every code, window key, bucket, pair and
+# BER -- are bit-identical by construction.  Only full frames are
+# analyzed (trailing partial dropped), mirrored here by bounding the
+# sample unnest at (n_samples // FRAME_N) * FRAME_N.
+_AFP_WC, _AFP_WS = AFP.spectral_weights()
+_AFP_W_VALUES = ", ".join(
+    f"({k},{i},{int(_AFP_WC[j, i])},{int(_AFP_WS[j, i])})"
+    for j, k in enumerate(AFP.SPECTRAL_BINS)
+    for i in range(AFP.FRAME_N)
+)
+
+
+def _afp_ctes(src: str = "audio_fp_clips") -> str:
+    b0, b1, b2, b3 = AFP.SPECTRAL_BINS
+    return f"""fw(band, p, wc, ws) AS (VALUES {_AFP_W_VALUES}),
+raw AS (SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+        FROM {_aux_rp(src)}),
+hdr AS (SELECT clip_id, hx,
+    (nb >= 44 AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len
+  FROM raw),
+idx AS (SELECT clip_id, hx,
+        unnest(generate_series(0,
+          ((data_len // 2) // {AFP.FRAME_N})::int * {AFP.FRAME_N} - 1)) AS i
+        FROM hdr WHERE canon),
+smp AS (SELECT clip_id, i,
+        (('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+         - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+                >= 32768 THEN 65536 ELSE 0 END) AS v
+      FROM idx),
+mg AS (SELECT clip_id, (i // {AFP.FRAME_N})::int AS f, fw.band,
+       abs(CAST(sum(v * fw.wc) AS BIGINT))
+         + abs(CAST(sum(v * fw.ws) AS BIGINT)) AS m
+       FROM smp JOIN fw ON fw.p = i % {AFP.FRAME_N}
+       GROUP BY clip_id, (i // {AFP.FRAME_N})::int, fw.band),
+bnd AS (SELECT clip_id, f,
+        sum(CASE WHEN band = {b0} THEN m END) AS m0,
+        sum(CASE WHEN band = {b1} THEN m END) AS m1,
+        sum(CASE WHEN band = {b2} THEN m END) AS m2,
+        sum(CASE WHEN band = {b3} THEN m END) AS m3
+        FROM mg GROUP BY clip_id, f),
+ddf AS (SELECT clip_id, f,
+       (m0 - m1) - lag(m0 - m1) OVER cw AS dd0,
+       (m1 - m2) - lag(m1 - m2) OVER cw AS dd1,
+       (m2 - m3) - lag(m2 - m3) OVER cw AS dd2
+       FROM bnd WINDOW cw AS (PARTITION BY clip_id ORDER BY f)),
+cod AS MATERIALIZED (SELECT clip_id, f - 1 AS cf,
+       (CASE WHEN dd0 > 0 THEN 1 ELSE 0 END
+        + 2 * CASE WHEN dd1 > 0 THEN 1 ELSE 0 END
+        + 4 * CASE WHEN dd2 > 0 THEN 1 ELSE 0 END) AS code,
+       (dd0 <> 0 OR dd1 <> 0 OR dd2 <> 0) AS active
+       FROM ddf WHERE f >= 1),
+pcl AS MATERIALIZED (SELECT clip_id, count(*) AS n_codes,
+       sum(CASE WHEN active THEN 1 ELSE 0 END) AS n_active
+       FROM cod GROUP BY clip_id)"""
+
+
+# chain extension: eligibility floor -> window packs -> capped buckets ->
+# pairs -> exact BER, ending in `fber` (verified pairs) -- shared by the
+# near-dup and planted-recall oracles.
+def _afp_pairs_sql(cap: int, src: str = "audio_fp_clips") -> str:
+    w = AFP.WINDOW
+    return _afp_ctes(src) + f""",
+felig AS (SELECT clip_id, n_codes FROM pcl
+          WHERE n_codes >= {AFP.MIN_CODES}
+            AND n_active >= n_codes * {AFP.MIN_ACTIVE_FRAC}),
+wix AS (SELECT clip_id, unnest(generate_series(0, (n_codes - {w})::int)) AS wi
+        FROM felig),
+wins AS (SELECT x.clip_id, x.wi,
+         sum(c.code * (1::BIGINT << (3 * ({w - 1} - (c.cf - x.wi))))) AS wkey
+         FROM wix x JOIN cod c ON c.clip_id = x.clip_id
+                   AND c.cf BETWEEN x.wi AND x.wi + {w - 1}
+         GROUP BY x.clip_id, x.wi),
+fsz AS (SELECT wi, wkey, count(*) AS n FROM wins GROUP BY wi, wkey),
+fel AS (SELECT wi, wkey FROM fsz WHERE n > 1 AND n <= {cap}),
+fprn AS (SELECT wn.clip_id, wn.wi, wn.wkey FROM wins wn JOIN fel USING (wi, wkey)),
+fpair AS (SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2
+          FROM fprn l JOIN fprn r USING (wi, wkey) WHERE l.clip_id < r.clip_id),
+fber AS MATERIALIZED (SELECT id1, id2, n_codes, ber_6dp FROM (
+   SELECT p.id1, p.id2, CAST(e1.n_codes AS INT) AS n_codes,
+          round(sum(bit_count(xor(c1.code, c2.code))) * 1.0
+                / ({AFP.CODE_BITS} * e1.n_codes), 6) AS ber_6dp
+   FROM fpair p
+   JOIN pcl e1 ON e1.clip_id = p.id1
+   JOIN pcl e2 ON e2.clip_id = p.id2 AND e2.n_codes = e1.n_codes
+   JOIN cod c1 ON c1.clip_id = p.id1
+   JOIN cod c2 ON c2.clip_id = p.id2 AND c2.cf = c1.cf
+   GROUP BY p.id1, p.id2, e1.n_codes)
+   WHERE ber_6dp <= {AFP.BER_MAX})"""
+
+
+ORACLE_SQL.update({
+    "audio_fingerprints": "WITH " + _afp_ctes() + """,
+agg AS (SELECT clip_id, count(*) AS n_codes,
+               CAST(sum(CASE WHEN active THEN 1 ELSE 0 END) AS INT) AS n_active,
+               string_agg(code::VARCHAR, ' ' ORDER BY cf) AS cstr
+        FROM cod GROUP BY clip_id)
+SELECT h.clip_id,
+       (h.canon AND coalesce(h.data_len, 0) >= 2) AS decode_ok,
+       coalesce(a.n_codes, 0)::int AS n_codes,
+       coalesce(a.n_active, 0)::int AS n_active,
+       coalesce(a.cstr, '') AS codes_str
+FROM hdr h LEFT JOIN agg a USING (clip_id)
+""",
+    "audio_gain_near_dups": "WITH " + _afp_pairs_sql(CFG.bucket_cap) + """
+SELECT id1, id2, n_codes, ber_6dp FROM fber
+""",
+    # planted truth re-derived from the clip-id grammar alone (base ids
+    # end 'b', exact x2-gain variants 'g', dithered re-encodes 'n' --
+    # fixture audio_gain_clips_df): a variant scores a hit iff the
+    # detector emitted its (source, variant) pair.
+    "audio_gain_eval_recall": "WITH " + _afp_pairs_sql(CFG.bucket_cap) + """,
+pl AS (SELECT substring(clip_id, 1, length(clip_id) - 1) || 'b' AS id1,
+              clip_id AS id2,
+              CASE WHEN clip_id LIKE '%g' THEN 'gain'
+                   ELSE 'dither' END AS dup_class
+       FROM raw WHERE clip_id LIKE '%g' OR clip_id LIKE '%n'),
+ag AS (SELECT dup_class, count(*) AS n_truth,
+       CAST(sum(CASE WHEN f.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hit
+       FROM pl LEFT JOIN fber f ON f.id1 = pl.id1 AND f.id2 = pl.id2
+       GROUP BY dup_class)
+SELECT dup_class, n_truth, n_hit,
+       round(n_hit * 1.0 / n_truth, 6) AS recall
+FROM ag
+""",
+})
+
 # transcript-column normalization (same regex as NORM_SQL over `text`)
 _NORM_TR = "trim(regexp_replace(lower(transcript), '[^a-z0-9]+', ' ', 'g'))"
 
@@ -3109,6 +3256,88 @@ def q_audio_eval_planted_recall(spark, sf_dir):
     agg = planted.join(src, "src_id").groupBy("dup_class").agg(
         F.count("*").alias("n_truth"),
         F.sum((F.col("c1") == F.col("c2")).cast("long")).alias("n_hit"),
+    )
+    return agg.select(
+        "dup_class", "n_truth", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
+_AFP_AUX_DONE: set[str] = set()
+
+
+def _audio_fp_aux(spark: SparkSession, sf_dir: str):
+    """The gain-re-master corpus (fixtures.audio_gain_clips_df), with its
+    raw (clip_id, bytes) committed ONCE per process as the
+    ``audio_fp_clips`` aux table -- the single input both the Spark
+    fingerprint detector and the full-replay DuckDB oracle derive from."""
+    from locality_sensitive_hashing_spark.fixtures import audio_gain_clips_df
+
+    clips = audio_gain_clips_df(spark, sf_dir, seed=CFG.seed, limit=120)
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    with _AUX_LOCK:
+        if key not in _AFP_AUX_DONE:
+            _aux_write(clips.select("clip_id", "bytes"), sf_dir, "audio_fp_clips")
+            _AFP_AUX_DONE.add(key)
+    return clips
+
+
+def q_audio_fingerprints(spark, sf_dir):
+    """Haitsma-Kalker sign-bit fingerprint extraction: per clip, the 3-bit
+    frame codes (sign of the difference-of-differences of adjacent-band
+    L1 magnitudes over 256-sample frames) plus the activity count that
+    gates blocking.  The oracle re-derives every code from the raw WAV
+    bytes in DuckDB -- decode, integer band correlations against the SAME
+    fixed-point weight VALUES the kernel matmuls, lag windows, sign bits
+    (operators/audio_fingerprint.py module docstring)."""
+    clips = _audio_fp_aux(spark, sf_dir)
+    feats = AFP.with_fingerprints(clips)
+    return feats.select(
+        "clip_id",
+        "decode_ok",
+        F.size("codes").alias("n_codes"),
+        "n_active",
+        F.concat_ws(
+            " ", F.expr("transform(codes, v -> cast(v as string))")
+        ).alias("codes_str"),
+    )
+
+
+def q_audio_gain_near_dups(spark, sf_dir):
+    """Gain-invariant audio near-dup pairs: +6 dB re-masters and dithered
+    re-encodes whose BYTES differ, whose TRANSCRIPTS differ, and whose
+    frame-energy symbols all shift quantization bins -- pairs only this
+    detector can make (the corpus plants both, fixtures.
+    audio_gain_clips_df).  Pigeonhole window blocking + exact-BER verify;
+    the DuckDB oracle replays decode -> band magnitudes -> sign codes ->
+    window packs -> capped buckets -> pairs -> BER entirely from the
+    committed raw bytes."""
+    clips = _audio_fp_aux(spark, sf_dir)
+    return AFP.fingerprint_near_dups(clips, CFG)
+
+
+def q_audio_gain_eval_recall(spark, sf_dir):
+    """O27 on the gain axis: per-class recall of the PLANTED gain/dither
+    truth (exact x2-gain 'g' / +-8-LSB-dither 'n' variants of base clips
+    'b' -- the id grammar of fixtures.audio_gain_clips_df).  A variant is
+    a hit iff the detector pairs it with its source.  The oracle
+    re-derives truth (string functions of clip_id) and the pair set
+    independently from raw bytes."""
+    clips = _audio_fp_aux(spark, sf_dir)
+    pairs = AFP.fingerprint_near_dups(clips, CFG).select(
+        "id1", "id2", F.lit(1).alias("_hit")
+    )
+    planted = clips.where(F.col("clip_id").rlike("[gn]$")).select(
+        F.concat(
+            F.expr("substring(clip_id, 1, length(clip_id)-1)"), F.lit("b")
+        ).alias("id1"),
+        F.col("clip_id").alias("id2"),
+        F.when(F.col("clip_id").endswith("g"), F.lit("gain"))
+        .otherwise(F.lit("dither")).alias("dup_class"),
+    )
+    agg = planted.join(pairs, ["id1", "id2"], "left").groupBy("dup_class").agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0)).cast("long")).alias("n_hit"),
     )
     return agg.select(
         "dup_class", "n_truth", "n_hit",
@@ -4905,19 +5134,28 @@ FROM z
 
 # ORDERING CONTRACT (round 5): the driver's correctness harness checks
 # exactly the FIRST 50 names in dict order (`list(all_queries())[:50]`,
-# VERDICT r4). Rounds 1-4 certified 50 of the 85 registered queries; the
-# 35 added in round 4 never received a driver-side CORRECTNESS row. The
-# dict is therefore ordered in three tiers:
-#   tier 1 (35): every query with NO green driver row in r1-r4 — the
-#     round-4 curation/audio-content/sketch/incremental-capstone surface;
-#   tier 2 (15): already-certified sentinels spanning the flagship
-#     pipeline, the three detectors, incremental/streaming, audio decode
-#     and ANN — so the driver still re-certifies the core each round;
-#   tier 3 (35): the remaining r1-r4-certified queries, past slot 50.
+# VERDICT r4). Rounds 1-4 certified 50 of the 88 registered queries; the
+# 35 added in round 4 and the 3 added in round 5 (the gain-invariant
+# fingerprint trio) have never received a driver-side CORRECTNESS row.
+# The dict is therefore ordered in three tiers:
+#   tier 1 (38): every query with NO green driver row in r1-r4 — the
+#     round-4 curation/audio-content/sketch/incremental-capstone surface
+#     plus the round-5 audio-fingerprint queries;
+#   tier 2 (12): already-certified sentinels spanning the flagship
+#     pipeline, the detectors, incremental/streaming, audio decode and
+#     ANN — so the driver still re-certifies the core each round;
+#   tier 3 (38): the remaining r1-r4-certified queries, past slot 50
+#     (including the three sentinels demoted to make room for the
+#     round-5 trio: minhash_signatures and simhash_fingerprints are
+#     subsumed by their _candidates consumers, ann_lsh_topk by the
+#     ann_ivfpq_topk sentinel — all have multiple green rows r1-r4).
 # Every tier-3 name has a green hash_match row in CORRECTNESS_r0{1..4}
-# .json and stays covered by tests/test_entry.py's 85-query replica.
+# .json and stays covered by tests/test_entry.py's 88-query replica.
 QUERIES_SQL_CHECKED = {
-    # ---- tier 1: never driver-certified before round 5 (35) ----
+    # ---- tier 1: never driver-certified before round 5 (38) ----
+    "audio_fingerprints": q_audio_fingerprints,
+    "audio_gain_near_dups": q_audio_gain_near_dups,
+    "audio_gain_eval_recall": q_audio_gain_eval_recall,
     "audio_temporal_stats": q_audio_temporal_stats,
     "audio_spectral_profile": q_audio_spectral_profile,
     "audio_resample_check": q_audio_resample_check,
@@ -4953,10 +5191,8 @@ QUERIES_SQL_CHECKED = {
     "weighted_doc_sample": q_weighted_doc_sample,
     "daily_type_pivot": q_daily_type_pivot,
     "zorder_layout": q_zorder_layout,
-    # ---- tier 2: already-certified sentinels (15; slots 36-50) ----
-    "minhash_signatures": q_minhash_signatures,
+    # ---- tier 2: already-certified sentinels (12; slots 39-50) ----
     "minhash_candidates": q_minhash_candidates,
-    "simhash_fingerprints": q_simhash_fingerprints,
     "simhash_candidates": q_simhash_candidates,
     "sa_substring_candidates": q_sa_candidates,
     "full_pipeline_clusters": q_full_pipeline_clusters,
@@ -4967,9 +5203,11 @@ QUERIES_SQL_CHECKED = {
     "keyindex_membership": q_keyindex_membership,
     "streaming_dedup_state": q_streaming_dedup_state,
     "audio_features": q_audio_features,
-    "ann_lsh_topk": q_ann_lsh_topk,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
     # ---- tier 3: r1-r4-certified, past the driver's 50-slot window ----
+    "minhash_signatures": q_minhash_signatures,
+    "simhash_fingerprints": q_simhash_fingerprints,
+    "ann_lsh_topk": q_ann_lsh_topk,
     "normalize_transcripts": q_normalize,
     "shingle_explode": q_shingle_explode,
     "shingle_counts": q_shingle_counts,

@@ -501,3 +501,82 @@ def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
             )
 
     return docs.repartition(32, "doc_id").mapInPandas(synth, CLIPS_SCHEMA)
+
+
+def audio_gain_clips_df(spark, sf_dir: str, seed: int = 42,
+                        limit: int = 120):
+    """Audio GAIN-re-master corpus for the Haitsma-Kalker fingerprint
+    detector (operators/audio_fingerprint.py).
+
+    One enveloped 1000 ms s16le clip per document (doc_id < limit),
+    synthesized at <= 0.45 full scale and quantized ONCE to int16 --
+    the integer samples, not the float PCM, are the ground truth the
+    variants derive from, so the planted invariances are exact:
+
+    - ``...g`` (every 3rd doc): the SAME int16 samples scaled by exactly
+      2 (headroom guaranteed by the 0.45 peak), re-encoded -- a +6 dB
+      re-master.  Different bytes, different (replaced) transcript, and
+      every frame-energy symbol of the energy-LSH detector shifts by 8
+      quantization bins, so ONLY the gain-invariant sign fingerprint can
+      pair it with its source (exactly: every band correlation doubles,
+      no difference-of-differences sign flips, BER == 0).
+    - ``...n`` (every 4th doc): the int16 samples plus deterministic
+      integer dither uniform in [-8, 8] -- a low-level re-encode.  Flips
+      a measured median 1.1% / max 12.2% of fingerprint bits, inside
+      BER_MAX = 0.2 with >= one exact 8-code window surviving for the
+      pigeonhole lookup (measured 40/40 on this corpus shape).
+
+    Synthesis runs IN EXECUTORS via mapInPandas with per-doc seeded
+    substreams (stream [seed, doc_id, 13] -- disjoint from the energy
+    detector's [seed, doc_id, 11]), deterministic row-by-row.
+    """
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.sources.tables import (
+        CLIPS_SCHEMA,
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("doc_id") < limit)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rng = np.random.default_rng([seed, doc_id, 13])
+                sr, dur = 8000, 1000
+                pcm = synth_env_pcm(rng, sr, dur) * 0.5  # peak <= 0.45
+                ints = np.clip(
+                    np.round(pcm * 32767.0), -32768, 32767
+                ).astype(np.int64)
+                # encode_wav round-trips ints/32767.0 to exactly ints
+                rows.append((
+                    f"f{doc_id:08d}b", A.encode_wav(ints / 32767.0, sr,
+                                                    "pcm_s16le"),
+                    sr, dur, "pcm_s16le", str(text),
+                ))
+                if doc_id % 3 == 0:
+                    rows.append((
+                        f"f{doc_id:08d}g",
+                        A.encode_wav((ints * 2) / 32767.0, sr, "pcm_s16le"),
+                        sr, dur, "pcm_s16le",
+                        f"remaster {doc_id} republished 6 dB louder",
+                    ))
+                if doc_id % 4 == 0:
+                    dith = rng.integers(-8, 9, ints.size)
+                    noisy = np.clip(ints + dith, -32768, 32767)
+                    rows.append((
+                        f"f{doc_id:08d}n",
+                        A.encode_wav(noisy / 32767.0, sr, "pcm_s16le"),
+                        sr, dur, "pcm_s16le",
+                        f"re-encode {doc_id} from a dithered master",
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                         "transcript"],
+            )
+
+    return docs.repartition(32, "doc_id").mapInPandas(synth, CLIPS_SCHEMA)

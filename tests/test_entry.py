@@ -90,10 +90,13 @@ def _check_aux_snapshot_fresh(name: str) -> None:
 
 
 # The driver's correctness harness checks exactly the first 50 names in
-# queries() dict order (VERDICT r4). These 35 queries had no driver-side
-# CORRECTNESS row in rounds 1-4, so round 5 pins them inside the window
-# (tier 1 of the ordering contract in entry_queries.QUERIES_SQL_CHECKED).
+# queries() dict order (VERDICT r4). These 38 queries had no driver-side
+# CORRECTNESS row in rounds 1-4 (35 round-4 additions + the round-5
+# gain-invariant fingerprint trio), so round 5 pins them inside the
+# window (tier 1 of the ordering contract in
+# entry_queries.QUERIES_SQL_CHECKED).
 _ROUND5_WINDOW_REQUIRED = {
+    "audio_fingerprints", "audio_gain_near_dups", "audio_gain_eval_recall",
     "audio_temporal_stats", "audio_spectral_profile", "audio_resample_check",
     "audio_silence_runs", "shingle_hll", "audio_energy_profile",
     "audio_content_near_dups", "audio_content_clusters",
@@ -108,7 +111,7 @@ _ROUND5_WINDOW_REQUIRED = {
     "event_type_rollup", "purchase_view_window", "weighted_doc_sample",
     "daily_type_pivot", "zorder_layout",
     # tier-2 sentinels: the core pipeline must stay driver-certified
-    "full_pipeline_clusters", "eval_planted_recall", "minhash_signatures",
+    "full_pipeline_clusters", "eval_planted_recall", "minhash_candidates",
     "simhash_candidates", "sa_substring_candidates", "audio_features",
     "incremental_relabel_view", "streaming_dedup_state",
 }
