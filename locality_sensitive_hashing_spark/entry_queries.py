@@ -1652,15 +1652,16 @@ FROM cl JOIN s USING (cluster_id)
 """,
     "eval_planted_recall": f"""
 WITH RECURSIVE {_PIPE_CLOSURE},
-p AS (SELECT CASE WHEN clip_id LIKE '%f'
+p AS (SELECT CASE WHEN clip_id LIKE '%f' OR clip_id LIKE '%g'
                   THEN substring(clip_id, 1, length(clip_id) - 1) || 'e'
                   ELSE substring(clip_id, 1, length(clip_id) - 1) END AS src_id,
              CASE WHEN clip_id LIKE '%x' THEN 'exact'
                   WHEN clip_id LIKE '%f' THEN 'content'
+                  WHEN clip_id LIKE '%g' THEN 'gain'
                   ELSE 'near' END AS dup_class,
              cluster_id AS c1
       FROM cl WHERE clip_id LIKE '%x' OR clip_id LIKE '%n'
-               OR clip_id LIKE '%f'),
+               OR clip_id LIKE '%f' OR clip_id LIKE '%g'),
 j AS (SELECT p.dup_class, p.c1, c.cluster_id AS c2
       FROM p JOIN cl c ON c.clip_id = p.src_id),
 agg AS (SELECT dup_class, count(*) AS n_truth,
@@ -2802,12 +2803,14 @@ def q_eval_planted_recall(spark, sf_dir):
     BASELINE.json's headline metric is dup-pair recall >= 0.99; this row
     makes that number a hash-checked driver artifact, not just a pytest."""
     clusters, _io, _clips = _pipeline_aux(spark, sf_dir)
-    planted = clusters.where(F.col("clip_id").rlike("[xnf]$")).select(
+    planted = clusters.where(F.col("clip_id").rlike("[xnfg]$")).select(
         # 'x'/'n' variants pair with their base doc (r00); the trimmed
-        # republication 'f' pairs with its enveloped master 'e' -- the
-        # audio-CONTENT truth only the energy detector can recover
+        # republication 'f' AND the +6 dB re-master 'g' pair with their
+        # enveloped master 'e' -- the audio-CONTENT truth only the energy
+        # detector can recover and the audio-GAIN truth only the
+        # sign-bit fingerprint detector can recover
         F.when(
-            F.col("clip_id").endswith("f"),
+            F.col("clip_id").rlike("[fg]$"),
             F.concat(
                 F.expr("substring(clip_id, 1, length(clip_id)-1)"), F.lit("e")
             ),
@@ -2816,6 +2819,7 @@ def q_eval_planted_recall(spark, sf_dir):
         ).alias("src_id"),
         F.when(F.col("clip_id").endswith("x"), F.lit("exact"))
         .when(F.col("clip_id").endswith("f"), F.lit("content"))
+        .when(F.col("clip_id").endswith("g"), F.lit("gain"))
         .otherwise(F.lit("near")).alias("dup_class"),
         F.col("cluster_id").alias("c1"),
     )

@@ -120,7 +120,7 @@ def make_clips(
     plan = [
         ("exact", 0.05), ("reencoded", 0.05), ("near_transcript", 0.08),
         ("substring", 0.04), ("simhash_near", 0.03), ("neg_audio", 0.015),
-        ("neg_text", 0.015), ("chain", 0.02),
+        ("neg_text", 0.015), ("chain", 0.02), ("gain", 0.02),
     ]
     counts = {name: max(1, int(n_rows * frac)) for name, frac in plan}
     n_planted_rows = sum(
@@ -196,6 +196,27 @@ def make_clips(
                 s = new_row(toks)
                 p = new_row(part)
                 planted.append((s["clip_id"], p["clip_id"], name, False))
+            elif name == "gain":
+                # +6 dB re-master under an unrelated transcript: only the
+                # gain-invariant fingerprint detector can pair it.  int16
+                # ground truth at <= 0.45 peak (exact x2 headroom), >= 700
+                # ms so the code sequence clears the MIN_CODES floor.
+                sr = int(rng.choice([8000, 16000]))
+                dur = int(rng.integers(700, 1501))
+                ints = np.clip(
+                    np.round(synth_env_pcm(rng, sr, dur) * 0.5 * 32767.0),
+                    -32768, 32767,
+                ).astype(np.int64)
+                s = new_row(toks, raw=A.encode_wav(ints / 32767.0, sr,
+                                                   "pcm_s16le"),
+                            sr=sr, codec="pcm_s16le", dur_ms=dur,
+                            pcm=ints / 32767.0)
+                p = new_row(_transcript(rng),
+                            raw=A.encode_wav((ints * 2) / 32767.0, sr,
+                                             "pcm_s16le"),
+                            sr=sr, codec="pcm_s16le", dur_ms=dur,
+                            pcm=(ints * 2) / 32767.0)
+                planted.append((s["clip_id"], p["clip_id"], name, True))
             elif name == "chain":
                 # A~B~C transitively (same audio); A,C not directly similar
                 s = new_row(toks)
@@ -277,15 +298,32 @@ def clips_from_documents_df(spark, sf_dir: str, seed: int = 42,
 
     One clip per doc; with ``plant_dups`` every 10th doc gains an exact
     copy 'x' and a near-dup transcript variant 'n' sharing the audio, and
-    every 20th doc additionally gains an audio-CONTENT pair: an enveloped
-    500 ms master 'e' (its own unrelated transcript) plus a head-trimmed
-    republication 'f' of the SAME recording under ANOTHER unrelated
-    transcript -- different bytes, different transcripts, so only the
-    frame-energy content detector (operators/audio_lsh.py, folded into
-    the flagship DAG round 5) can cluster e with f.  The 250 ms flat-tone
-    base clips sit below the detector's MIN_PROFILE_SHINGLES floor by
-    construction, so they are excluded from energy blocking exactly as a
-    web corpus's short/silent clips would be.
+    every 20th doc additionally gains an audio-CONTENT family: an
+    enveloped 1000 ms master 'e' (its own unrelated transcript;
+    synthesized at <= 0.45 full scale and quantized ONCE to int16 -- the
+    integer samples are the ground truth the variants derive from) plus
+    TWO republications of the SAME recording, each under ANOTHER
+    unrelated transcript:
+
+    - 'f': head-trimmed (the first 800 samples removed) -- different
+      bytes, different length, different transcript; only the
+      frame-energy content detector (operators/audio_lsh.py, folded into
+      the flagship DAG round 5) can pair it with 'e'.
+    - 'g': the SAME int16 samples scaled by exactly 2 (+6 dB re-master;
+      headroom guaranteed by the 0.45 peak) -- different bytes, different
+      transcript, and every frame-energy symbol shifts quantization bins
+      so the energy detector misses it BY CONSTRUCTION; only the
+      gain-invariant sign-bit fingerprint detector
+      (operators/audio_fingerprint.py, folded in as the fifth edge
+      source) can pair it with 'e' (exactly: every band correlation
+      doubles, no difference-of-differences sign flips, BER == 0).
+
+    Connected components must then cluster {e, f, g} together through
+    two different content axes.  The 250 ms flat-tone base clips sit
+    below BOTH detectors' low-information floors by construction (too
+    few energy shingles; 6 < MIN_CODES fingerprint codes), so they are
+    excluded from content blocking exactly as a web corpus's
+    short/silent clips would be.
     Audio synthesis + variant generation run IN EXECUTORS via mapInPandas
     with a per-doc seeded rng -- no driver-side pandas corpus, so the
     generator itself scales with the cluster (the round-1 driver-loop
@@ -322,21 +360,34 @@ def clips_from_documents_df(spark, sf_dir: str, seed: int = 42,
                         " ".join(_near_variant(rng, toks, 0.7, 1, 3)),
                     ))
                 if plant_dups and doc_id % 20 == 0:
-                    # audio-content pair: enveloped master + head-trimmed
-                    # republication, both under unrelated transcripts
-                    # (disjoint rng substream so base clips are unchanged)
+                    # audio-content family: enveloped master + head-trimmed
+                    # + gain-scaled republications, all under unrelated
+                    # transcripts (disjoint rng substream so base clips are
+                    # unchanged).  int16 ground truth quantized once;
+                    # encode_wav round-trips ints/32767.0 to exactly ints.
                     erng = np.random.default_rng([seed, doc_id, 7])
-                    edur = 500
-                    epcm = synth_env_pcm(erng, sr, edur)
+                    edur = 1000
+                    epcm = synth_env_pcm(erng, sr, edur) * 0.5  # peak <= .45
+                    eints = np.clip(
+                        np.round(epcm * 32767.0), -32768, 32767
+                    ).astype(np.int64)
                     rows.append((
-                        base + "e", A.encode_wav(epcm, sr, "pcm_s16le"),
+                        base + "e",
+                        A.encode_wav(eints / 32767.0, sr, "pcm_s16le"),
                         sr, edur, "pcm_s16le",
                         f"enveloped master recording number {doc_id}",
                     ))
                     rows.append((
-                        base + "f", A.encode_wav(epcm[800:], sr, "pcm_s16le"),
-                        sr, 400, "pcm_s16le",
+                        base + "f",
+                        A.encode_wav(eints[800:] / 32767.0, sr, "pcm_s16le"),
+                        sr, 900, "pcm_s16le",
                         f"retake {doc_id} republished with the opening trimmed",
+                    ))
+                    rows.append((
+                        base + "g",
+                        A.encode_wav((eints * 2) / 32767.0, sr, "pcm_s16le"),
+                        sr, edur, "pcm_s16le",
+                        f"remaster {doc_id} republished six decibels louder",
                     ))
             yield pd.DataFrame(
                 rows,

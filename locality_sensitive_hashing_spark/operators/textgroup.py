@@ -76,10 +76,12 @@ def audio_classes(
     instead of shuffling full payloads (operators/verify.py).  The SAME
     decode pass also emits the frame-energy content profile
     (operators/audio_lsh.py kernels: quantized log-energy shingles + the
-    seed-pinned MinHash signature over them), so the flagship's
-    audio-content detector costs zero additional passes over payload
-    bytes -- at 10^12 clips a second decode sweep would double the
-    corpus-linear I/O for the audio axis.
+    seed-pinned MinHash signature over them) and the gain-invariant
+    Haitsma-Kalker sign-bit fingerprint
+    (operators/audio_fingerprint.py: fp_codes + fp_active), so BOTH
+    flagship audio-content detectors cost zero additional passes over
+    payload bytes -- at 10^12 clips a second decode sweep would double
+    the corpus-linear I/O for the audio axis.
     """
     cls = keyed.groupBy("text_key", "audio_key").agg(
         F.min("clip_id").alias("rep"), F.count("*").alias("n_members")
@@ -98,25 +100,33 @@ def audio_classes(
             F.col("_m.e_ok").alias("e_ok"),
             F.col("_m.e_shingles").alias("e_shingles"),
             F.col("_m.e_sig").alias("e_sig"),
+            F.col("_m.fp_codes").alias("fp_codes"),
+            F.col("_m.fp_active").alias("fp_active"),
         )
     )
 
 
 def class_audio_meta_udf(cfg: Config | None = None):
     """pandas UDF: wav bytes -> struct(decode_ok, n_samples, digest,
-    e_ok, e_shingles, e_sig).
+    e_ok, e_shingles, e_sig, fp_codes, fp_active).
 
     Runs once per audio class representative; the digest feeds the exact
     allclose pre-screen (audio.pcm_digest), the e_* columns feed the
-    frame-energy content detector (operators/audio_lsh.py -- e_ok is the
-    canonical-s16le parse flag; the energy kernels only define semantics
-    over canonical pcm_s16le payloads, matching the standalone detector
-    and its DuckDB oracle)."""
+    frame-energy content detector (operators/audio_lsh.py), and the fp_*
+    columns feed the gain-invariant sign-bit fingerprint detector
+    (operators/audio_fingerprint.py).  e_ok is the canonical-s16le parse
+    flag shared by both content detectors -- their kernels only define
+    semantics over canonical pcm_s16le payloads, matching the standalone
+    detectors and their DuckDB oracles."""
     import numpy as np
 
     from locality_sensitive_hashing_spark import audio as A
     from locality_sensitive_hashing_spark import hashing as H
     from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        fingerprint_codes,
+        frame_band_mags,
+    )
     from locality_sensitive_hashing_spark.operators.audio_lsh import (
         _canonical_s16le_samples,
         frame_energy_symbols,
@@ -129,10 +139,12 @@ def class_audio_meta_udf(cfg: Config | None = None):
 
     @F.pandas_udf(
         "decode_ok boolean, n_samples long, digest array<long>, "
-        "e_ok boolean, e_shingles array<int>, e_sig array<int>"
+        "e_ok boolean, e_shingles array<int>, e_sig array<int>, "
+        "fp_codes array<int>, fp_active int"
     )
     def compute(b: pd.Series) -> pd.DataFrame:
         oks, ns, digs, eoks, eshs, esigs = [], [], [], [], [], []
+        fpcs, fpas = [], []
         for raw in b:
             raw = bytes(raw or b"")
             try:
@@ -150,13 +162,19 @@ def class_audio_meta_udf(cfg: Config | None = None):
                 eoks.append(True)
                 eshs.append(sh.astype(np.int32).tolist())
                 esigs.append(sig.astype(np.int32).tolist())
+                codes, n_active = fingerprint_codes(frame_band_mags(ints))
+                fpcs.append(codes.astype(np.int32).tolist())
+                fpas.append(n_active)
             else:
                 eoks.append(False)
                 eshs.append([])
                 esigs.append([])
+                fpcs.append([])
+                fpas.append(0)
         return pd.DataFrame({
             "decode_ok": oks, "n_samples": ns, "digest": digs,
             "e_ok": eoks, "e_shingles": eshs, "e_sig": esigs,
+            "fp_codes": fpcs, "fp_active": fpas,
         })
 
     return compute

@@ -237,6 +237,94 @@ def energy_content_edges(classes: DataFrame, cfg: Config) -> DataFrame:
     )
 
 
+def fingerprint_class_feats(classes: DataFrame) -> DataFrame:
+    """One gain-fingerprint feature row per DISTINCT payload (audio_key):
+    (audio_key, clip_id=global rep, decode_ok=true, codes, n_active), in
+    the shape operators/audio_fingerprint.py's blocking/floor functions
+    expect.  e_ok gates it -- the fingerprint kernel parses the same
+    canonical-s16le payloads as the energy kernel."""
+    return (
+        classes.where("e_ok")
+        .groupBy("audio_key")
+        .agg(
+            F.min("rep").alias("clip_id"),
+            # identical per audio_key (pure function of the payload);
+            # min_by picks the global rep's copy deterministically
+            F.min_by("fp_codes", "rep").alias("codes"),
+            F.min_by("fp_active", "rep").alias("n_active"),
+        )
+        .withColumn("decode_ok", F.lit(True))
+    )
+
+
+def gain_content_edges(classes: DataFrame, cfg: Config) -> DataFrame:
+    """Gain-invariant audio edges (kind="audio_gain") between distinct
+    payloads: the Haitsma-Kalker sign-bit fingerprint detector folded
+    into the flagship DAG (fifth edge source).
+
+    Pairs +6 dB re-masters and dithered re-encodes whose BYTES differ and
+    whose TRANSCRIPTS differ -- republications the energy detector misses
+    by construction (its log-quantized symbols shift bins under gain, so
+    the shingle sets are disjoint; operators/audio_fingerprint.py module
+    docstring).  Consumes the fp_* columns the ``audio_classes`` kernel
+    already computed (zero extra decode passes); runs once per DISTINCT
+    payload, so byte-identical republication adds no work, and member
+    clips reach the gain edge through their class chain/star edges
+    exactly like the PCM and energy axes.
+
+    Semantics match the standalone detector (q_audio_gain_near_dups):
+    canonical-s16le payloads only (e_ok), the MIN_CODES/MIN_ACTIVE_FRAC
+    low-information floor, pigeonhole WINDOW-code blocking at
+    cfg.bucket_cap, equal-length alignment, exact BER verify JVM-side
+    (zip_with/bit_count in whole-stage codegen).  Emitted rows carry
+    est_jaccard = the bit-AGREEMENT fraction 1 - BER (raw double, one
+    IEEE division -- the numpy oracle reproduces it bit-for-bit);
+    allclose/snr_db are False/-inf ("PCM compare not run" -- bytes differ
+    by construction), hamming/lcs the -1 not-computed sentinel, and
+    is_dup = BER <= audio_fingerprint.BER_MAX.
+    """
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        BER_MAX,
+        CODE_BITS,
+        fingerprint_blocks,
+    )
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        pairs_from_blocks,
+    )
+
+    feats = fingerprint_class_feats(classes)
+    blocks = fingerprint_blocks(feats)
+    pairs = pairs_from_blocks(
+        blocks, ["win_idx", "wkey"], cfg.bucket_cap, "fingerprint"
+    ).select("id1", "id2")
+    c1 = feats.select(F.col("clip_id").alias("id1"), F.col("codes").alias("_c1"))
+    c2 = feats.select(F.col("clip_id").alias("id2"), F.col("codes").alias("_c2"))
+    ber = F.expr(
+        "aggregate(zip_with(_c1, _c2, (a, b) -> bit_count(a ^ b)), 0, "
+        "(acc, x) -> acc + x)"
+    ).cast("double") / (F.lit(CODE_BITS) * F.size("_c1"))
+    return (
+        pairs.join(c1, "id1")
+        .join(c2, "id2")
+        .where(F.size("_c1") == F.size("_c2"))
+        .withColumn("_ber", ber)
+        .select(
+            "id1", "id2",
+            F.lit("audio_gain").alias("kind"),
+            F.array(F.lit("fingerprint")).alias("detectors"),
+            (F.lit(1.0) - F.col("_ber")).alias("est_jaccard"),
+            F.lit(False).alias("teq"),
+            F.lit(-1).alias("hamming"),
+            F.lit(-1).cast("long").alias("lcs"),
+            F.lit(False).alias("allclose"),
+            F.lit(_NEG_INF).alias("snr_db"),
+            # sub-threshold candidates stay as is_dup=False evidence rows,
+            # same convention as the energy axis
+            (F.col("_ber") <= F.lit(BER_MAX)).alias("is_dup"),
+        )
+    )
+
+
 def expand_and_verify(
     text_verified: DataFrame,
     classes: DataFrame,
@@ -244,9 +332,11 @@ def expand_and_verify(
     clips: DataFrame,
     cfg: Config,
     energy: bool = True,
+    fingerprint: bool = True,
 ) -> DataFrame:
     """Clip-level verified edges: chain + within-group + cross-group
-    (+ audio-content energy edges when ``energy``).
+    (+ audio-content energy edges when ``energy``, + gain-invariant
+    fingerprint edges when ``fingerprint``).
 
     ``classes``: (text_key, audio_key, rep, n_members);
     ``chains``: (id1, id2, text_key, audio_key).
@@ -355,5 +445,9 @@ def expand_and_verify(
     if energy:
         out = out.unionByName(
             energy_content_edges(classes, cfg).select(*VERIFIED_COLUMNS)
+        )
+    if fingerprint:
+        out = out.unionByName(
+            gain_content_edges(classes, cfg).select(*VERIFIED_COLUMNS)
         )
     return out

@@ -95,6 +95,24 @@ def _energy_profile(
     return True, sh, sig.astype(np.int64)
 
 
+def _fingerprint_profile(raw: bytes) -> tuple[np.ndarray, int]:
+    """(fp_codes, fp_active) -- mirrors the fingerprint half of
+    class_audio_meta_udf (operators/audio_fingerprint.py kernels; the
+    parse flag is the shared e_ok)."""
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        fingerprint_codes,
+        frame_band_mags,
+    )
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        _canonical_s16le_samples,
+    )
+
+    ints = _canonical_s16le_samples(raw)
+    if ints is None or ints.size == 0:
+        return np.empty(0, dtype=np.int64), 0
+    return fingerprint_codes(frame_band_mags(ints))
+
+
 def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
     """Run the whole dedup pipeline single-process over a clips DataFrame.
 
@@ -225,6 +243,10 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
     cls["e_ok"] = [emeta[r][0] for r in cls["rep"]]
     cls["e_shingles"] = [emeta[r][1].tolist() for r in cls["rep"]]
     cls["e_sig"] = [emeta[r][2].tolist() for r in cls["rep"]]
+    fpmeta = {r.rep: _fingerprint_profile(bytes(blobs[r.rep]))
+              for r in cls.itertuples()}
+    cls["fp_codes"] = [fpmeta[r][0].tolist() for r in cls["rep"]]
+    cls["fp_active"] = [fpmeta[r][1] for r in cls["rep"]]
     classes_df = cls.sort_values(["text_key", "audio_key"]).reset_index(drop=True)
     n_classes = cls.groupby("text_key")["rep"].size().to_dict()
     dropped_groups_df = pd.DataFrame(
@@ -325,6 +347,47 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
              False, NEG_INF, bool(j >= JACCARD_THRESHOLD))
         )
 
+    # gain-invariant fingerprint edges over distinct payloads (mirrors
+    # operators/verify.py gain_content_edges: same global reps, the
+    # MIN_CODES/MIN_ACTIVE_FRAC floor, pigeonhole WINDOW-code blocking at
+    # bucket_cap, equal-length alignment, exact-BER verdict)
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        BER_MAX,
+        CODE_BITS,
+        MIN_ACTIVE_FRAC,
+        MIN_CODES,
+        WINDOW,
+    )
+
+    fpfeats = {
+        rep: fpmeta[rep][0]
+        for rep in ak_rep.values()
+        if fpmeta[rep][0].size >= MIN_CODES
+        and fpmeta[rep][1] >= fpmeta[rep][0].size * MIN_ACTIVE_FRAC
+    }
+    fgroups: dict[tuple[int, int], list[str]] = {}
+    for rep, codes in fpfeats.items():
+        for w in range(codes.size - WINDOW + 1):
+            key = 0
+            for c in codes[w : w + WINDOW].tolist():
+                key = key * (1 << CODE_BITS) + c
+            fgroups.setdefault((w, key), []).append(rep)
+    fkept = {k: m for k, m in fgroups.items() if 1 < len(m) <= cfg.bucket_cap}
+    n_gain_pairs = 0
+    for g1, g2 in sorted(_pairs_from_groups(fkept)):
+        c1, c2 = fpfeats[g1], fpfeats[g2]
+        if c1.size != c2.size:
+            continue
+        bits = sum(
+            int(v).bit_count() for v in np.bitwise_xor(c1, c2).tolist()
+        )
+        ber = bits / (CODE_BITS * c1.size)
+        n_gain_pairs += 1
+        ver_rows.append(
+            (g1, g2, "audio_gain", ["fingerprint"], 1.0 - ber, False, -1, -1,
+             False, NEG_INF, bool(ber <= BER_MAX))
+        )
+
     verified_df = pd.DataFrame(
         ver_rows,
         columns=["id1", "id2", "kind", "detectors", "est_jaccard", "teq",
@@ -359,6 +422,7 @@ def run_oracle(clips: pd.DataFrame, cfg: Config) -> OracleResult:
         "n_simhash_pairs": len(simhash_pairs),
         "n_sa_pairs": len(sa_pairs),
         "n_energy_pairs": n_energy_pairs,
+        "n_gain_pairs": n_gain_pairs,
         "n_text_candidates": len(all_pairs),
         "n_verified_edges": len(ver_rows),
         "n_dup_edges": int(verified_df["is_dup"].sum()) if len(verified_df) else 0,

@@ -14,10 +14,12 @@ operators/textgroup.py):
     cand_* -> CANDIDATES(O16) -> text_metrics -> TEXT_VERIFIED(O11, O20)
     KEYED -> AUDIO_CLASSES / chain_edges
       (the audio_classes kernel also emits the frame-energy content
-       profile per distinct payload -- operators/audio_lsh.py -- so the
-       fourth detector rides the same decode pass)
+       profile AND the gain-invariant sign-bit fingerprint per distinct
+       payload -- operators/audio_lsh.py + audio_fingerprint.py -- so the
+       fourth and fifth detectors ride the same decode pass)
     TEXT_VERIFIED + classes -> VERIFIED(O17-O18, clip-level edges:
-       chain / within / cross PCM edges + audio_content energy edges)
+       chain / within / cross PCM edges + audio_content energy edges
+       + audio_gain fingerprint edges)
     VERIFIED -> CLUSTERS(O21-O22)
 
 The reference ran its dataflow as GAE MapReduce phases materialized
@@ -125,7 +127,9 @@ class DedupPipeline:
         cfg: Config,
         io: TableIO,
         run_id: str | None = None,
-        detectors: tuple[str, ...] = ("minhash", "simhash", "sa", "energy"),
+        detectors: tuple[str, ...] = (
+            "minhash", "simhash", "sa", "energy", "fingerprint"
+        ),
         materialize: frozenset[str] | str | None = None,
     ):
         self.spark = spark
@@ -376,10 +380,41 @@ class DedupPipeline:
                 )
             else:
                 emit_dropped_energy()
+        fingerprint = "fingerprint" in self.detectors
+        if fingerprint and not self.io.committed(
+            "dropped_fp_buckets", cfg.config_id
+        ):
+            # fifth detector, same loud-drop contract: over-cap pigeonhole
+            # window buckets are counted, never silent (O25).
+            def emit_dropped_fp():
+                from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+                    fingerprint_blocks,
+                )
+                from locality_sensitive_hashing_spark.operators.verify import (
+                    fingerprint_class_feats,
+                )
+
+                self.io.write(
+                    dropped_blocks(
+                        fingerprint_blocks(fingerprint_class_feats(classes)),
+                        ["win_idx", "wkey"],
+                        cfg.bucket_cap,
+                    ),
+                    "dropped_fp_buckets",
+                    cfg.config_id,
+                )
+
+            if self._metrics_pool is not None:
+                self._metrics_futures.append(
+                    self._metrics_pool.submit(emit_dropped_fp)
+                )
+            else:
+                emit_dropped_fp()
         verified = self._stage(
             "verified",
             lambda: expand_and_verify(
-                text_verified, classes, chains, clips, cfg, energy=energy
+                text_verified, classes, chains, clips, cfg,
+                energy=energy, fingerprint=fingerprint,
             ),
         )
         clusters = self._stage(

@@ -165,16 +165,32 @@ class TableIO:
         h = hashlib.sha1(self.root.encode()).hexdigest()[:10]
         return f"{self.iceberg_catalog}.lsh_{h}.{table}"
 
-    def _register_bucketed(self, table: str) -> None:
+    def _register_bucketed(self, table: str, sch=None) -> None:
         """(Re)create the catalog entry for a bucketed table's files.
 
         Bucket layout lives in the catalog, not in parquet files, so a
         fresh session resuming a workdir re-issues the DDL; the bucket ids
-        encoded in the committed file names make this sound.
+        encoded in the committed file names make this sound.  ``write``
+        passes the schema it just committed; the fresh-session resume
+        path infers it from the files, falling back to the
+        manifest-recorded schema for a zero-row table (an empty corpus
+        commits an empty directory parquet inference cannot type).
         """
+        from pyspark.sql import types as T
+
         col, n = self.bucket_spec[table]
         path = self._path(table)
-        sch = self.spark.read.parquet(path).schema
+        if sch is None:
+            try:
+                sch = self.spark.read.parquet(path).schema
+            except Exception:
+                snaps = [
+                    s for s in self._load_manifest()["snapshots"]
+                    if s["table"] == table and not s.get("append")
+                ]
+                if not snaps:
+                    raise
+                sch = T.StructType.fromDDL(snaps[-1]["schema"])
         cols = ", ".join(f"`{f.name}` {f.dataType.simpleString()}" for f in sch.fields)
         ident = self._ident(table)
         self.spark.sql(f"DROP TABLE IF EXISTS {ident}")
@@ -233,7 +249,7 @@ class TableIO:
             shutil.rmtree(final)
         os.rename(tmp, final)
         if table in self.bucket_spec:
-            self._register_bucketed(table)
+            self._register_bucketed(table, sch=df.schema)
         self._append_snapshot(
             {
                 "table": table,

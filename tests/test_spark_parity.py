@@ -104,6 +104,11 @@ def test_audio_classes_exact(pipeline_run, corpus):
         assert list(g) == list(e)
     for g, e in zip(got.e_sig, exp.e_sig):
         assert list(g) == list(e)
+    # gain-invariant fingerprint profile (round 5: fifth edge source,
+    # same decode pass)
+    assert list(got.fp_active) == list(exp.fp_active)
+    for g, e in zip(got.fp_codes, exp.fp_codes):
+        assert list(g) == list(e)
 
 
 def test_verified_edges_and_recall(pipeline_run, corpus):
@@ -127,6 +132,26 @@ def test_verified_edges_and_recall(pipeline_run, corpus):
     assert (abs(m.est_jaccard_g - m.est_jaccard_e) < 1e-12).all()
     assert (m.allclose_g == m.allclose_e).all()
     assert (m.is_dup_g == m.is_dup_e).all()
+
+
+def test_gain_edges_present_and_exact(pipeline_run, corpus):
+    """The fifth edge source actually fires: the fixture plants +6 dB
+    re-master pairs reachable ONLY through kind=audio_gain edges, and
+    exact x2 integer gain gives BER 0 (est_jaccard exactly 1.0)."""
+    io, _, _ = pipeline_run
+    _, planted, oracle = corpus
+    got = io.read("verified").toPandas()
+    gg = got[got.kind == "audio_gain"]
+    eg = oracle.verified[oracle.verified.kind == "audio_gain"]
+    assert len(eg) >= 3  # fixture plants enough gain signal
+    assert _pair_set(gg) == _pair_set(eg)
+    gain_truth = _pair_set(planted[planted.dup_class == "gain"])
+    assert gain_truth <= _pair_set(gg[gg.is_dup])
+    m = gg.merge(eg, on=["id1", "id2"], suffixes=("_g", "_e"))
+    assert (m.est_jaccard_g == m.est_jaccard_e).all()  # bit-for-bit
+    planted_dups = gg[[p in gain_truth for p in
+                       map(tuple, gg[["id1", "id2"]].values.tolist())]]
+    assert (planted_dups.est_jaccard == 1.0).all()  # exact x2 => BER 0
 
 
 def test_cluster_assignment_agreement(pipeline_run, corpus):
