@@ -423,3 +423,23 @@ def test_zorder_layout_pure_project(spark):
     plan = _plan(QUERIES_SQL_CHECKED["zorder_layout"](spark, SF001))
     assert "Python" not in plan and "ArrowEval" not in plan
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 0, plan
+
+
+def test_gain_edges_plan_jvm_only_over_committed_classes(spark, pipeline_run, cfg):
+    """The flagship's fifth edge source (kind=audio_gain) is FULLY JVM
+    downstream of the committed audio_classes stage: the fingerprint
+    kernel ran once inside that stage's commit, so building the gain
+    edges from the read-back table must add ZERO Python crossings (no
+    ArrowEvalPython, no BatchEvalPython) -- window pack, pigeonhole
+    buckets, capped pair join, and the zip_with/bit_count BER verify
+    all stay in Catalyst, and no payload column appears anywhere (the
+    classes table carries codes, never bytes)."""
+    from locality_sensitive_hashing_spark.operators.verify import (
+        gain_content_edges,
+    )
+
+    io, _, _ = pipeline_run
+    plan = _plan(gain_content_edges(io.read("audio_classes"), cfg))
+    assert "Python" not in plan and "ArrowEval" not in plan, plan
+    assert "bytes" not in plan
+    assert "bit_count" in plan  # BER verify is the JVM intrinsic
