@@ -408,8 +408,12 @@ def _locked_main(args) -> int:
             pairs, sigs, old_sigs, fps, old_fps, est, cfg, lcs=has_sa)
         if has_audio:
             apairs = _energy_pairs(cfg, en, old_en).localCheckpoint()
+            # gain axis iff the store was written by the combined kernel
+            # (codes column present; pre-codes stores run energy-only)
+            gp = (_gain_pairs(cfg, en, old_en).localCheckpoint()
+                  if "codes" in en.columns else None)
             edges = edges.unionByName(_audio_text_edges(
-                apairs, en, old_en, keyed_all, keyed_new, cfg
+                apairs, en, old_en, keyed_all, keyed_new, cfg, gpairs=gp
             )).distinct()
         if store is None:
             # bootstrap: no standing assignment -- the pending set
@@ -480,6 +484,7 @@ from locality_sensitive_hashing_spark.plans.maintenance import (  # noqa: E402
     audio_text_edges as _audio_text_edges,
     batch_pairs as _batch_pairs,
     energy_pairs as _energy_pairs,
+    gain_pairs as _gain_pairs,
     sa_pairs as _sa_pairs,
     screened_edges as _screened_edges,
     survivor_edges_builder as _survivor_edges_builder,

@@ -2352,6 +2352,74 @@ fber AS MATERIALIZED (SELECT id1, id2, n_codes, ber_6dp FROM (
    WHERE ber_6dp <= {AFP.BER_MAX})"""
 
 
+# the SAME Haitsma-Kalker chain, g-prefixed, for composition into
+# oracles that already decode the corpus through _alsh_ctes: reuses
+# their `smp` (all samples) + `hdr` (data_len) CTEs instead of decoding
+# again, with the trailing-partial-frame drop expressed as a WHERE bound
+# (i < n_full_frames * FRAME_N).  Constants, weight VALUES, floor, and
+# BER verify are shared verbatim with _afp_ctes/_afp_pairs_sql -- the
+# single source of truth is AFP.* and _AFP_W_VALUES.  Ends in `gber`
+# (verified gain pairs).
+def _afp_gain_chain(cap: int) -> str:
+    b0, b1, b2, b3 = AFP.SPECTRAL_BINS
+    n, w = AFP.FRAME_N, AFP.WINDOW
+    return f"""gfw(band, p, wc, ws) AS (VALUES {_AFP_W_VALUES}),
+gmg AS (SELECT s.clip_id, (s.i // {n})::int AS f, gfw.band,
+       abs(CAST(sum(s.v * gfw.wc) AS BIGINT))
+         + abs(CAST(sum(s.v * gfw.ws) AS BIGINT)) AS m
+       FROM smp s JOIN hdr h USING (clip_id)
+       JOIN gfw ON gfw.p = s.i % {n}
+       WHERE s.i < ((h.data_len // 2) // {n}) * {n}
+       GROUP BY s.clip_id, (s.i // {n})::int, gfw.band),
+gbnd AS (SELECT clip_id, f,
+        sum(CASE WHEN band = {b0} THEN m END) AS m0,
+        sum(CASE WHEN band = {b1} THEN m END) AS m1,
+        sum(CASE WHEN band = {b2} THEN m END) AS m2,
+        sum(CASE WHEN band = {b3} THEN m END) AS m3
+        FROM gmg GROUP BY clip_id, f),
+gddf AS (SELECT clip_id, f,
+       (m0 - m1) - lag(m0 - m1) OVER gw AS dd0,
+       (m1 - m2) - lag(m1 - m2) OVER gw AS dd1,
+       (m2 - m3) - lag(m2 - m3) OVER gw AS dd2
+       FROM gbnd WINDOW gw AS (PARTITION BY clip_id ORDER BY f)),
+gcod AS MATERIALIZED (SELECT clip_id, f - 1 AS cf,
+       (CASE WHEN dd0 > 0 THEN 1 ELSE 0 END
+        + 2 * CASE WHEN dd1 > 0 THEN 1 ELSE 0 END
+        + 4 * CASE WHEN dd2 > 0 THEN 1 ELSE 0 END) AS code,
+       (dd0 <> 0 OR dd1 <> 0 OR dd2 <> 0) AS active
+       FROM gddf WHERE f >= 1),
+gpcl AS MATERIALIZED (SELECT clip_id, count(*) AS n_codes,
+       sum(CASE WHEN active THEN 1 ELSE 0 END) AS n_active
+       FROM gcod GROUP BY clip_id),
+gelig AS (SELECT clip_id, n_codes FROM gpcl
+          WHERE n_codes >= {AFP.MIN_CODES}
+            AND n_active >= n_codes * {AFP.MIN_ACTIVE_FRAC}),
+gwix AS (SELECT clip_id, unnest(generate_series(0, (n_codes - {w})::int)) AS wi
+         FROM gelig),
+gwins AS (SELECT x.clip_id, x.wi,
+          sum(c.code * (1::BIGINT << (3 * ({w - 1} - (c.cf - x.wi))))) AS wkey
+          FROM gwix x JOIN gcod c ON c.clip_id = x.clip_id
+                    AND c.cf BETWEEN x.wi AND x.wi + {w - 1}
+          GROUP BY x.clip_id, x.wi),
+gfsz AS (SELECT wi, wkey, count(*) AS nn FROM gwins GROUP BY wi, wkey),
+gfel AS (SELECT wi, wkey FROM gfsz WHERE nn > 1 AND nn <= {cap}),
+gprn AS (SELECT wn.clip_id, wn.wi, wn.wkey
+         FROM gwins wn JOIN gfel USING (wi, wkey)),
+gpair AS (SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2
+          FROM gprn l JOIN gprn r USING (wi, wkey) WHERE l.clip_id < r.clip_id),
+gber AS MATERIALIZED (SELECT id1, id2 FROM (
+   SELECT p.id1, p.id2,
+          round(sum(bit_count(xor(c1.code, c2.code))) * 1.0
+                / ({AFP.CODE_BITS} * e1.n_codes), 6) AS ber_6dp
+   FROM gpair p
+   JOIN gpcl e1 ON e1.clip_id = p.id1
+   JOIN gpcl e2 ON e2.clip_id = p.id2 AND e2.n_codes = e1.n_codes
+   JOIN gcod c1 ON c1.clip_id = p.id1
+   JOIN gcod c2 ON c2.clip_id = p.id2 AND c2.cf = c1.cf
+   GROUP BY p.id1, p.id2, e1.n_codes)
+   WHERE ber_6dp <= {AFP.BER_MAX})"""
+
+
 ORACLE_SQL.update({
     "audio_fingerprints": "WITH " + _afp_ctes() + """,
 agg AS (SELECT clip_id, count(*) AS n_codes,
@@ -2419,11 +2487,14 @@ FROM j
 """,
 })
 
-# The maintenance-loop certification oracle: a FROM-SCRATCH three-axis
+# The maintenance-loop certification oracle: a FROM-SCRATCH all-axis
 # closure over the maint corpus, entirely in DuckDB.  Reuses the audio
 # full-replay chain (_alsh_pairs_sql over maint_clips -- WAV decode,
 # frame energies, LSH, exact Jaccard in `vpairs`, plus the seed-pinned
-# `fam` VALUES), then adds: text classes via sha256(normalized
+# `fam` VALUES) AND the gain-fingerprint chain (_afp_gain_chain --
+# integer band correlations, sign codes, window packs, exact BER in
+# `gber`, sharing the same smp/hdr sample CTEs), then adds: text
+# classes via sha256(normalized
 # transcript); MinHash signatures replayed from the committed shingle
 # hashes with banding as tuple keys; SimHash pigeonhole chunks +
 # bit_count Hamming over the committed fingerprints; anchor-block
@@ -2434,7 +2505,8 @@ FROM j
 # mapped back to clips.  See q_incremental_maintenance_clusters.
 ORACLE_SQL.update({
     "incremental_maintenance_clusters":
-        "WITH RECURSIVE " + _alsh_pairs_sql(_NOCAP, "maint_clips") + f""",
+        "WITH RECURSIVE " + _alsh_pairs_sql(_NOCAP, "maint_clips") + ",\n"
+        + _afp_gain_chain(_NOCAP) + f""",
 tnormed AS (SELECT clip_id, {_NORM_TR} AS tnorm FROM {_aux_rp('maint_clips')}),
 tkm AS (SELECT clip_id, substring(sha256(tnorm), 1, 32) AS text_key, tnorm
         FROM tnormed),
@@ -2499,8 +2571,14 @@ anear AS (SELECT DISTINCT least(k1.text_key, k2.text_key) AS id1,
           FROM vpairs v JOIN tkm k1 ON k1.clip_id = v.id1
                         JOIN tkm k2 ON k2.clip_id = v.id2
           WHERE k1.text_key <> k2.text_key),
+gnear AS (SELECT DISTINCT least(k1.text_key, k2.text_key) AS id1,
+                 greatest(k1.text_key, k2.text_key) AS id2
+          FROM gber v JOIN tkm k1 ON k1.clip_id = v.id1
+                      JOIN tkm k2 ON k2.clip_id = v.id2
+          WHERE k1.text_key <> k2.text_key),
 alledge AS (SELECT id1, id2 FROM tedge UNION SELECT id1, id2 FROM star
-            UNION SELECT id1, id2 FROM anear),
+            UNION SELECT id1, id2 FROM anear
+            UNION SELECT id1, id2 FROM gnear),
 msym AS MATERIALIZED (SELECT id1 AS src, id2 AS dst FROM alledge
          UNION SELECT id2, id1 FROM alledge),
 mnodes AS (SELECT DISTINCT text_key AS node FROM tkm),
@@ -3490,21 +3568,31 @@ def q_incremental_substring_clusters(spark, sf_dir):
 _MAINT_AUX_DONE: set[str] = set()
 MAINT_LIMIT = 200
 MAINT_REPUBLISH_EVERY = 11
+# every 13th doc gains a -6 dB quiet re-master (``...q``) only the
+# gain-invariant fingerprint axis can pair -- see fixtures.audio_dup_clips_df
+MAINT_GAIN_EVERY = 13
+# 1000 ms clips: the default 500 ms yields 14 sign codes, below the gain
+# detector's MIN_CODES = 16 eligibility floor (fixture docstring)
+MAINT_DUR_MS = 1000
 
 
 def _maint_clips(spark: SparkSession, sf_dir: str):
     """The maintenance-loop certification corpus: the audio-content dup
     corpus (fixtures.audio_dup_clips_df: base ``b`` + trim ``t`` + noise
     ``z``) plus byte-identical republications under unrelated transcripts
-    (``r``, every 11th doc -- the exact-payload star-edge class), with
-    raw (clip_id, bytes, transcript) committed ONCE per process as the
-    ``maint_clips`` aux table: the single input both the Spark path and
-    the full-replay DuckDB oracle derive from."""
+    (``r``, every 11th doc -- the exact-payload star-edge class) plus
+    -6 dB quiet re-masters (``q``, every 13th doc -- pairable ONLY by
+    the gain-invariant fingerprint axis), at 1000 ms so the gain
+    detector's MIN_CODES floor is met, with raw (clip_id, bytes,
+    transcript) committed ONCE per process as the ``maint_clips`` aux
+    table: the single input both the Spark path and the full-replay
+    DuckDB oracle derive from."""
     from locality_sensitive_hashing_spark.fixtures import audio_dup_clips_df
 
     clips = audio_dup_clips_df(
         spark, sf_dir, seed=CFG.seed, limit=MAINT_LIMIT,
         republish_every=MAINT_REPUBLISH_EVERY,
+        gain_every=MAINT_GAIN_EVERY, dur_ms=MAINT_DUR_MS,
     )
     key = os.path.normpath(os.path.abspath(sf_dir))
     with _AUX_LOCK:
@@ -3517,26 +3605,31 @@ def _maint_clips(spark: SparkSession, sf_dir: str):
 
 def q_incremental_maintenance_clusters(spark, sf_dir):
     """THE MAINTENANCE LOOP certified end-to-end in the driver channel:
-    the incremental THREE-AXIS fold (all three text detectors + the audio
-    axis, one intake batch folded into a committed base) must equal the
+    the incremental fold across every detector axis (three text
+    detectors + the audio axis's byte/energy/gain edge classes, one
+    intake batch folded into a committed base) must equal the
     from-scratch closure, hash-checked in DuckDB.
 
     Runs the SAME package operators jobs/maintain_clusters.py executes
     (plans/maintenance.py).  The corpus splits into a committed half
     (base clips ``...b``) and an intake batch (trim ``t`` / noise ``z`` /
-    republished ``r`` variants); the committed half bootstraps a standing
-    assignment from its own blocks (MinHash bands + SimHash pigeonhole
-    chunks + winnowing anchors, screened by the batch pipeline's full
-    text_ok: est-Jaccard OR Hamming OR lazy exact-LCS) plus the audio
-    axis (exact-payload star edges + energy-LSH near-dups); the batch
-    folds in via incremental blocking (pairs only from blocks the batch
-    touches) + the same screen + merge_clusters.  Cross-axis
-    TRANSITIVITY is what this query certifies beyond the per-axis
-    incremental queries: a trimmed re-master links to its source only
-    via audio content, the ``retake ...`` variant transcripts link to
-    each other only via text, and a republication links only via byte
-    identity -- the final clusters exist only if all the axes fold into
-    one component space across the batch boundary.
+    republished ``r`` / quiet-re-master ``q`` variants); the committed
+    half bootstraps a standing assignment from its own blocks (MinHash
+    bands + SimHash pigeonhole chunks + winnowing anchors, screened by
+    the batch pipeline's full text_ok: est-Jaccard OR Hamming OR lazy
+    exact-LCS) plus the audio axis (exact-payload star edges +
+    energy-LSH near-dups + gain-fingerprint near-dups from the combined
+    kernel's codes, verified by exact BER); the batch folds in via
+    incremental blocking (pairs only from blocks the batch touches) +
+    the same screen + merge_clusters.  Cross-axis TRANSITIVITY is what
+    this query certifies beyond the per-axis incremental queries: a
+    trimmed re-master links to its source only via audio content, a
+    quiet re-master ONLY via the gain fingerprint (its energy symbols
+    shift two octaves of bins, its transcript is replaced, its bytes
+    differ), the ``retake ...`` variant transcripts link to each other
+    only via text, and a republication links only via byte identity --
+    the final clusters exist only if all the axes fold into one
+    component space across the batch boundary.
 
     The ORACLE re-derives everything from scratch in DuckDB: text
     classes via sha256(normalized transcript); MinHash signatures
@@ -3547,8 +3640,11 @@ def q_incremental_maintenance_clusters(spark, sf_dir):
     occurs in t2), evaluated only for pairs failing both cheap screens
     (the same short-circuit the lazy kernel applies); the full WAV
     decode -> frame-energy -> LSH -> exact-Jaccard audio chain from raw
-    bytes; star edges from blob-grouped BYTE equality (no hash trusted);
-    and a recursive-CTE closure over text classes mapped back to clips.
+    bytes; the full WAV decode -> integer band correlations -> sign
+    codes -> window packs -> exact-BER gain chain from the same bytes
+    (sharing the sample CTE); star edges from blob-grouped BYTE equality
+    (no hash trusted); and a recursive-CTE closure over text classes
+    mapped back to clips.
 
     Blocking is uncapped on both sides (cap semantics legitimately
     diverge under append-only emission -- same reasoning as
@@ -3560,7 +3656,7 @@ def q_incremental_maintenance_clusters(spark, sf_dir):
     from dataclasses import replace as dc_replace
 
     from locality_sensitive_hashing_spark.operators.audio_lsh import (
-        with_energy_signatures,
+        with_store_audio_features,
     )
     from locality_sensitive_hashing_spark.operators.connected_components import (
         connected_components,
@@ -3580,6 +3676,7 @@ def q_incremental_maintenance_clusters(spark, sf_dir):
         audio_text_edges,
         batch_pairs,
         energy_pairs,
+        gain_pairs,
         sa_pairs,
         screened_edges,
     )
@@ -3631,8 +3728,10 @@ def q_incremental_maintenance_clusters(spark, sf_dir):
     )
 
     def _en(p):
-        return with_energy_signatures(p, cfgu, id_col="audio_key").select(
-            "audio_key", "decode_ok", "shingles", "sig"
+        # the combined intake-store kernel: energy features + gain codes
+        # in one decode (audio_lsh.with_store_audio_features)
+        return with_store_audio_features(
+            p, cfgu, id_col="audio_key"
         ).localCheckpoint()
 
     old_en, new_en = _en(old_pay), _en(new_pay)
@@ -3649,8 +3748,10 @@ def q_incremental_maintenance_clusters(spark, sf_dir):
     edges0 = screened_edges(
         pairs0, old_sigs, old_sigs, old_fps, old_fps, est, cfgu, lcs=True)
     apairs0 = energy_pairs(cfgu, old_en, old_en.limit(0)).localCheckpoint()
+    gpairs0 = gain_pairs(cfgu, old_en, old_en.limit(0)).localCheckpoint()
     edges0 = edges0.unionByName(audio_text_edges(
-        apairs0, old_en, old_en.limit(0), keyed_base, keyed_base, cfgu
+        apairs0, old_en, old_en.limit(0), keyed_base, keyed_base, cfgu,
+        gpairs=gpairs0,
     )).distinct()
     prev = connected_components(
         edges0, old_texts.select(F.col("text_key").alias("clip_id")), cfgu)
@@ -3665,8 +3766,9 @@ def q_incremental_maintenance_clusters(spark, sf_dir):
     edges1 = screened_edges(
         pairs1, new_sigs, old_sigs, new_fps, old_fps, est, cfgu, lcs=True)
     apairs1 = energy_pairs(cfgu, new_en, old_en).localCheckpoint()
+    gpairs1 = gain_pairs(cfgu, new_en, old_en).localCheckpoint()
     edges1 = edges1.unionByName(audio_text_edges(
-        apairs1, new_en, old_en, keyed, keyed_new, cfgu
+        apairs1, new_en, old_en, keyed, keyed_new, cfgu, gpairs=gpairs1
     )).distinct()
     merged = merge_clusters(
         prev, edges1,

@@ -480,7 +480,8 @@ def synth_env_pcm(rng: np.random.Generator, sr_hz: int, dur_ms: int,
 
 
 def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
-                       limit: int = 200, republish_every: int | None = None):
+                       limit: int = 200, republish_every: int | None = None,
+                       gain_every: int | None = None, dur_ms: int = 500):
     """Audio-CONTENT duplicate corpus for the frame-energy LSH detector.
 
     One enveloped 500 ms s16le clip per document (doc_id < limit), plus
@@ -500,6 +501,24 @@ def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
       (a)); only byte identity can pair it with its source.  Off by
       default so the detector-fixture corpora (and their committed aux
       snapshots) are unchanged.
+    - ``...q`` (every ``gain_every``-th doc, when set): a -6 dB QUIET
+      re-master -- the int16 samples halved with round-to-nearest
+      (exact 0.5x scaling up to +/-0.5 LSB), re-encoded, transcript
+      replaced.  A x2 louder master would clip (the base peaks at 0.9
+      full scale), so the quiet direction carries the gain axis here.
+      Every frame-energy symbol shifts by 2 octaves x 2^sub_bits bins,
+      so the energy-LSH detector misses it BY CONSTRUCTION (measured
+      J <= 0.086 vs threshold 0.35); byte identity and every text
+      detector miss it too.  ONLY the gain-invariant sign fingerprint
+      (operators/audio_fingerprint.py) pairs it: +/-0.5 LSB rounding
+      flips a measured max 1.1% of sign bits (BER_MAX = 0.2, cross-clip
+      floor 0.30) with >= 22 exact 8-code windows surviving for the
+      pigeonhole lookup.  Requires ``dur_ms`` >= 1000: at the default
+      500 ms a clip has 14 sign codes, below the detector's
+      MIN_CODES = 16 eligibility floor.
+    - ``dur_ms``: clip length (default 500 keeps the detector-fixture
+      corpora byte-stable; the maintenance corpus uses 1000 so the
+      gain axis is eligible).
 
     Synthesis runs IN EXECUTORS via mapInPandas with per-doc seeded
     substreams (stream [seed, doc_id, 11] -- disjoint from
@@ -521,7 +540,7 @@ def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 doc_id = int(doc_id)
                 rng = np.random.default_rng([seed, doc_id, 11])
-                sr, dur = 8000, 500
+                sr, dur = 8000, dur_ms
                 pcm = synth_env_pcm(rng, sr, dur)
                 raw = A.encode_wav(pcm, sr, "pcm_s16le")
                 rows.append(
@@ -531,6 +550,19 @@ def audio_dup_clips_df(spark, sf_dir: str, seed: int = 42,
                     rows.append((
                         f"a{doc_id:08d}r", raw, sr, dur, "pcm_s16le",
                         f"republication {doc_id} under a new title",
+                    ))
+                if gain_every and doc_id % gain_every == 0:
+                    # ground truth is the base clip's INT16 samples (the
+                    # encode_wav round-trip is exact), halved to nearest
+                    ints = np.clip(
+                        np.round(pcm * 32767.0), -32768, 32767
+                    ).astype(np.int64)
+                    quiet = np.round(ints.astype(np.float64) * 0.5)
+                    rows.append((
+                        f"a{doc_id:08d}q",
+                        A.encode_wav(quiet / 32767.0, sr, "pcm_s16le"),
+                        sr, dur, "pcm_s16le",
+                        f"quiet master {doc_id} republished 6 dB down",
                     ))
                 if doc_id % 5 == 0:
                     raw_t = A.encode_wav(pcm[800:], sr, "pcm_s16le")

@@ -237,6 +237,79 @@ def with_energy_signatures(
     )
 
 
+def store_audio_udf(cfg: Config):
+    """Arrow pandas UDF: wav bytes -> struct(decode_ok, shingles, sig,
+    codes, n_active) -- the INTAKE-STORE audio kernel, ONE decode serving
+    BOTH audio-content detectors (frame-energy LSH features for
+    trim/noise re-masters + Haitsma-Kalker sign-bit fingerprint codes
+    for gain/dither re-masters, operators/audio_fingerprint.py).  At
+    10^12 clips a second decode sweep would double the corpus-linear
+    payload I/O of the audio axis, so the streaming sink
+    (streaming/incremental.py) and the maintenance loop's certification
+    query both go through this kernel rather than chaining the two
+    standalone ones."""
+    # deferred: audio_fingerprint imports this module at its top level
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        fingerprint_codes,
+        frame_band_mags,
+    )
+
+    a, b = H.hash_family(cfg)
+    p = cfg.modulo_prime
+
+    @F.pandas_udf(
+        "decode_ok boolean, shingles array<int>, sig array<int>, "
+        "codes array<int>, n_active int"
+    )
+    def compute(raw: pd.Series) -> pd.DataFrame:
+        oks, shg_out, sig_out, cod_out, act_out = [], [], [], [], []
+        for blob in raw:
+            ints = _canonical_s16le_samples(bytes(blob)) if blob is not None else None
+            if ints is None or ints.size == 0:
+                oks.append(False)
+                shg_out.append([])
+                sig_out.append([])
+                cod_out.append([])
+                act_out.append(0)
+                continue
+            syms = frame_energy_symbols(ints, FRAME_N, SUB_BITS)
+            shingles = shingle_encode(syms, SHINGLE_K, SYM_BASE)
+            sig = H.minhash_signature(shingles.astype(np.uint64), a, b, p)
+            codes, n_active = fingerprint_codes(frame_band_mags(ints))
+            oks.append(True)
+            shg_out.append(shingles.astype(np.int32).tolist())
+            sig_out.append(sig.astype(np.int32).tolist())
+            cod_out.append(codes.astype(np.int32).tolist())
+            act_out.append(n_active)
+        return pd.DataFrame(
+            {"decode_ok": oks, "shingles": shg_out, "sig": sig_out,
+             "codes": cod_out, "n_active": act_out}
+        )
+
+    return compute
+
+
+def with_store_audio_features(
+    clips: DataFrame, cfg: Config, id_col: str = "audio_key"
+) -> DataFrame:
+    """(id_col, decode_ok, shingles, sig, codes, n_active) -- the intake
+    store's per-distinct-payload audio row, bytes pruned right after the
+    one combined kernel (:func:`store_audio_udf`)."""
+    udf = store_audio_udf(cfg)
+    return (
+        clips.select(id_col, "bytes")
+        .withColumn("_e", udf(F.col("bytes")))
+        .select(
+            id_col,
+            F.col("_e.decode_ok").alias("decode_ok"),
+            F.col("_e.shingles").alias("shingles"),
+            F.col("_e.sig").alias("sig"),
+            F.col("_e.codes").alias("codes"),
+            F.col("_e.n_active").alias("n_active"),
+        )
+    )
+
+
 def explode_energy_bands(
     feats: DataFrame, cfg: Config, id_col: str = "clip_id"
 ) -> DataFrame:

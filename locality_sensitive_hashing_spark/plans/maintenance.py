@@ -7,7 +7,9 @@ harnesses.
 These operate on INTAKE-STORE-shaped tables (streaming/incremental.py
 layout): ``signatures`` (text_key, norm, sig, band_hashes),
 ``fingerprints`` (text_key, fingerprint), ``anchors`` (text_key,
-anchor), ``energy`` (audio_key, decode_ok, shingles, sig) and ``keyed``
+anchor), ``energy`` (audio_key, decode_ok, shingles, sig [, codes,
+n_active -- the combined kernel's gain-fingerprint columns; stores
+written before them run the audio axis energy-only]) and ``keyed``
 (clip_id, text_key, audio_key).  Every function takes a (new, old) pair
 of frames so the same code serves the bootstrap (old = empty) and the
 fold (old = the committed corpus) paths.
@@ -47,10 +49,34 @@ def energy_pairs(cfg: Config, new_en: DataFrame, old_en: DataFrame) -> DataFrame
     return en.select("id1", "id2")
 
 
+def gain_pairs(cfg: Config, new_fp: DataFrame, old_fp: DataFrame) -> DataFrame:
+    """Gain-axis incremental candidates over DISTINCT PAYLOADS: the
+    Haitsma-Kalker sign-fingerprint pigeonhole window blocks
+    (audio_fingerprint.fingerprint_blocks, eligibility floor included)
+    restricted to blocks the pending set touches -- pairs +6 dB / -6 dB
+    re-masters and dithered re-encodes the energy detector misses by
+    construction.  Inputs are intake-store energy frames carrying the
+    combined kernel's ``codes``/``n_active`` columns
+    (audio_lsh.with_store_audio_features)."""
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        fingerprint_blocks,
+    )
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        incremental_pairs_from_blocks,
+    )
+
+    gp = incremental_pairs_from_blocks(
+        fingerprint_blocks(new_fp, id_col="audio_key"),
+        fingerprint_blocks(old_fp, id_col="audio_key"),
+        ["win_idx", "wkey"], cfg.bucket_cap, "gfp", id_col="audio_key",
+    )
+    return gp.select("id1", "id2")
+
+
 def audio_text_edges(apairs: DataFrame, new_en: DataFrame, old_en: DataFrame,
                      keyed_all: DataFrame, keyed_pending: DataFrame,
-                     cfg: Config) -> DataFrame:
-    """Audio-axis edges in TEXT-KEY space, two dup classes:
+                     cfg: Config, gpairs: DataFrame | None = None) -> DataFrame:
+    """Audio-axis edges in TEXT-KEY space, three dup classes:
 
     (a) EXACT -- an audio_key shared by clips with different transcripts:
         star edges from the key's min text_key to its other text_keys
@@ -64,21 +90,35 @@ def audio_text_edges(apairs: DataFrame, new_en: DataFrame, old_en: DataFrame,
         JVM array_intersect/array_union -- no Python), endpoints mapped
         through the same min-text_key representative; the star edges
         make the representative choice immaterial to the components.
+    (c) GAIN -- when ``gpairs`` is given (intake store carries the
+        combined kernel's ``codes`` column), sign-fingerprint candidates
+        verified by exact bit-error-rate over the stored code sequences
+        (equal length, BER <= audio_fingerprint.BER_MAX -- JVM
+        zip_with/bit_count, no Python), same representative mapping.
 
     Scale shape: candidate pairs and the pending/endpoint audio_key sets
     are batch-scale and BROADCAST; the corpus-scale energy and keyed
     stores are semi-restricted map-side before any shuffle (the
-    :func:`screened_edges` discipline).  ``apairs`` must be materialized
-    by the caller (it feeds the endpoint broadcast and the verify join)."""
+    :func:`screened_edges` discipline).  ``apairs`` (and ``gpairs``)
+    must be materialized by the caller (they feed the endpoint broadcast
+    and the verify joins)."""
     from pyspark.sql import functions as F
 
     from locality_sensitive_hashing_spark.operators import audio_lsh as AL
-
-    eps = (
-        apairs.select(F.col("id1").alias("audio_key"))
-        .unionByName(apairs.select(F.col("id2").alias("audio_key")))
-        .distinct()
+    from locality_sensitive_hashing_spark.operators import (
+        audio_fingerprint as AFP,
     )
+
+    def _eps(p):
+        return (
+            p.select(F.col("id1").alias("audio_key"))
+            .unionByName(p.select(F.col("id2").alias("audio_key")))
+            .distinct()
+        )
+
+    eps = _eps(apairs)
+    if gpairs is not None:
+        eps = eps.unionByName(_eps(gpairs)).distinct()
     en_all = (
         old_en.select("audio_key", "shingles")
         .unionByName(new_en.select("audio_key", "shingles"))
@@ -97,6 +137,27 @@ def audio_text_edges(apairs: DataFrame, new_en: DataFrame, old_en: DataFrame,
         .where(jac >= AL.JACCARD_THRESHOLD)
         .select("id1", "id2")
     )
+    if gpairs is not None:
+        cd_all = (
+            old_en.select("audio_key", "codes")
+            .unionByName(new_en.select("audio_key", "codes"))
+            .join(F.broadcast(eps), "audio_key")
+        )
+        c1 = cd_all.select(
+            F.col("audio_key").alias("id1"), F.col("codes").alias("_c1"))
+        c2 = cd_all.select(
+            F.col("audio_key").alias("id2"), F.col("codes").alias("_c2"))
+        ber = F.expr(
+            "aggregate(zip_with(_c1, _c2, (a, b) -> bit_count(a ^ b)), 0, "
+            "(acc, x) -> acc + x)"
+        ).cast("double") / (F.lit(AFP.CODE_BITS) * F.size("_c1"))
+        gv = (
+            gpairs.join(c1, "id1").join(c2, "id2")
+            .where(F.size("_c1") == F.size("_c2"))
+            .where(F.round(ber, 6) <= AFP.BER_MAX)
+            .select("id1", "id2")
+        )
+        vpairs = vpairs.unionByName(gv).distinct()
     touched = (
         keyed_pending.select("audio_key").unionByName(eps).distinct()
     )
@@ -320,9 +381,15 @@ def survivor_edges_builder(cfg: Config, est, sigs: DataFrame,
                 F.broadcast(akeys), "audio_key"
             ).localCheckpoint()
             apairs = energy_pairs(cfg, en_s, en_s.limit(0)).localCheckpoint()
+            # gain axis iff the store was written by the combined kernel
+            # (codes column present) -- same presence contract as the job
+            gp = (
+                gain_pairs(cfg, en_s, en_s.limit(0)).localCheckpoint()
+                if "codes" in en_s.columns else None
+            )
             edges = edges.unionByName(
                 audio_text_edges(apairs, en_s, en_s.limit(0),
-                                 keyed_s, keyed_s, cfg)
+                                 keyed_s, keyed_s, cfg, gpairs=gp)
             ).distinct()
         return edges
 

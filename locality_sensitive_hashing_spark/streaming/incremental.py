@@ -395,11 +395,15 @@ class BatchIngestor:
                         "audio_key")
                     audio = audio.join(existing_a, "audio_key", "left_anti")
             from locality_sensitive_hashing_spark.operators.audio_lsh import (
-                with_energy_signatures,
+                with_store_audio_features,
             )
 
-            with_energy_signatures(audio, self.cfg, id_col="audio_key").select(
-                "audio_key", "decode_ok", "shingles", "sig"
+            # combined kernel: frame-energy LSH features AND gain-invariant
+            # fingerprint codes in ONE decode pass (stores written by the
+            # pre-codes kernel stay readable -- the job detects the absent
+            # codes column and runs the audio axis energy-only)
+            with_store_audio_features(
+                audio, self.cfg, id_col="audio_key"
             ).write.mode("overwrite").parquet(out("energy"))
             write_batch_index(
                 self.spark.read.parquet(out("energy")).select("audio_key"),

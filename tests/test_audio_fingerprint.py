@@ -204,3 +204,31 @@ def test_near_dup_plan_single_python_crossing(planted, cfg):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes" not in line
+
+
+def test_store_kernel_matches_standalone_kernels(planted, cfg):
+    """The combined intake-store kernel (audio_lsh.with_store_audio_features
+    -- ONE decode emitting energy features + fingerprint codes) must equal
+    the two standalone kernels column-for-column: its energy half equals
+    with_energy_signatures and its fingerprint half equals
+    with_fingerprints, on the same clips."""
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        with_energy_signatures,
+        with_store_audio_features,
+    )
+
+    clips, _, _ = planted
+    sub = clips.limit(30)
+    got = {
+        r.clip_id: r
+        for r in with_store_audio_features(sub, cfg, id_col="clip_id").collect()
+    }
+    en = {r.clip_id: r for r in with_energy_signatures(sub, cfg).collect()}
+    fp = {r.clip_id: r for r in AFP.with_fingerprints(sub).collect()}
+    assert set(got) == set(en) == set(fp) and len(got) == 30
+    for cid, r in got.items():
+        assert r.decode_ok == en[cid].decode_ok == fp[cid].decode_ok
+        assert r.shingles == en[cid].shingles
+        assert r.sig == en[cid].sig
+        assert r.codes == fp[cid].codes
+        assert r.n_active == fp[cid].n_active

@@ -52,10 +52,11 @@ def _reference(spark, store_dir, ids):
     uses), the batch pipeline's full text_ok screen (est-Jaccard OR
     Hamming OR exact-LCS -- computed eagerly for every pair here, the
     job's lazy evaluation must not change the verdict), PLUS the audio
-    axis (exact-payload star edges over the keyed store and
-    Jaccard-verified energy-LSH near-dups, rebuilt with the
-    non-incremental blocking variant), full CC -- what the incremental
-    job must equal."""
+    axis (exact-payload star edges over the keyed store,
+    Jaccard-verified energy-LSH near-dups and BER-verified
+    gain-fingerprint near-dups, rebuilt with the non-incremental
+    blocking variant), full CC -- what the incremental job must
+    equal."""
     from locality_sensitive_hashing_spark.operators import audio_lsh as AL
     from locality_sensitive_hashing_spark.operators.audio_lsh import (
         explode_energy_bands,
@@ -137,6 +138,31 @@ def _reference(spark, store_dir, ids):
         .where(jac >= AL.JACCARD_THRESHOLD)
         .select("id1", "id2")
     )
+    # gain axis, from scratch: pigeonhole window blocks over the stored
+    # fingerprint codes, exact-BER verify (equal length)
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        BER_MAX,
+        CODE_BITS,
+        fingerprint_blocks,
+    )
+
+    gpairs = pairs_from_blocks(
+        fingerprint_blocks(en, id_col="audio_key"),
+        ["win_idx", "wkey"], CFG.bucket_cap, "gfp", id_col="audio_key",
+    ).select("id1", "id2")
+    c1 = en.select(F.col("audio_key").alias("id1"), F.col("codes").alias("_c1"))
+    c2 = en.select(F.col("audio_key").alias("id2"), F.col("codes").alias("_c2"))
+    ber = F.expr(
+        "aggregate(zip_with(_c1, _c2, (a, b) -> bit_count(a ^ b)), 0, "
+        "(acc, x) -> acc + x)"
+    ).cast("double") / (F.lit(CODE_BITS) * F.size("_c1"))
+    gv = (
+        gpairs.join(c1, "id1").join(c2, "id2")
+        .where(F.size("_c1") == F.size("_c2"))
+        .where(F.round(ber, 6) <= BER_MAX)
+        .select("id1", "id2")
+    )
+    vpairs = vpairs.unionByName(gv).distinct()
     a2t = keyed.select("audio_key", "text_key").distinct()
     rep = a2t.groupBy("audio_key").agg(F.min("text_key").alias("rep"))
     stars = (
@@ -737,3 +763,91 @@ def test_maintain_job_workdir_lock(spark, cfg, tmp_path):
     # holder gone -> the run proceeds and commits
     _run_job(store, wd)
     assert MJ._read_state(wd)["processed"] == [0]
+
+
+def _gain_pair_corpus(seed: int = 7):
+    """(clips_df, src_tr, var_tr): a corpus whose ONLY cross-transcript
+    link is a -6 dB/x2 gain re-master pair (audio bytes differ, energy
+    symbols shift whole octaves, transcripts unrelated) -- pairable by
+    the gain-fingerprint axis alone."""
+    import numpy as np
+
+    from locality_sensitive_hashing_spark import audio as A
+    from locality_sensitive_hashing_spark.fixtures import (
+        _transcript,
+        synth_env_pcm,
+    )
+
+    rng = np.random.default_rng(seed)
+    rows = []
+    sr, dur = 8000, 1000
+    ints = np.clip(
+        np.round(synth_env_pcm(rng, sr, dur) * 0.5 * 32767.0), -32768, 32767
+    ).astype(np.int64)
+    src_tr = " ".join(_transcript(rng))
+    var_tr = " ".join(_transcript(rng))
+    rows.append(("gsrc0000", A.encode_wav(ints / 32767.0, sr, "pcm_s16le"),
+                 sr, dur, "pcm_s16le", src_tr))
+    rows.append(("gvar0000", A.encode_wav((ints * 2) / 32767.0, sr,
+                                          "pcm_s16le"),
+                 sr, dur, "pcm_s16le", var_tr))
+    for i in range(6):  # unrelated fillers on both sides of the split
+        pcm = synth_env_pcm(rng, sr, dur)
+        rows.append((f"fill{i:04d}", A.encode_wav(pcm, sr, "pcm_s16le"),
+                     sr, dur, "pcm_s16le", " ".join(_transcript(rng))))
+    import pandas as pd
+
+    clips = pd.DataFrame(rows, columns=["clip_id", "bytes", "sr_hz",
+                                        "dur_ms", "codec", "transcript"])
+    return clips, src_tr, var_tr
+
+
+def _tkey(tr: str) -> str:
+    import hashlib
+
+    from locality_sensitive_hashing_spark import hashing as H
+
+    return hashlib.sha256(H.normalize_text(tr).encode()).hexdigest()[:32]
+
+
+def test_maintain_job_gain_axis_crosses_batch_boundary(spark, cfg, tmp_path):
+    """A x2-gain re-master arriving in a LATER batch than its source must
+    fold into the source's cluster via the gain-fingerprint axis (no
+    other detector can pair it: bytes differ, energy symbols shift,
+    transcripts unrelated) -- and a pre-codes LEGACY energy store (the
+    combined kernel's columns absent) must keep running energy-only,
+    leaving the pair apart rather than failing."""
+    store = os.path.join(str(tmp_path), "intake")
+    wd = os.path.join(str(tmp_path), "clusters")
+    os.makedirs(wd)
+    clips, src_tr, var_tr = _gain_pair_corpus()
+    ing = BatchIngestor(spark, store, cfg)
+    is_src = clips.clip_id != "gvar0000"
+    ing.process(spark.createDataFrame(clips[is_src]), 0)
+    _run_job(store, wd)  # bootstrap WITHOUT the variant
+    ing.process(spark.createDataFrame(clips[~is_src]), 1)
+    _run_job(store, wd)  # fold: gain blocking via touched windows only
+    assign = _assign(MJ.read_current(spark, wd))
+    assert assign[_tkey(src_tr)] == assign[_tkey(var_tr)], (
+        "gain re-master did not fold into its source's cluster"
+    )
+
+    # legacy store: strip the combined kernel's columns from every energy
+    # batch -- the job must detect their absence and run energy-only
+    legacy = os.path.join(str(tmp_path), "intake_legacy")
+    import shutil
+
+    shutil.copytree(store, legacy)
+    en_root = os.path.join(legacy, "energy")
+    for sub in os.listdir(en_root):
+        p = os.path.join(en_root, sub)
+        pdf = spark.read.parquet(p).drop("codes", "n_active").toPandas()
+        shutil.rmtree(p)
+        spark.createDataFrame(pdf).write.parquet(p)
+    wd2 = os.path.join(str(tmp_path), "clusters_legacy")
+    os.makedirs(wd2)
+    _run_job(legacy, wd2)
+    assign2 = _assign(MJ.read_current(spark, wd2))
+    assert assign2[_tkey(src_tr)] != assign2[_tkey(var_tr)], (
+        "legacy store has no codes -- nothing may pair the gain variant"
+    )
