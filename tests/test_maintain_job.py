@@ -851,3 +851,48 @@ def test_maintain_job_gain_axis_crosses_batch_boundary(spark, cfg, tmp_path):
     assert assign2[_tkey(src_tr)] != assign2[_tkey(var_tr)], (
         "legacy store has no codes -- nothing may pair the gain variant"
     )
+
+
+def test_audio_text_edges_gain_restriction_broadcasts(spark):
+    """Scale contract of the gain branch: the corpus-scale energy store
+    (shingles AND codes sides) is restricted to the BROADCAST pair-
+    endpoint set before any shuffle-side use -- with auto-broadcast off,
+    every BroadcastHashJoin in the plan is a hinted endpoint/touched
+    restriction; and on a tiny graph the energy and gain verifies each
+    emit exactly their planted edge."""
+    from locality_sensitive_hashing_spark.plans.maintenance import (
+        audio_text_edges,
+    )
+
+    en = spark.createDataFrame(
+        [
+            ("A1", [1, 2, 3], [7] * 20, 20),
+            ("A2", [1, 2, 4], [7] * 20, 19),   # J=0.5 with A1 (energy pair)
+            ("A3", [9, 10, 11], [5] * 24, 24),
+            ("A4", [20, 21, 22], [5] * 24, 24),  # BER 0 with A3 (gain pair)
+        ],
+        "audio_key string, shingles array<int>, codes array<int>, n_active int",
+    )
+    keyed = spark.createDataFrame(
+        [(f"c{i}", f"T{i}", f"A{i}") for i in (1, 2, 3, 4)],
+        "clip_id string, text_key string, audio_key string",
+    )
+    apairs = spark.createDataFrame(
+        [("A1", "A2")], "id1 string, id2 string").localCheckpoint()
+    gpairs = spark.createDataFrame(
+        [("A3", "A4")], "id1 string, id2 string").localCheckpoint()
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        edges = audio_text_edges(
+            apairs, en.limit(0), en, keyed, keyed.limit(0), CFG,
+            gpairs=gpairs,
+        )
+        plan = edges._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # hinted restrictions: shingles-side eps, codes-side eps, touched
+    # audio->text resolution (each may split per union leg)
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    got = {tuple(sorted((r.id1, r.id2))) for r in edges.collect()}
+    assert got == {("T1", "T2"), ("T3", "T4")}
