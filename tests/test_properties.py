@@ -184,3 +184,81 @@ def test_interval_bin_cover(anchor_us, delta, window_us):
         return
     ab, rb = anchor_us // window_us, ref_us // window_us
     assert ab in (rb, rb + 1), (anchor_us, ref_us, window_us)
+
+
+# --- gain-invariant fingerprint kernel (operators/audio_fingerprint.py) ----
+# Algebraic invariants behind the detector's correctness claims: EXACT
+# gain invariance for any integer scale with headroom, pack injectivity
+# behind pigeonhole blocking, and BER metric axioms behind the verify.
+
+_SAMPLES = st.lists(
+    st.integers(min_value=-4096, max_value=4096), min_size=512, max_size=1600
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(_SAMPLES, st.integers(min_value=2, max_value=7))
+def test_fingerprint_codes_exact_gain_invariance(xs, g):
+    """codes(g*x) == codes(x) for ANY integer gain g with int16 headroom
+    (every band correlation scales by g; no difference-of-differences
+    sign flips, ties stay ties) -- the detector's defining property,
+    swept over random signals rather than the tuned fixture."""
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        fingerprint_codes,
+        frame_band_mags,
+    )
+
+    x = np.array(xs, dtype=np.int64)
+    assert np.abs(x * g).max(initial=0) <= 32767
+    c1, a1 = fingerprint_codes(frame_band_mags(x))
+    c2, a2 = fingerprint_codes(frame_band_mags(x * g))
+    assert np.array_equal(c1, c2)
+    assert a1 == a2
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=7), min_size=8, max_size=8),
+       st.lists(st.integers(min_value=0, max_value=7), min_size=8, max_size=8))
+def test_fingerprint_window_pack_injective(c1, c2):
+    """The WINDOW-code big-endian pack (blocking key) is injective over
+    code sequences (codes < 2^CODE_BITS), so two clips share a block key
+    IFF they share the exact 8-code run -- no false pigeonhole merges."""
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        CODE_BITS,
+    )
+
+    def pack(cs):
+        acc = 0
+        for c in cs:
+            acc = acc * (1 << CODE_BITS) + c
+        return acc
+
+    assert (pack(c1) == pack(c2)) == (c1 == c2)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=7), min_size=16,
+                max_size=40),
+       st.data())
+def test_fingerprint_ber_metric_axioms(codes, data):
+    """BER over aligned equal-length code sequences is a normalized
+    metric: BER(x,x)=0, symmetric, in [0,1], and bounded below by
+    (#differing codes)/(3n) since a differing code flips >= 1 bit."""
+    from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
+        CODE_BITS,
+    )
+
+    other = data.draw(st.lists(
+        st.integers(min_value=0, max_value=7),
+        min_size=len(codes), max_size=len(codes)))
+
+    def ber(a, b):
+        return sum(bin(x ^ y).count("1") for x, y in zip(a, b)) / (
+            CODE_BITS * len(a))
+
+    assert ber(codes, codes) == 0.0
+    b = ber(codes, other)
+    assert b == ber(other, codes)
+    assert 0.0 <= b <= 1.0
+    ndiff = sum(1 for x, y in zip(codes, other) if x != y)
+    assert b >= ndiff / (CODE_BITS * len(codes)) - 1e-12
