@@ -4329,6 +4329,31 @@ def q_boilerplate_coverage(spark, sf_dir):
     )
 
 
+SPAN_N = 5       # word-n-gram order for the repeated-span cut-list
+SPAN_MIN_DF = 2  # repeated = appears in >= this many DISTINCT documents
+
+
+def q_repeated_spans(spark, sf_dir):
+    """Exact-substring-dedup CUT-LIST per document (Lee et al. 2022 at
+    word-5-gram granularity): positions whose 5-gram occurs in >= 2
+    distinct documents merge into maximal spans (overlap merge,
+    gaps-and-islands over equal-length intervals); reports span count,
+    exact covered-token mass, and the covered fraction -- the thing a
+    repeated-substring removal pass actually cuts, where
+    boilerplate_coverage only reports a gram fraction.  The repeated
+    set broadcasts back onto the positional gram stream (corpus never
+    shuffles into that join); the island merge is one window over the
+    rare hit positions.  The oracle replays normalization, positional
+    5-grams, distinct-document frequency, the lag-based island ids,
+    and the interval arithmetic relationally."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        repeated_spans,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents")
+    return repeated_spans(docs, SPAN_N, SPAN_MIN_DF)
+
+
 def q_repetition_report(spark, sf_dir):
     """Gopher-style within-document repetition screens: words covered by
     the modal 2-gram (capped at 1), fraction of duplicated 3-gram
@@ -4565,6 +4590,42 @@ m AS (SELECT k.doc_id, k.n_words,
 SELECT doc_id, CAST(n_words AS INT) AS n_words, top_ngram_frac, dup_ngram_frac,
        (top_ngram_frac > {REP_TOP_MAX} OR dup_ngram_frac > {REP_DUP_MAX}) AS repetitive
 FROM m
+""",
+    # repeated-span cut-list: positional 5-grams -> distinct-doc
+    # frequency -> broadcast-set hits -> lag-based island merge over
+    # equal-length intervals -> exact covered-token arithmetic.  The
+    # Spark window (lag + running sum over pos) is replayed with the
+    # identical SQL window pair; 1-based i vs 0-based pos cancels in
+    # every difference.
+    "repeated_spans": f"""
+WITH nrm AS (SELECT doc_id, {NORM_SQL} AS norm FROM documents),
+tk AS (SELECT doc_id, len(string_split(norm,' ')) AS n_tokens FROM nrm),
+w AS (SELECT doc_id, norm,
+      unnest(generate_series(1, greatest(len(string_split(norm,' ')) - {SPAN_N - 1}, 0))) AS i FROM nrm),
+g AS (SELECT doc_id, i,
+      array_to_string(list_slice(string_split(norm,' '), i, i + {SPAN_N - 1}), ' ') AS ngram FROM w),
+rep AS (SELECT ngram FROM (
+        SELECT ngram, count(DISTINCT doc_id) AS df FROM g GROUP BY ngram)
+        WHERE df >= {SPAN_MIN_DF}),
+h AS (SELECT g.doc_id, g.i FROM g JOIN rep USING (ngram)),
+isl AS (SELECT doc_id, i,
+        CASE WHEN lag(i) OVER win IS NULL
+                  OR i > lag(i) OVER win + {SPAN_N - 1} THEN 1 ELSE 0 END AS ns
+        FROM h WINDOW win AS (PARTITION BY doc_id ORDER BY i)),
+sid AS (SELECT doc_id, i,
+        sum(ns) OVER (PARTITION BY doc_id ORDER BY i ROWS UNBOUNDED PRECEDING) AS sid
+        FROM isl),
+sp AS (SELECT doc_id, sid, max(i) - min(i) + {SPAN_N} AS len
+       FROM sid GROUP BY doc_id, sid),
+agg AS (SELECT doc_id, count(*) AS n_spans, sum(len) AS covered
+        FROM sp GROUP BY doc_id)
+SELECT t.doc_id, CAST(t.n_tokens AS INT) AS n_tokens,
+       CAST(coalesce(a.n_spans, 0) AS INT) AS n_spans,
+       CAST(coalesce(a.covered, 0) AS INT) AS covered_tokens,
+       CASE WHEN t.n_tokens > 0
+            THEN round(coalesce(a.covered, 0) * 1.0 / t.n_tokens, 6)
+            ELSE 0.0 END AS covered_frac
+FROM tk t LEFT JOIN agg a USING (doc_id)
 """,
     "stratified_sample": f"""
 WITH u AS (SELECT doc_id, lang,
@@ -5310,7 +5371,10 @@ QUERIES_SQL_CHECKED = {
     "streaming_dedup_state": q_streaming_dedup_state,
     "audio_features": q_audio_features,
     "ann_ivfpq_topk": q_ann_ivfpq_topk,
-    # ---- tier 3: r1-r4-certified, past the driver's 50-slot window ----
+    # ---- tier 3: r1-r4-certified, past the driver's 50-slot window
+    # (plus late round-5 additions -- locally SQL-checked, kept out of
+    # the window so no certified slot is displaced) ----
+    "repeated_spans": q_repeated_spans,
     "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,

@@ -32,7 +32,7 @@ training-data operator set, not the reference surface.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from locality_sensitive_hashing_spark.config import Config
@@ -321,6 +321,93 @@ def boilerplate_coverage(
             frac.alias("common_frac"),
             (frac >= heavy_frac).alias("boilerplate_heavy"),
         )
+    )
+
+
+def repeated_spans(
+    docs: DataFrame,
+    n: int,
+    min_df: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document maximal corpus-repeated spans -- the CUT-LIST of
+    exact substring deduplication (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better", at word-n-gram
+    granularity): (id, n_tokens, n_spans, covered_tokens, covered_frac).
+
+    A token position i is *repeated* when the document's n-gram starting
+    there occurs in >= ``min_df`` DISTINCT documents; the token
+    intervals [i, i+n) of repeated positions merge into maximal spans
+    (overlap-merge, gaps-and-islands).  Where :func:`boilerplate_coverage`
+    reports a per-doc FRACTION of common grams, this operator reports
+    the positional spans themselves -- the thing a dedup pass actually
+    cuts: span count and exact covered-token mass per document.
+
+    Scale shape: one corpus groupBy(ngram) for document frequencies
+    (map-side combined; count_distinct over (ngram, id) pairs that a
+    prior distinct bounds); the repeated-gram set is bounded by
+    (gram occurrences) / min_df and is BROADCAST back onto the
+    positional gram stream, so the corpus never shuffles into that
+    join; the island merge is one window per document over its HIT
+    positions only (hits are rare at production min_df), then one
+    hash aggregate.  Equal interval lengths make the running-max end
+    monotone in position, so the island test is a single lag
+    comparison inside one window sort.
+    """
+    toks = word_tokens(normalize_text(text_col))
+    grams = docs.select(
+        F.col(id_col),
+        F.posexplode(word_shingles(normalize_text(text_col), n)).alias(
+            "pos", "ngram"
+        ),
+    )
+    rep = (
+        grams.select(id_col, "ngram").distinct()
+        .groupBy("ngram").agg(F.count("*").alias("df"))
+        .where(F.col("df") >= min_df)
+        .select("ngram")
+    )
+    hits = grams.join(F.broadcast(rep), "ngram", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    # intervals [pos, pos+n-1] all have length n, so ordered by pos the
+    # running max end is the previous pos + n - 1: a new span starts
+    # exactly when this hit's interval clears the previous one
+    new_span = F.when(
+        F.lag("pos").over(w).isNull()
+        | (F.col("pos") > F.lag("pos").over(w) + F.lit(n - 1)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    spans = (
+        hits.withColumn("_ns", new_span)
+        .withColumn(
+            "_sid",
+            F.sum("_ns").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy(id_col, "_sid")
+        .agg((F.max("pos") - F.min("pos") + F.lit(n)).alias("_len"))
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_spans"),
+            F.sum("_len").cast("int").alias("covered_tokens"),
+        )
+    )
+    base = docs.select(
+        F.col(id_col), F.size(toks).cast("int").alias("n_tokens")
+    )
+    cov = F.coalesce(F.col("covered_tokens"), F.lit(0)).cast("int")
+    frac = F.when(
+        F.col("n_tokens") > 0,
+        F.round(cov.cast("double") / F.col("n_tokens"), 6),
+    ).otherwise(F.lit(0.0))
+    return base.join(spans, id_col, "left").select(
+        F.col(id_col),
+        F.col("n_tokens"),
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("int").alias("n_spans"),
+        cov.alias("covered_tokens"),
+        frac.alias("covered_frac"),
     )
 
 

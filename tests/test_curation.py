@@ -720,3 +720,92 @@ def test_weighted_sample_scale_free_at_heavy_weights(spark):
         assert got == [exp], (s, got, exp)
         id_wins += got[0] == 0
     assert id_wins < 8  # not degenerate ascending-id order
+
+
+# ---- repeated_spans (exact-substring-dedup cut-list) ----------------------
+
+
+def _brute_spans(texts: dict, n: int, min_df: int):
+    """Python replay: positional n-grams -> distinct-doc df -> interval
+    union per doc -> (n_tokens, n_spans, covered_tokens)."""
+    from locality_sensitive_hashing_spark import hashing as H
+
+    toks = {d: H.normalize_text(t).split(" ") for d, t in texts.items()}
+    grams = {
+        d: [" ".join(ts[i:i + n]) for i in range(len(ts) - n + 1)]
+        for d, ts in toks.items()
+    }
+    df: dict = {}
+    for d, gs in grams.items():
+        for g in set(gs):
+            df[g] = df.get(g, 0) + 1
+    out = {}
+    for d, gs in grams.items():
+        ivs = [(i, i + n - 1) for i, g in enumerate(gs) if df[g] >= min_df]
+        spans = []
+        for s, e in sorted(ivs):
+            if spans and s <= spans[-1][1]:  # overlap only, not adjacency
+                spans[-1] = (spans[-1][0], max(spans[-1][1], e))
+            else:
+                spans.append((s, e))
+        covered = sum(e - s + 1 for s, e in spans)
+        out[d] = (len(toks[d]), len(spans), covered)
+    return out
+
+
+def test_repeated_spans_matches_brute_force(spark):
+    from locality_sensitive_hashing_spark.operators.curation import (
+        repeated_spans,
+    )
+
+    texts = {
+        # d1/d2 share two separated 3-gram runs -> two spans each
+        1: "alpha beta gamma filler one two delta epsilon zeta end here",
+        2: "alpha beta gamma other words x delta epsilon zeta closing bit",
+        # d3 shares an overlapping longer run with d4 -> ONE merged span
+        3: "aa bb cc dd ee unique tail of document three",
+        4: "prefix words aa bb cc dd ee suffix of the fourth",
+        # d5 has no repeated grams
+        5: "entirely singular content with no shared runs at all",
+        # d6: shorter than n tokens -> zero grams, zero spans
+        6: "tiny doc",
+    }
+    df = spark.createDataFrame(
+        [(d, t) for d, t in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_tokens, r.n_spans, r.covered_tokens, r.covered_frac)
+        for r in repeated_spans(df, 3, 2).collect()
+    }
+    exp = _brute_spans(texts, 3, 2)
+    assert set(got) == set(texts)  # every doc emits a row
+    for d, (nt, ns, cov) in exp.items():
+        g = got[d]
+        assert g[:3] == (nt, ns, cov), (d, g, (nt, ns, cov))
+        assert g[3] == round(cov / nt, 6)
+    # structure asserts: the fixture exercises both shapes
+    assert got[1][1] == 2 and got[2][1] == 2   # two disjoint spans
+    assert got[3][1] == 1 and got[4][1] == 1   # overlap-merged single span
+    assert got[3][2] == 5 and got[4][2] == 5   # 'aa bb cc dd ee' = 5 tokens
+    assert got[5] == (9, 0, 0, 0.0)
+    assert got[6] == (2, 0, 0, 0.0)
+
+
+def test_repeated_spans_adjacent_intervals_stay_disjoint(spark):
+    """[i, i+n) intervals that touch but do not overlap are separate
+    spans: with n=2, repeated grams at positions 0 and 2 cover tokens
+    0-1 and 2-3 -- contiguous coverage but two distinct evidence runs.
+    The merge rule is overlap (pos <= prev + n - 1), not adjacency."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        repeated_spans,
+    )
+
+    # grams at pos 0 ('a b') and pos 2 ('c d') repeat; pos 1 ('b c') is
+    # unique to d1
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "a b x y c d")], "doc_id long, text string"
+    )
+    got = {r.doc_id: (r.n_spans, r.covered_tokens)
+           for r in repeated_spans(df, 2, 2).collect()}
+    assert got[1] == (2, 4)  # two touching spans, full coverage
+    assert got[2] == (2, 4)

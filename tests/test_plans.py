@@ -443,3 +443,24 @@ def test_gain_edges_plan_jvm_only_over_committed_classes(spark, pipeline_run, cf
     assert "Python" not in plan and "ArrowEval" not in plan, plan
     assert "bytes" not in plan
     assert "bit_count" in plan  # BER verify is the JVM intrinsic
+
+
+def test_repeated_spans_plan_jvm_broadcast_only(spark):
+    """Cut-list plan contract: the repeated-gram set and the per-doc
+    span aggregate join back by BROADCAST (no sort-merge join anywhere,
+    so the corpus gram stream never shuffles into a join), and the
+    whole operator is JVM-side (zero Python nodes); the island merge is
+    window work over hit rows only."""
+    from locality_sensitive_hashing_spark.operators.curation import (
+        repeated_spans,
+    )
+    from locality_sensitive_hashing_spark.sources.tables import read_testdata
+
+    docs = read_testdata(spark, "/root/testdata/sf0.01", "documents")
+    plan = (
+        repeated_spans(docs, 5, 2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("SortMergeJoin") == 0, plan
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
