@@ -119,6 +119,8 @@ AUX_TABLES_BY_QUERY: dict[str, list[str]] = {
     "audio_fingerprints": ["audio_fp_clips"],
     "audio_gain_near_dups": ["audio_fp_clips"],
     "audio_gain_eval_recall": ["audio_fp_clips"],
+    "audio_rate_near_dups": ["audio_rate_clips"],
+    "audio_rate_eval_recall": ["audio_rate_clips"],
     "audio_energy_profile": ["audio_lsh_clips"],
     "audio_content_near_dups": ["audio_lsh_clips"],
     "audio_content_clusters": ["audio_lsh_clips"],
@@ -2246,6 +2248,125 @@ FROM agg
 """,
 })
 
+# --- rate-normalized energy detector (audio_lsh.rate_normalized_*) --------
+# Full-byte replay of the cross-sample-rate chain: WAV header sample
+# rate (little-endian bytes 24-27), canonical 16 kHz stream at exact 2x
+# integer scale (16 k clips: 2*v at position i; 8 k clips: even
+# positions 2*v, odd positions v + lead(v) -- multimodal.resample2x_s16
+# verbatim, the scale-by-2 contract means NO rounding anywhere), then
+# the energy chain at 2*FRAME_N-sample canonical frames with the SAME
+# quantization/shingle/MinHash/banding SQL shapes as _alsh_pairs_sql,
+# ending in `rvp` (verified pairs at RATE_JACCARD_T).
+def _arn_pairs_sql(cap: int, src: str = "audio_rate_clips") -> str:
+    fn = 2 * AL.FRAME_N
+    return f"""rraw AS (SELECT clip_id, hex(bytes) AS hx, octet_length(bytes) AS nb
+        FROM {_aux_rp(src)}),
+rhdr AS (SELECT clip_id, hx,
+    (nb >= 44 AND substr(hx,1,8)='52494646' AND substr(hx,17,8)='57415645'
+     AND substr(hx,25,8)='666D7420'
+     AND ('0x'||substr(hx,43,2)||substr(hx,41,2))::int = 1
+     AND ('0x'||substr(hx,71,2)||substr(hx,69,2))::int = 16
+     AND substr(hx,73,8)='64617461') AS canon,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,87,2)||substr(hx,85,2)||substr(hx,83,2)||substr(hx,81,2))::bigint
+    END AS data_len,
+    CASE WHEN nb >= 44 THEN
+      ('0x'||substr(hx,55,2)||substr(hx,53,2)||substr(hx,51,2)||substr(hx,49,2))::bigint
+    END AS sr
+  FROM rraw),
+ridx AS (SELECT clip_id, hx, sr,
+         unnest(generate_series(0, (data_len // 2)::int - 1)) AS i
+         FROM rhdr WHERE canon AND sr IN (8000, 16000)),
+rsmp AS (SELECT clip_id, sr, i,
+        (('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+         - CASE WHEN ('0x'||substr(hx, 91+4*i, 2)||substr(hx, 89+4*i, 2))::bigint
+                >= 32768 THEN 65536 ELSE 0 END) AS v
+      FROM ridx),
+rcn0 AS (
+  SELECT clip_id, i AS j, 2*v AS cv FROM rsmp WHERE sr = 16000
+  UNION ALL
+  SELECT clip_id, 2*i AS j, 2*v AS cv FROM rsmp WHERE sr = 8000
+  UNION ALL
+  SELECT clip_id, 2*i + 1 AS j,
+         v + lead(v) OVER (PARTITION BY clip_id ORDER BY i) AS cv
+  FROM rsmp WHERE sr = 8000),
+rcn AS (SELECT clip_id, j, cv FROM rcn0 WHERE cv IS NOT NULL),
+rnrg AS (SELECT clip_id, (j // {fn})::int AS f, CAST(sum(cv*cv) AS BIGINT) AS en
+         FROM rcn GROUP BY clip_id, (j // {fn})::int),
+rsym AS MATERIALIZED (SELECT clip_id, f,
+          CASE WHEN en = 0 THEN 0
+               ELSE (bl * {1 << AL.SUB_BITS}
+                     + CAST((en * {1 << AL.SUB_BITS}) >> (bl - 1) AS BIGINT)
+                     - {1 << AL.SUB_BITS})::int
+          END AS q
+        FROM (SELECT clip_id, f, en,
+                     CASE WHEN en = 0 THEN 0
+                          ELSE length(format('{{:b}}', en)) END AS bl
+              FROM rnrg)),
+rnf AS (SELECT clip_id, count(*) AS n_frames FROM rsym GROUP BY clip_id),
+rsh0 AS (SELECT clip_id,
+          (q::BIGINT * {AL.SYM_BASE ** 2}
+           + (lead(q, 1) OVER rw)::BIGINT * {AL.SYM_BASE}
+           + (lead(q, 2) OVER rw)) AS shingle
+        FROM rsym WINDOW rw AS (PARTITION BY clip_id ORDER BY f)),
+rshg AS MATERIALIZED (
+        SELECT DISTINCT clip_id, shingle FROM rsh0 WHERE shingle IS NOT NULL
+        UNION
+        SELECT clip_id, 0::BIGINT AS shingle FROM rnf
+        WHERE n_frames > 0 AND n_frames < {AL.SHINGLE_K}),
+rfam(pos, a, b) AS (VALUES {_UHASH_VALUES}),
+rsig AS (SELECT clip_id, f.pos AS pos,
+               CAST(min((f.a::BIGINT * shingle + f.b) % {CFG.modulo_prime}) AS INT) AS sv
+        FROM rshg CROSS JOIN rfam f GROUP BY clip_id, f.pos),
+rqual AS (SELECT clip_id FROM rshg GROUP BY clip_id
+          HAVING count(*) >= {AL.MIN_PROFILE_SHINGLES}),
+rband AS (SELECT clip_id, (pos // {CFG.rows_per_band})::int AS band_id,
+                 string_agg(sv::VARCHAR, ',' ORDER BY pos) AS bkey
+          FROM rsig JOIN rqual USING (clip_id)
+          GROUP BY clip_id, (pos // {CFG.rows_per_band})::int),
+rsizes AS (SELECT band_id, bkey, count(*) AS n FROM rband GROUP BY band_id, bkey),
+relig AS (SELECT band_id, bkey FROM rsizes WHERE n > 1 AND n <= {cap}),
+rprn AS (SELECT b.clip_id, b.band_id, b.bkey
+         FROM rband b JOIN relig e USING (band_id, bkey)),
+rpairs AS (SELECT DISTINCT l.clip_id AS id1, r.clip_id AS id2
+           FROM rprn l JOIN rprn r USING (band_id, bkey)
+           WHERE l.clip_id < r.clip_id),
+rcard AS (SELECT clip_id, count(*) AS nc FROM rshg GROUP BY clip_id),
+rinter AS (SELECT p.id1, p.id2, count(*) AS ni
+           FROM rpairs p JOIN rshg s1 ON s1.clip_id = p.id1
+                         JOIN rshg s2 ON s2.clip_id = p.id2 AND s2.shingle = s1.shingle
+           GROUP BY p.id1, p.id2),
+rvp AS MATERIALIZED (SELECT id1, id2, jaccard FROM (
+  SELECT p.id1, p.id2,
+         round(coalesce(i.ni, 0) * 1.0 / (c1.nc + c2.nc - coalesce(i.ni, 0)), 6) AS jaccard
+  FROM rpairs p JOIN rcard c1 ON c1.clip_id = p.id1
+                JOIN rcard c2 ON c2.clip_id = p.id2
+                LEFT JOIN rinter i ON i.id1 = p.id1 AND i.id2 = p.id2)
+  WHERE jaccard >= {AL.RATE_JACCARD_T})"""
+
+
+ORACLE_SQL.update({
+    "audio_rate_near_dups": "WITH " + _arn_pairs_sql(CFG.bucket_cap) + """
+SELECT id1, id2, jaccard FROM rvp
+""",
+    "audio_rate_eval_recall": "WITH " + _arn_pairs_sql(CFG.bucket_cap) + """,
+rpl AS (SELECT substring(clip_id, 1, length(clip_id) - 1) || 'b' AS id1,
+               clip_id AS id2,
+               CASE WHEN clip_id LIKE '%u' THEN 'rate'
+                    ELSE 'rate_noise' END AS dup_class
+        FROM rraw WHERE clip_id LIKE '%u' OR clip_id LIKE '%w'),
+rag AS (SELECT dup_class, count(*) AS n_truth,
+        CAST(sum(CASE WHEN v.id1 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit
+        FROM rpl LEFT JOIN rvp v ON v.id1 = rpl.id1 AND v.id2 = rpl.id2
+        GROUP BY dup_class)
+SELECT dup_class, n_truth, n_hit,
+       round(n_hit * 1.0 / n_truth, 6) AS recall
+FROM rag
+""",
+})
+
+
 # --- gain-invariant audio fingerprint (operators/audio_fingerprint.py) -----
 # The ENTIRE Haitsma-Kalker detector -- WAV decode, per-frame integer
 # band correlations, L1 magnitudes, difference-of-differences sign codes,
@@ -3338,6 +3459,70 @@ def q_audio_eval_planted_recall(spark, sf_dir):
     agg = planted.join(src, "src_id").groupBy("dup_class").agg(
         F.count("*").alias("n_truth"),
         F.sum((F.col("c1") == F.col("c2")).cast("long")).alias("n_hit"),
+    )
+    return agg.select(
+        "dup_class", "n_truth", "n_hit",
+        F.round(F.col("n_hit") / F.col("n_truth"), 6).alias("recall"),
+    )
+
+
+_ARN_AUX_DONE: set[str] = set()
+
+
+def _audio_rate_aux(spark: SparkSession, sf_dir: str):
+    """The cross-sample-rate re-publication corpus
+    (fixtures.audio_rate_clips_df), raw (clip_id, bytes) committed ONCE
+    per process as the ``audio_rate_clips`` aux table -- the single
+    input both the Spark detector and the full-replay DuckDB oracle
+    derive from."""
+    from locality_sensitive_hashing_spark.fixtures import audio_rate_clips_df
+
+    clips = audio_rate_clips_df(spark, sf_dir, seed=CFG.seed, limit=120)
+    key = os.path.normpath(os.path.abspath(sf_dir))
+    with _AUX_LOCK:
+        if key not in _ARN_AUX_DONE:
+            _aux_write(clips.select("clip_id", "bytes"), sf_dir,
+                       "audio_rate_clips")
+            _ARN_AUX_DONE.add(key)
+    return clips
+
+
+def q_audio_rate_near_dups(spark, sf_dir):
+    """Cross-SAMPLE-RATE content near-dups: the same recording
+    republished at 16 kHz escapes every other detector (different
+    bytes, different length so PCM compare rejects, sample-count energy
+    frames so the base content detector's symbols differ, transcript
+    replaced).  Canonicalization to 16 kHz at exact 2x integer scale
+    (native 16 k -> 2*s; 8 k -> the scale-by-2 linear upsample) makes
+    both sides comparable with zero rounding contract; then the house
+    energy-LSH chain (25 ms canonical frames, same quantization,
+    MinHash banding, caps, exact Jaccard >= RATE_JACCARD_T).  The
+    oracle replays decode -> header sample rate -> canonical stream
+    (lead() interpolation) -> energies -> symbols -> shingles ->
+    MinHash -> buckets -> Jaccard entirely from raw bytes."""
+    clips = _audio_rate_aux(spark, sf_dir)
+    return AL.rate_normalized_near_dups(clips, CFG)
+
+
+def q_audio_rate_eval_recall(spark, sf_dir):
+    """Planted-truth recall for the rate detector: every 16 kHz
+    re-encode ``u`` and noisy high-rate re-master ``w`` must pair with
+    its 8 kHz source ``b`` (id grammar of fixtures.audio_rate_clips_df);
+    the oracle re-derives truth and the pair set independently."""
+    pairs = q_audio_rate_near_dups(spark, sf_dir)
+    clips = _audio_rate_aux(spark, sf_dir)
+    planted = clips.where(F.col("clip_id").rlike("[uw]$")).select(
+        F.expr(
+            "concat(substring(clip_id, 1, length(clip_id)-1), 'b')"
+        ).alias("id1"),
+        F.col("clip_id").alias("id2"),
+        F.when(F.col("clip_id").endswith("u"), F.lit("rate"))
+        .otherwise(F.lit("rate_noise")).alias("dup_class"),
+    )
+    hit = pairs.select("id1", "id2").withColumn("_hit", F.lit(1))
+    agg = planted.join(hit, ["id1", "id2"], "left").groupBy("dup_class").agg(
+        F.count("*").alias("n_truth"),
+        F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_hit"),
     )
     return agg.select(
         "dup_class", "n_truth", "n_hit",
@@ -5375,6 +5560,8 @@ QUERIES_SQL_CHECKED = {
     # (plus late round-5 additions -- locally SQL-checked, kept out of
     # the window so no certified slot is displaced) ----
     "repeated_spans": q_repeated_spans,
+    "audio_rate_near_dups": q_audio_rate_near_dups,
+    "audio_rate_eval_recall": q_audio_rate_eval_recall,
     "minhash_signatures": q_minhash_signatures,
     "simhash_fingerprints": q_simhash_fingerprints,
     "ann_lsh_topk": q_ann_lsh_topk,

@@ -663,3 +663,84 @@ def audio_gain_clips_df(spark, sf_dir: str, seed: int = 42,
             )
 
     return docs.repartition(32, "doc_id").mapInPandas(synth, CLIPS_SCHEMA)
+
+
+def audio_rate_clips_df(spark, sf_dir: str, seed: int = 42,
+                        limit: int = 120):
+    """Cross-SAMPLE-RATE re-publication corpus for the rate-normalized
+    energy detector (operators/audio_lsh.rate_normalized_near_dups).
+
+    One enveloped 1000 ms 8 kHz s16le clip per document
+    (``r{doc_id:08d}b``, rng substream [seed, doc_id, 17] -- disjoint
+    from every other fixture stream); int16 samples are the ground
+    truth.  Planted variants, each under an UNRELATED transcript so no
+    text detector can pair them, with different bytes AND a different
+    sample rate so byte classes, PCM compare (length mismatch), and the
+    sample-count-framed energy detector all miss them by construction:
+
+    - ``...u`` (every 3rd doc): the 16 kHz re-encode -- the exact
+      2x linear upsample (multimodal.resample2x_s16, scale-by-2)
+      floor-halved back to s16 range.  Canonicalization recovers the
+      scale-2 stream up to the odd-sum LSB: measured J = 1.0 on every
+      planted pair.
+    - ``...w`` (every 4th doc): the same 16 kHz re-encode plus white
+      noise at 40 dB SNR -- a noisy higher-rate re-master.  Measured
+      J >= 0.647 vs the 0.286 cross-clip ceiling (RATE_JACCARD_T 0.45
+      splits with >= 0.16 margin both sides).
+    """
+    from pyspark.sql import functions as F
+
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        resample2x_s16,
+    )
+    from locality_sensitive_hashing_spark.sources.tables import (
+        CLIPS_SCHEMA,
+        read_testdata,
+    )
+
+    docs = read_testdata(spark, sf_dir, "documents").select("doc_id", "text")
+    docs = docs.where(F.col("doc_id") < limit)
+
+    def synth(batches):
+        for pdf in batches:
+            rows = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                rng = np.random.default_rng([seed, doc_id, 17])
+                sr, dur = 8000, 1000
+                pcm = synth_env_pcm(rng, sr, dur)
+                ints = np.clip(
+                    np.round(pcm * 32767.0), -32768, 32767
+                ).astype(np.int64)
+                rows.append((
+                    f"r{doc_id:08d}b",
+                    A.encode_wav(ints / 32767.0, sr, "pcm_s16le"),
+                    sr, dur, "pcm_s16le", str(text),
+                ))
+                up = resample2x_s16(ints)
+                v = np.right_shift(up, 1)  # floor halve: legit s16 range
+                if doc_id % 3 == 0:
+                    rows.append((
+                        f"r{doc_id:08d}u",
+                        A.encode_wav(v / 32767.0, 16000, "pcm_s16le"),
+                        16000, dur, "pcm_s16le",
+                        f"republication {doc_id} re-encoded at sixteen k",
+                    ))
+                if doc_id % 4 == 0:
+                    noisy = A.add_noise_at_snr(rng, v / 32767.0, 40.0)
+                    vz = np.clip(
+                        np.round(noisy * 32767.0), -32768, 32767
+                    ).astype(np.int64)
+                    rows.append((
+                        f"r{doc_id:08d}w",
+                        A.encode_wav(vz / 32767.0, 16000, "pcm_s16le"),
+                        16000, dur, "pcm_s16le",
+                        f"noisy high rate remaster {doc_id}",
+                    ))
+            yield pd.DataFrame(
+                rows,
+                columns=["clip_id", "bytes", "sr_hz", "dur_ms", "codec",
+                         "transcript"],
+            )
+
+    return docs.repartition(32, "doc_id").mapInPandas(synth, CLIPS_SCHEMA)

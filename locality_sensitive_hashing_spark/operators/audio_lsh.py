@@ -363,6 +363,117 @@ def audio_candidate_pairs(feats: DataFrame, cfg: Config) -> DataFrame:
     )
 
 
+# --- rate-normalized variant (cross-sample-rate re-publications) ----------
+# The base detector frames by SAMPLE COUNT, so the same recording
+# republished at a different sample rate has entirely different frame
+# energies and escapes it.  Canonicalization closes the gap with ZERO
+# rounding contract: every clip maps to a 16 kHz stream at exactly 2x
+# amplitude scale -- a native 16 kHz clip contributes 2*s, an 8 kHz clip
+# contributes multimodal.resample2x_s16(s) (even outputs 2*s[t], odd
+# outputs s[t]+s[t+1]; already scaled by 2 by construction) -- so both
+# sides of a cross-rate pair are exact integers on the SAME scale and
+# the whole chain stays DuckDB-replayable from raw bytes.  Frames are
+# 2*FRAME_N samples (the same 25 ms of time at the canonical rate);
+# energies scale by 4 = a constant +2-octave symbol shift on BOTH
+# sides, which Jaccard ignores.  Tuned on the fixture sweep
+# (tests/test_audio_lsh.py): exact-upsample re-encodes land at J = 1.0
+# (floor-halving a scale-2 stream loses only the odd-sum LSB), 40 dB
+# noisy re-masters at J >= 0.647, cross-clip pairs at J <= 0.286;
+# RATE_JACCARD_T = 0.45 splits with >= 0.16 margin both sides.
+RATE_CANON_SR = 16000
+RATE_FRAME_N = 2 * FRAME_N  # 25 ms at the canonical rate
+RATE_JACCARD_T = 0.45
+
+
+def rate_canonical_samples(raw: bytes) -> np.ndarray | None:
+    """Canonical-header s16le WAV -> 16 kHz-at-2x-scale int64 stream
+    (None for undecodable payloads or rates outside {8000, 16000} --
+    a production deployment adds a resampler stage per extra rate)."""
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        resample2x_s16,
+    )
+
+    ints = _canonical_s16le_samples(raw)
+    if ints is None:
+        return None
+    sr = int.from_bytes(raw[24:28], "little")
+    if sr == RATE_CANON_SR:
+        return 2 * ints.astype(np.int64)
+    if sr * 2 == RATE_CANON_SR:
+        return resample2x_s16(ints.astype(np.int64))
+    return None
+
+
+def with_rate_normalized_energy(
+    clips: DataFrame, cfg: Config, id_col: str = "clip_id"
+) -> DataFrame:
+    """(id_col, decode_ok, shingles, sig) over the CANONICAL stream --
+    the rate-normalized twin of :func:`with_energy_signatures`, one
+    Arrow crossing, bytes pruned right after."""
+    a, b = H.hash_family(cfg)
+    p = cfg.modulo_prime
+
+    @F.pandas_udf("decode_ok boolean, shingles array<int>, sig array<int>")
+    def compute(raw: pd.Series) -> pd.DataFrame:
+        oks, shg_out, sig_out = [], [], []
+        for blob in raw:
+            canon = (
+                rate_canonical_samples(bytes(blob)) if blob is not None else None
+            )
+            if canon is None or canon.size == 0:
+                oks.append(False)
+                shg_out.append([])
+                sig_out.append([])
+                continue
+            syms = frame_energy_symbols(canon, RATE_FRAME_N, SUB_BITS)
+            shingles = shingle_encode(syms, SHINGLE_K, SYM_BASE)
+            sig = H.minhash_signature(shingles.astype(np.uint64), a, b, p)
+            oks.append(True)
+            shg_out.append(shingles.astype(np.int32).tolist())
+            sig_out.append(sig.astype(np.int32).tolist())
+        return pd.DataFrame(
+            {"decode_ok": oks, "shingles": shg_out, "sig": sig_out}
+        )
+
+    return (
+        clips.select(id_col, "bytes")
+        .withColumn("_e", compute(F.col("bytes")))
+        .select(
+            id_col,
+            F.col("_e.decode_ok").alias("decode_ok"),
+            F.col("_e.shingles").alias("shingles"),
+            F.col("_e.sig").alias("sig"),
+        )
+    )
+
+
+def rate_normalized_near_dups(
+    clips: DataFrame,
+    cfg: Config,
+    threshold: float = RATE_JACCARD_T,
+) -> DataFrame:
+    """Cross-sample-rate content near-dup pairs: (id1, id2, jaccard),
+    exact Jaccard over the canonical-stream shingle sets.  Blocking,
+    caps, low-information floor and verify shape are the base
+    detector's (:func:`audio_near_dups`) verbatim -- only the feature
+    kernel differs."""
+    feats = with_rate_normalized_energy(clips, cfg).persist()
+    pairs = audio_candidate_pairs(feats, cfg)
+    s1 = feats.select(F.col("clip_id").alias("id1"), F.col("shingles").alias("_sh1"))
+    s2 = feats.select(F.col("clip_id").alias("id2"), F.col("shingles").alias("_sh2"))
+    jac = (
+        F.size(F.array_intersect("_sh1", "_sh2")).cast("double")
+        / F.size(F.array_union("_sh1", "_sh2"))
+    )
+    return (
+        pairs.join(s1, "id1")
+        .join(s2, "id2")
+        .withColumn("jaccard", F.round(jac, 6))
+        .where(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )
+
+
 def audio_near_dups(
     clips: DataFrame,
     cfg: Config,

@@ -261,3 +261,102 @@ def test_single_python_crossing(spark, cfg, planted_corpus):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "bytes" not in line
+
+
+# ---- rate-normalized detector (cross-sample-rate re-publications) ---------
+
+
+def test_rate_canonical_samples_contract():
+    """Canonicalization: 16 kHz -> exactly 2*s; 8 kHz -> the scale-by-2
+    linear upsample (multimodal.resample2x_s16 verbatim); any other
+    rate -> None (documented exclusion); garbage -> None."""
+    import numpy as np
+
+    from locality_sensitive_hashing_spark import audio as A
+    from locality_sensitive_hashing_spark.operators.audio_lsh import (
+        rate_canonical_samples,
+    )
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        resample2x_s16,
+    )
+
+    rng = np.random.default_rng(3)
+    ints = rng.integers(-2000, 2000, 1000)
+    raw16 = A.encode_wav(ints / 32767.0, 16000, "pcm_s16le")
+    raw8 = A.encode_wav(ints / 32767.0, 8000, "pcm_s16le")
+    raw44 = A.encode_wav(ints / 32767.0, 44100, "pcm_s16le")
+    assert np.array_equal(rate_canonical_samples(raw16), 2 * ints)
+    assert np.array_equal(rate_canonical_samples(raw8), resample2x_s16(ints))
+    assert rate_canonical_samples(raw44) is None
+    assert rate_canonical_samples(b"not a wav") is None
+
+
+def test_rate_detector_pairs_cross_rate_republication(spark, cfg):
+    """The defining scenario: an 8 kHz master and its 16 kHz re-encode
+    (exact upsample, floor-halved to s16) pair at J = 1.0, while the
+    BASE energy detector misses the pair by construction (sample-count
+    frames); unrelated clips never pair."""
+    import numpy as np
+    import pandas as pd
+
+    from locality_sensitive_hashing_spark import audio as A
+    from locality_sensitive_hashing_spark.fixtures import synth_env_pcm
+    from locality_sensitive_hashing_spark.operators import audio_lsh as AL
+    from locality_sensitive_hashing_spark.operators.multimodal import (
+        resample2x_s16,
+    )
+
+    rows = []
+    for doc in range(8):
+        rng = np.random.default_rng([9, doc])
+        ints = np.clip(
+            np.round(synth_env_pcm(rng, 8000, 1000) * 32767.0), -32768, 32767
+        ).astype(np.int64)
+        rows.append((f"d{doc}b", A.encode_wav(ints / 32767.0, 8000,
+                                              "pcm_s16le")))
+        if doc % 2 == 0:
+            v = np.right_shift(resample2x_s16(ints), 1)
+            rows.append((f"d{doc}u", A.encode_wav(v / 32767.0, 16000,
+                                                  "pcm_s16le")))
+    clips = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes"]),
+        "clip_id string, bytes binary",
+    )
+    got = {(r.id1, r.id2): r.jaccard
+           for r in AL.rate_normalized_near_dups(clips, cfg).collect()}
+    want = {(f"d{d}b", f"d{d}u") for d in range(8) if d % 2 == 0}
+    assert set(got) == want
+    assert all(j == 1.0 for j in got.values())
+    # the base detector cannot see these pairs: frames are sample-count
+    base = {(r.id1, r.id2)
+            for r in AL.audio_near_dups(clips, cfg).select("id1", "id2").collect()}
+    assert not (base & want)
+
+
+def test_rate_detector_plan_one_python_crossing(spark, cfg):
+    """Same plan contract as the sibling detectors: ONE persisted Arrow
+    kernel, no row-at-a-time Python, bytes never reach an exchange."""
+    import re
+
+    import numpy as np
+    import pandas as pd
+
+    from locality_sensitive_hashing_spark import audio as A
+    from locality_sensitive_hashing_spark.operators import audio_lsh as AL
+
+    rng = np.random.default_rng(5)
+    rows = [("c1", A.encode_wav(rng.normal(0, 0.1, 8000), 8000, "pcm_s16le"))]
+    clips = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["clip_id", "bytes"]),
+        "clip_id string, bytes binary",
+    )
+    plan = (
+        AL.rate_normalized_near_dups(clips, cfg)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    kernel_ids = set(re.findall(r"compute\(bytes#\d+\)#(\d+)", plan))
+    assert len(kernel_ids) == 1, f"multiple decode kernels: {kernel_ids}"
+    assert "BatchEvalPython" not in plan
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "bytes" not in line
