@@ -1,0 +1,309 @@
+"""Candidate implementations under A/B test for round 6 (bench_extra.py).
+
+The winning variant is promoted into
+locality_sensitive_hashing_spark/operators/verify.py; this module keeps
+the losing shapes around so the A/B numbers in OPTIMIZATION_r06.md stay
+reproducible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from locality_sensitive_hashing_spark import hashing as H
+from locality_sensitive_hashing_spark.config import Config
+from locality_sensitive_hashing_spark.operators.simhash import hamming_distance
+
+
+def est_lcs_pandas_udf(min_len: int, thr: float):
+    """pandas UDF (sig1, sig2, norm1, norm2, saflag) -> struct(est, lcs).
+
+    est: the same (B, H) batched numpy compare as
+    minhash.estimated_jaccard_udf (bit-exact).  lcs: -1 except where
+    saflag AND est < thr (kernel-level laziness; the saflag column is the
+    JVM-computed `'sa' in detectors AND hamming > t` gate).
+    """
+
+    @F.pandas_udf("est double, lcs long")
+    def compute(sig1: pd.Series, sig2: pd.Series, t1: pd.Series,
+                t2: pd.Series, flag: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        n = len(sig1)
+        if n == 0:
+            return pd.DataFrame({"est": pd.Series([], dtype="float64"),
+                                 "lcs": pd.Series([], dtype="int64")})
+        a1, a2 = sig1.to_numpy(), sig2.to_numpy()
+        lens = np.fromiter((v.size for v in a1), dtype=np.int64, count=n)
+        est = np.empty(n, dtype=np.float64)
+        for h in np.unique(lens):
+            idx = np.nonzero(lens == h)[0]
+            s1 = np.vstack([a1[i] for i in idx])
+            s2 = np.vstack([a2[i] for i in idx])
+            est[idx] = (s1 == s2).mean(axis=1)
+        out = np.full(n, -1, dtype=np.int64)
+        fl = flag.to_numpy()
+        for i in np.nonzero(fl & (est < thr))[0]:
+            out[i] = H.lcs_at_least(t1.iloc[i] or "", t2.iloc[i] or "",
+                                    min_len)
+        return pd.DataFrame({"est": est, "lcs": out})
+
+    return compute
+
+
+def est_lcs_arrow_udf(min_len: int, thr: float):
+    """arrow_udf form of :func:`est_lcs_pandas_udf`: the batch arrives as
+    pyarrow arrays, the (B, H) matrices are built by flattening the list
+    array's contiguous values buffer (no per-row ndarray allocation), and
+    only the lazily-refuted rows' norm strings are materialized."""
+
+    @F.arrow_udf("est double, lcs long")
+    def compute(sig1: pa.Array, sig2: pa.Array, t1: pa.Array,
+                t2: pa.Array, flag: pa.Array) -> pa.Array:
+        import numpy as np
+
+        n = len(sig1)
+        if n == 0:
+            return pa.StructArray.from_arrays(
+                [pa.array([], type=pa.float64()),
+                 pa.array([], type=pa.int64())],
+                names=["est", "lcs"])
+        o1 = sig1.offsets.to_numpy()
+        o2 = sig2.offsets.to_numpy()
+        w1 = np.diff(o1)
+        flat1 = sig1.flatten().to_numpy(zero_copy_only=False)
+        flat2 = sig2.flatten().to_numpy(zero_copy_only=False)
+        h = w1[0] if n else 0
+        if (w1 == h).all() and (np.diff(o2) == h).all():
+            # production path: config-fixed H -> one (B, H) compare
+            est = (flat1.reshape(n, h) == flat2.reshape(n, h)).mean(axis=1)
+        else:  # ad-hoc mixed-length inputs
+            est = np.empty(n, dtype=np.float64)
+            b1 = o1 - o1[0]
+            b2 = o2 - o2[0]
+            for i in range(n):
+                est[i] = (flat1[b1[i]:b1[i + 1]]
+                          == flat2[b2[i]:b2[i + 1]]).mean()
+        lcs = np.full(n, -1, dtype=np.int64)
+        fl = flag.to_numpy(zero_copy_only=False)
+        refuted = np.nonzero(fl & (est < thr))[0]
+        if refuted.size:
+            t1v = t1.take(pa.array(refuted)).to_pylist()
+            t2v = t2.take(pa.array(refuted)).to_pylist()
+            for j, i in enumerate(refuted):
+                lcs[i] = H.lcs_at_least(t1v[j] or "", t2v[j] or "", min_len)
+        return pa.StructArray.from_arrays(
+            [pa.array(est), pa.array(lcs)], names=["est", "lcs"])
+
+    return compute
+
+
+def fused_text_verified(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    fingerprints: DataFrame,
+    cfg: Config,
+    broadcast: bool = True,
+    arrow: bool = True,
+) -> DataFrame:
+    """One-pass text_verified: metrics + lazy LCS + text_ok in ONE job.
+
+    Emits exactly the rows verify_text_pairs(text_pair_metrics(...))
+    emits -- (tk1, tk2, detectors, est_jaccard, hamming, lcs, text_ok)
+    with the identical lazy-LCS sentinel rule.
+    """
+    feats = signatures.select("text_key", "norm", "sig").join(
+        fingerprints.select("text_key", "fingerprint"), "text_key")
+    g1 = feats.select(F.col("text_key").alias("id1"),
+                      F.col("sig").alias("sig1"),
+                      F.col("norm").alias("norm1"),
+                      F.col("fingerprint").alias("fp1"))
+    g2 = feats.select(F.col("text_key").alias("id2"),
+                      F.col("sig").alias("sig2"),
+                      F.col("norm").alias("norm2"),
+                      F.col("fingerprint").alias("fp2"))
+    if broadcast:
+        g1, g2 = F.broadcast(g1), F.broadcast(g2)
+    kernel = (est_lcs_arrow_udf if arrow else est_lcs_pandas_udf)(
+        cfg.sa_min_len, cfg.jaccard_threshold)
+    text_ok = (
+        (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
+        | (F.col("hamming") <= F.lit(cfg.hamming_t))
+        | (F.col("lcs") >= F.lit(cfg.sa_min_len))
+    )
+    return (
+        candidates.join(g1, "id1").join(g2, "id2")
+        .withColumn("hamming",
+                    hamming_distance(F.col("fp1"), F.col("fp2")).cast("int"))
+        .withColumn(
+            "_saflag",
+            F.array_contains("detectors", "sa")
+            & (F.col("hamming") > F.lit(cfg.hamming_t)),
+        )
+        .withColumn("_el", kernel(F.col("sig1"), F.col("sig2"),
+                                  F.col("norm1"), F.col("norm2"),
+                                  F.col("_saflag")))
+        .select(F.col("id1").alias("tk1"), F.col("id2").alias("tk2"),
+                "detectors", F.col("_el.est").alias("est_jaccard"),
+                "hamming", F.col("_el.lcs").alias("lcs"))
+        .withColumn("text_ok", text_ok)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Variant H: E with the norm columns gated to flagged rows (null otherwise:
+# Arrow serializes a null string as a validity bit, not bytes).
+# ---------------------------------------------------------------------------
+def fused_text_verified_gated(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    fingerprints: DataFrame,
+    cfg: Config,
+) -> DataFrame:
+    feats = signatures.select("text_key", "norm", "sig").join(
+        fingerprints.select("text_key", "fingerprint"), "text_key")
+    g1 = F.broadcast(feats.select(F.col("text_key").alias("id1"),
+                                  F.col("sig").alias("sig1"),
+                                  F.col("norm").alias("norm1"),
+                                  F.col("fingerprint").alias("fp1")))
+    g2 = F.broadcast(feats.select(F.col("text_key").alias("id2"),
+                                  F.col("sig").alias("sig2"),
+                                  F.col("norm").alias("norm2"),
+                                  F.col("fingerprint").alias("fp2")))
+    kernel = est_lcs_arrow_udf(cfg.sa_min_len, cfg.jaccard_threshold)
+    text_ok = (
+        (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
+        | (F.col("hamming") <= F.lit(cfg.hamming_t))
+        | (F.col("lcs") >= F.lit(cfg.sa_min_len))
+    )
+    return (
+        candidates.join(g1, "id1").join(g2, "id2")
+        .withColumn("hamming",
+                    hamming_distance(F.col("fp1"), F.col("fp2")).cast("int"))
+        .withColumn(
+            "_saflag",
+            F.array_contains("detectors", "sa")
+            & (F.col("hamming") > F.lit(cfg.hamming_t)),
+        )
+        .withColumn("_n1", F.when(F.col("_saflag"), F.col("norm1")))
+        .withColumn("_n2", F.when(F.col("_saflag"), F.col("norm2")))
+        .withColumn("_el", kernel(F.col("sig1"), F.col("sig2"),
+                                  F.col("_n1"), F.col("_n2"),
+                                  F.col("_saflag")))
+        .select(F.col("id1").alias("tk1"), F.col("id2").alias("tk2"),
+                "detectors", F.col("_el.est").alias("est_jaccard"),
+                "hamming", F.col("_el.lcs").alias("lcs"))
+        .withColumn("text_ok", text_ok)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Variant J: worker-side lookup kernel.  The per-text feature tables
+# (sig 48 MB + fingerprint 0.8 MB + norm 30 MB at bench scale) are loaded
+# ONCE per Python worker from the committed stage parquet and cached
+# PID-guarded at module level (guide 4.5); the pairs then cross the Arrow
+# boundary as (id1, id2, sa_flag) ONLY -- no feature join, no sig/norm
+# payload on any pair row.
+# ---------------------------------------------------------------------------
+_J_CACHE: dict = {}
+
+
+def _load_worker_feats(sig_dir: str, fp_dir: str):
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    key = (os.getpid(), sig_dir, fp_dir)
+    hit = _J_CACHE.get(key)
+    if hit is not None:
+        return hit
+    st = pq.read_table(sig_dir, columns=["text_key", "norm", "sig"])
+    ft = pq.read_table(fp_dir, columns=["text_key", "fingerprint"])
+    keys = pd.Index(st.column("text_key").to_numpy(zero_copy_only=False))
+    sig_col = st.column("sig")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    flat = sig_col.flatten().to_numpy(zero_copy_only=False)
+    widths = np.diff(sig_col.offsets.to_numpy())
+    n = len(keys)
+    h = widths[0] if n else 0
+    assert n == 0 or (widths == h).all(), "mixed signature lengths"
+    sig_m = flat.reshape(n, h)
+    norms = st.column("norm")
+    if isinstance(norms, pa.ChunkedArray):
+        norms = norms.combine_chunks()
+    fkeys = pd.Index(ft.column("text_key").to_numpy(zero_copy_only=False))
+    fvals = ft.column("fingerprint").to_numpy(zero_copy_only=False)
+    fp = np.empty(n, dtype=np.int64)
+    fp[keys.get_indexer(fkeys)] = fvals
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+    out = (keys, sig_m, fp.view(np.uint64), norms, pop8)
+    _J_CACHE.clear()  # one corpus per worker lifetime is the common case
+    _J_CACHE[key] = out
+    return out
+
+
+def pair_metrics_lookup_udf(sig_dir: str, fp_dir: str, min_len: int,
+                            thr: float, hamming_t: int):
+    """arrow_udf (id1, id2, sa_flag) -> struct(est, hamming, lcs) via the
+    worker-cached feature matrices; bit-exact vs the join form."""
+
+    @F.arrow_udf("est double, hamming int, lcs long")
+    def compute(id1: pa.Array, id2: pa.Array, sa: pa.Array) -> pa.Array:
+        import numpy as np
+
+        n = len(id1)
+        if n == 0:
+            return pa.StructArray.from_arrays(
+                [pa.array([], type=pa.float64()),
+                 pa.array([], type=pa.int32()),
+                 pa.array([], type=pa.int64())],
+                names=["est", "hamming", "lcs"])
+        keys, sig_m, fp_u, norms, pop8 = _load_worker_feats(sig_dir, fp_dir)
+        ix1 = keys.get_indexer(id1.to_numpy(zero_copy_only=False))
+        ix2 = keys.get_indexer(id2.to_numpy(zero_copy_only=False))
+        est = (sig_m[ix1] == sig_m[ix2]).mean(axis=1)
+        x = (fp_u[ix1] ^ fp_u[ix2]).view(np.uint8).reshape(n, 8)
+        ham = pop8[x].sum(axis=1).astype(np.int32)
+        lcs = np.full(n, -1, dtype=np.int64)
+        flags = sa.to_numpy(zero_copy_only=False)
+        refuted = np.nonzero(flags & (ham > hamming_t) & (est < thr))[0]
+        for i in refuted:
+            t1 = norms[int(ix1[i])].as_py()
+            t2 = norms[int(ix2[i])].as_py()
+            lcs[i] = H.lcs_at_least(t1 or "", t2 or "", min_len)
+        return pa.StructArray.from_arrays(
+            [pa.array(est), pa.array(ham), pa.array(lcs)],
+            names=["est", "hamming", "lcs"])
+
+    return compute
+
+
+def fused_text_verified_lookup(
+    candidates: DataFrame,
+    sig_dir: str,
+    fp_dir: str,
+    cfg: Config,
+) -> DataFrame:
+    kernel = pair_metrics_lookup_udf(
+        sig_dir, fp_dir, cfg.sa_min_len, cfg.jaccard_threshold,
+        cfg.hamming_t)
+    text_ok = (
+        (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
+        | (F.col("hamming") <= F.lit(cfg.hamming_t))
+        | (F.col("lcs") >= F.lit(cfg.sa_min_len))
+    )
+    return (
+        candidates
+        .withColumn("_sa", F.array_contains("detectors", "sa"))
+        .withColumn("_m", kernel(F.col("id1"), F.col("id2"), F.col("_sa")))
+        .select(F.col("id1").alias("tk1"), F.col("id2").alias("tk2"),
+                "detectors", F.col("_m.est").alias("est_jaccard"),
+                F.col("_m.hamming").alias("hamming"),
+                F.col("_m.lcs").alias("lcs"))
+        .withColumn("text_ok", text_ok)
+    )

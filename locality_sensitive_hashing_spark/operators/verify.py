@@ -28,6 +28,9 @@ combination -- the only place payload bytes cross into Python.
 
 from __future__ import annotations
 
+import os
+
+import pyarrow as pa
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -147,6 +150,301 @@ def verify_text_pairs(
     return df.select(
         "tk1", "tk2", "detectors", "est_jaccard", "hamming", "lcs"
     ).withColumn("text_ok", text_ok)
+
+
+# ---------------------------------------------------------------------------
+# One-pass text verification (round 6).
+#
+# The two-stage form above (text_pair_metrics materialized, then
+# verify_text_pairs over the cache) pays, at bench scale, a full in-memory
+# materialization of the 10M-row metrics table (~20 s), a second pass over
+# it, a (tk1, tk2) left-join-back shuffle, and -- dominating everything --
+# a 32-gram screen that re-hashes both texts of every one of the ~1.9M
+# est-refuted SA-candidate pairs from scratch (131 us/pair measured; 87%
+# of the pairs sharing each text).  The one-pass forms below fuse metrics
+# + lazy LCS + text_ok into a single job and memoize the per-text gram
+# arrays, emitting BIT-IDENTICAL rows (pinned by
+# tests/test_spark_parity.py::test_text_verified_exact and
+# tests/test_operators.py round-6 path-equality tests).
+# ---------------------------------------------------------------------------
+
+# Per-WORKER feature store for the lookup kernel, keyed by (pid, dirs):
+# guide section 4.5 -- the module is importable on executors, so a reused
+# worker keeps the store across tasks; a fresh run (new stage dirs) evicts.
+# Memory is bounded by the pipeline's on-disk size gate (the gram memo is
+# at most one sorted-unique uint64 array per text).
+_TEXT_FEATS_CACHE: dict = {}
+
+
+def _load_text_feats(sig_dir: str, fp_dir: str):
+    """Load the per-text feature store from the committed stage parquet.
+
+    Returns (keys Index, sig (N, H) int32/int64 matrix, fp uint64 array,
+    norms StringArray, gram-cache list, pop8 LUT).  ~5x the on-disk bytes
+    in worker RSS (sig matrix + norms + lazily-built gram arrays); the
+    pipeline's size gate (plans/pipeline.py) keeps that bounded.
+    """
+    import numpy as np
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    key = (os.getpid(), sig_dir, fp_dir)
+    hit = _TEXT_FEATS_CACHE.get(key)
+    if hit is not None:
+        return hit
+    st = pq.read_table(sig_dir, columns=["text_key", "norm", "sig"])
+    ft = pq.read_table(fp_dir, columns=["text_key", "fingerprint"])
+    keys = pd.Index(st.column("text_key").to_numpy(zero_copy_only=False))
+    sig_col = st.column("sig")
+    if isinstance(sig_col, pa.ChunkedArray):
+        sig_col = sig_col.combine_chunks()
+    flat = sig_col.flatten().to_numpy(zero_copy_only=False)
+    widths = np.diff(sig_col.offsets.to_numpy())
+    n = len(keys)
+    h = widths[0] if n else 0
+    if n and not (widths == h).all():
+        raise ValueError("signature lengths are not uniform")
+    sig_m = flat.reshape(n, h)
+    norms = st.column("norm")
+    if isinstance(norms, pa.ChunkedArray):
+        norms = norms.combine_chunks()
+    fkeys = pd.Index(ft.column("text_key").to_numpy(zero_copy_only=False))
+    fvals = ft.column("fingerprint").to_numpy(zero_copy_only=False)
+    ixf = keys.get_indexer(fkeys)
+    if len(fkeys) != n or (ixf < 0).any():
+        raise ValueError(
+            "signatures and fingerprints tables disagree on text_key set")
+    fp = np.empty(n, dtype=np.int64)
+    fp[ixf] = fvals
+    pop8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int32)
+    out = (keys, sig_m, fp.view(np.uint64), norms, [None] * n, pop8)
+    _TEXT_FEATS_CACHE.clear()  # one corpus per worker lifetime
+    _TEXT_FEATS_CACHE[key] = out
+    return out
+
+
+def pair_metrics_lookup_udf(sig_dir: str, fp_dir: str, cfg: Config):
+    """arrow_udf (id1, id2, sa_flag) -> struct(est, hamming, lcs).
+
+    The pair stream crosses the Arrow boundary as two key strings and a
+    boolean; signatures, fingerprints and norms come from the worker-side
+    store (:func:`_load_text_feats`) -- no feature join, no signature or
+    norm payload on any pair row.  Bit-exact vs the join form:
+
+    - est: the identical (B, H) numpy compare as
+      :func:`..minhash.estimated_jaccard_udf` ((# equal)/H in float64);
+    - hamming: popcount(xor) over the uint64 fingerprint -- integer-exact
+      equal to the JVM ``bit_count``;
+    - lcs: the lazy sentinel rule of :func:`verify_text_pairs` fused into
+      the kernel (sa_flag AND hamming > t AND est < threshold), with the
+      32-gram screen of ``hashing.lcs_at_least`` running over MEMOIZED
+      per-text sorted-unique gram arrays: screen emptiness over unique
+      sorted arrays is identical to the uncached intersect, and screen
+      survivors run the identical exact SA+LCP kernel
+      (``hashing.longest_common_substring_len``).  Measured: 131 -> 27
+      us/pair on the refuted population (87% of which re-hashed a text
+      the worker had already hashed).
+    """
+    import numpy as np
+
+    from locality_sensitive_hashing_spark import hashing as H
+
+    min_len, thr = cfg.sa_min_len, cfg.jaccard_threshold
+    ham_t = cfg.hamming_t
+
+    @F.arrow_udf("est double, hamming int, lcs long")
+    def compute(id1: pa.Array, id2: pa.Array, sa: pa.Array) -> pa.Array:
+        n = len(id1)
+        if n == 0:
+            return pa.StructArray.from_arrays(
+                [pa.array([], type=pa.float64()),
+                 pa.array([], type=pa.int32()),
+                 pa.array([], type=pa.int64())],
+                names=["est", "hamming", "lcs"])
+        keys, sig_m, fp_u, norms, grams, pop8 = _load_text_feats(
+            sig_dir, fp_dir)
+        ix1 = keys.get_indexer(id1.to_numpy(zero_copy_only=False))
+        ix2 = keys.get_indexer(id2.to_numpy(zero_copy_only=False))
+        if (ix1 < 0).any() or (ix2 < 0).any():
+            raise KeyError(
+                "candidate pair id missing from the signatures table")
+        est = (sig_m[ix1] == sig_m[ix2]).mean(axis=1)
+        x = (fp_u[ix1] ^ fp_u[ix2]).view(np.uint8).reshape(n, 8)
+        ham = pop8[x].sum(axis=1).astype(np.int32)
+        lcs = np.full(n, -1, dtype=np.int64)
+        flags = sa.to_numpy(zero_copy_only=False)
+        refuted = np.nonzero(flags & (ham > ham_t) & (est < thr))[0]
+
+        def gram(i: int) -> np.ndarray:
+            g = grams[i]
+            if g is None:
+                g = np.unique(
+                    H.hash_kgrams(norms[i].as_py() or "", min_len))
+                grams[i] = g
+            return g
+
+        for i in refuted:
+            i1, i2 = int(ix1[i]), int(ix2[i])
+            g1, g2 = gram(i1), gram(i2)
+            if g1.size == 0 or g2.size == 0:
+                continue
+            pos = np.searchsorted(g1, g2)
+            pos[pos == g1.size] = 0
+            if not (g1[pos] == g2).any():
+                continue  # no shared 32-gram -> LCS < min_len, sentinel -1
+            L = H.longest_common_substring_len(
+                norms[i1].as_py() or "", norms[i2].as_py() or "")
+            if L >= min_len:
+                lcs[i] = L
+        return pa.StructArray.from_arrays(
+            [pa.array(est), pa.array(ham), pa.array(lcs)],
+            names=["est", "hamming", "lcs"])
+
+    return compute
+
+
+def _text_ok_expr(cfg: Config):
+    return (
+        (F.col("est_jaccard") >= F.lit(cfg.jaccard_threshold))
+        | (F.col("hamming") <= F.lit(cfg.hamming_t))
+        | (F.col("lcs") >= F.lit(cfg.sa_min_len))
+    )
+
+
+def text_verified_lookup(
+    candidates: DataFrame, sig_dir: str, fp_dir: str, cfg: Config
+) -> DataFrame:
+    """One-pass text_verified via the worker-side lookup kernel.
+
+    Plan shape: ONE scan of the candidate pairs + ONE ArrowEvalPython +
+    a JVM projection -- zero joins, zero exchanges (plan-pinned).  Only
+    valid when the committed signature/fingerprint tables fit in worker
+    memory; the pipeline gates on their on-disk size and falls back to
+    :func:`text_verified_fused` (plans/pipeline.py).
+    """
+    kernel = pair_metrics_lookup_udf(sig_dir, fp_dir, cfg)
+    return (
+        candidates
+        .withColumn("_sa", F.array_contains("detectors", "sa"))
+        .withColumn("_m", kernel(F.col("id1"), F.col("id2"), F.col("_sa")))
+        .select(F.col("id1").alias("tk1"), F.col("id2").alias("tk2"),
+                "detectors", F.col("_m.est").alias("est_jaccard"),
+                F.col("_m.hamming").alias("hamming"),
+                F.col("_m.lcs").alias("lcs"))
+        .withColumn("text_ok", _text_ok_expr(cfg))
+    )
+
+
+def est_lcs_fused_udf(cfg: Config):
+    """arrow_udf (sig1, sig2, norm1, norm2, saflag) -> struct(est, lcs).
+
+    The join-form fused kernel (scale fallback of the lookup kernel):
+    est is the identical (B, H) compare; lcs applies the lazy sentinel
+    rule with the est-refutation fused into the kernel -- the saflag
+    column carries the JVM-computed ``'sa' in detectors AND hamming > t``
+    gate, because a ``when(cond, udf)`` is hoisted into an eager
+    ArrowEvalPython by Catalyst (the documented hazard,
+    suffix_array.lcs_refuted_udf docstring).  Norm columns are gated to
+    flagged rows caller-side, so a null norm only ever coincides with
+    saflag=false.
+    """
+    import numpy as np
+
+    from locality_sensitive_hashing_spark import hashing as H
+
+    min_len, thr = cfg.sa_min_len, cfg.jaccard_threshold
+
+    @F.arrow_udf("est double, lcs long")
+    def compute(sig1: pa.Array, sig2: pa.Array, t1: pa.Array,
+                t2: pa.Array, flag: pa.Array) -> pa.Array:
+        n = len(sig1)
+        if n == 0:
+            return pa.StructArray.from_arrays(
+                [pa.array([], type=pa.float64()),
+                 pa.array([], type=pa.int64())],
+                names=["est", "lcs"])
+        o1 = sig1.offsets.to_numpy()
+        o2 = sig2.offsets.to_numpy()
+        w1 = np.diff(o1)
+        flat1 = sig1.flatten().to_numpy(zero_copy_only=False)
+        flat2 = sig2.flatten().to_numpy(zero_copy_only=False)
+        h = w1[0] if n else 0
+        if (w1 == h).all() and (np.diff(o2) == h).all():
+            # production path: config-fixed H -> one (B, H) compare
+            est = (flat1.reshape(n, h) == flat2.reshape(n, h)).mean(axis=1)
+        else:  # ad-hoc mixed-length inputs
+            est = np.empty(n, dtype=np.float64)
+            b1 = o1 - o1[0]
+            b2 = o2 - o2[0]
+            for i in range(n):
+                est[i] = (flat1[b1[i]:b1[i + 1]]
+                          == flat2[b2[i]:b2[i + 1]]).mean()
+        lcs = np.full(n, -1, dtype=np.int64)
+        fl = flag.to_numpy(zero_copy_only=False)
+        refuted = np.nonzero(fl & (est < thr))[0]
+        if refuted.size:
+            t1v = t1.take(pa.array(refuted)).to_pylist()
+            t2v = t2.take(pa.array(refuted)).to_pylist()
+            for j, i in enumerate(refuted):
+                lcs[i] = H.lcs_at_least(t1v[j] or "", t2v[j] or "", min_len)
+        return pa.StructArray.from_arrays(
+            [pa.array(est), pa.array(lcs)], names=["est", "lcs"])
+
+    return compute
+
+
+def text_verified_fused(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    fingerprints: DataFrame,
+    cfg: Config,
+) -> DataFrame:
+    """One-pass text_verified, join form (scale fallback).
+
+    Same single-job fusion as :func:`text_verified_lookup` but the
+    features arrive through the bucketed signature/fingerprint joins, so
+    it scales to corpora whose per-text tables exceed worker memory.
+    vs the two-stage path it still removes the metrics materialization,
+    the second metrics pass and the (tk1, tk2) left-join-back shuffle.
+    Norms ride the joins gated to the rows that can need them (norm1 to
+    'sa'-detector pairs -- known BEFORE any join -- and norm2 to
+    saflag rows map-side after the second join), so the second pair
+    exchange carries norm bytes only for the SA-candidate fraction and
+    the Arrow boundary only for the refutable fraction.
+    """
+    feats = signatures.select("text_key", "norm", "sig").join(
+        fingerprints.select("text_key", "fingerprint"), "text_key")
+    g1 = feats.select(F.col("text_key").alias("id1"),
+                      F.col("sig").alias("sig1"),
+                      F.col("norm").alias("norm1"),
+                      F.col("fingerprint").alias("fp1"))
+    g2 = feats.select(F.col("text_key").alias("id2"),
+                      F.col("sig").alias("sig2"),
+                      F.col("norm").alias("norm2"),
+                      F.col("fingerprint").alias("fp2"))
+    kernel = est_lcs_fused_udf(cfg)
+    return (
+        candidates
+        .withColumn("_sa", F.array_contains("detectors", "sa"))
+        .join(g1, "id1")
+        # gate norm1 BEFORE the id2 exchange: non-SA pairs ship no norm
+        .withColumn("_n1", F.when(F.col("_sa"), F.col("norm1")))
+        .drop("norm1")
+        .join(g2, "id2")
+        .withColumn("hamming",
+                    hamming_distance(F.col("fp1"), F.col("fp2")).cast("int"))
+        .withColumn(
+            "_saflag", F.col("_sa") & (F.col("hamming") > F.lit(cfg.hamming_t))
+        )
+        .withColumn("_n2", F.when(F.col("_saflag"), F.col("norm2")))
+        .withColumn("_el", kernel(F.col("sig1"), F.col("sig2"),
+                                  F.col("_n1"), F.col("_n2"),
+                                  F.col("_saflag")))
+        .select(F.col("id1").alias("tk1"), F.col("id2").alias("tk2"),
+                "detectors", F.col("_el.est").alias("est_jaccard"),
+                "hamming", F.col("_el.lcs").alias("lcs"))
+        .withColumn("text_ok", _text_ok_expr(cfg))
+    )
 
 
 def _audio_verdict(pairs: DataFrame, clips: DataFrame) -> DataFrame:

@@ -60,6 +60,7 @@ factor.
 
 from __future__ import annotations
 
+import os
 import time
 import uuid
 
@@ -95,6 +96,8 @@ from locality_sensitive_hashing_spark.operators.textgroup import (
 from locality_sensitive_hashing_spark.operators.verify import (
     expand_and_verify,
     text_pair_metrics,
+    text_verified_fused,
+    text_verified_lookup,
     verify_text_pairs,
 )
 from locality_sensitive_hashing_spark.sources.tables import TableIO
@@ -192,6 +195,38 @@ class DedupPipeline:
             emit()
         self.executed_stages.append(name)
         return out
+
+    def _text_lookup_dirs(self) -> tuple[str, str] | None:
+        """(sig_dir, fp_dir) when the worker-side lookup kernel applies.
+
+        Conditions: parquet-backed store (workers read the stage files
+        directly; an Iceberg store hides files behind the catalog),
+        signatures + fingerprints committed, and their combined on-disk
+        size under the gate -- worker RSS for the store is ~5x the disk
+        bytes (sig matrix + norms + memoized gram arrays), so the default
+        256 MiB gate bounds a worker at ~1.3 GiB.  Tunable via
+        SPARK_LSH_TEXT_LOOKUP_MAX_BYTES (0 disables the lookup path);
+        execution-only: both paths emit bit-identical rows (test-pinned).
+        """
+        cid = self.cfg.config_id
+        if not (
+            self.io.committed("signatures", cid)
+            and self.io.committed("fingerprints", cid)
+        ):
+            return None
+        sig_dir = self.io.data_path("signatures")
+        fp_dir = self.io.data_path("fingerprints")
+        if sig_dir is None or fp_dir is None:
+            return None
+        cap = int(os.environ.get(
+            "SPARK_LSH_TEXT_LOOKUP_MAX_BYTES", str(256 << 20)))
+        if cap <= 0:
+            return None
+        total = self.io.data_bytes("signatures") + self.io.data_bytes(
+            "fingerprints")
+        if total > cap:
+            return None
+        return sig_dir, fp_dir
 
     # -- pipeline -----------------------------------------------------------
     def run(self, clips: DataFrame) -> DataFrame:
@@ -321,34 +356,42 @@ class DedupPipeline:
         candidates = self._stage(
             "candidates", lambda: union_candidates(*cand_parts)
         )
-        # text_metrics: when passthrough, persist so the two consumers
-        # inside verify_text_pairs (lazy-LCS subset + main branch) compute
-        # the Jaccard fold ONCE without paying a full commit boundary
+        # -- text verification (round 6: one-pass forms) ------------------
+        # When text_metrics stays a passthrough (the default), the metrics
+        # + lazy-LCS + text_ok derivation runs as ONE job instead of the
+        # old persist-metrics / second-pass / left-join-back shape
+        # (bit-identical rows; equality + parity test-pinned).  Strategy
+        # is size-adaptive, mirroring guide sections 3.1/8: when the
+        # committed per-text feature tables are small enough for worker
+        # memory, the pairs cross the Python boundary as (id1, id2, flag)
+        # ONLY and every feature comes from a worker-side store read
+        # straight from the stage commit (text_verified_lookup, zero
+        # joins); past the size gate the features ride the bucketed joins
+        # (text_verified_fused, scales like the old path).  The
+        # materialized-text_metrics debug mode keeps the original
+        # two-stage derivation.
         text_metrics = self._stage(
             "text_metrics",
             lambda: text_pair_metrics(candidates, signatures, fingerprints),
         )
-        # cache only when the text_verified commit will actually consume
-        # the plan twice in one job (passthrough text_metrics, and
-        # text_verified neither committed already nor itself passthrough)
-        tm_cached = (
-            "text_metrics" not in self.materialize
-            and "text_verified" in self.materialize
-        )
-        if tm_cached and not self.io.committed("text_verified", cfg.config_id):
-            text_metrics = text_metrics.persist()
-            # materialize the cache BEFORE the dual-consumer job: its two
-            # branches (lazy-LCS subset + main) are independent stages that
-            # would otherwise race and each compute the full metrics plan
-            t0 = time.time()
-            text_metrics.count()
-            self.aux_walls["text_metrics_cache"] = round(time.time() - t0, 2)
-        text_verified = self._stage(
-            "text_verified",
-            lambda: verify_text_pairs(text_metrics, signatures, cfg),
-        )
-        if tm_cached:
-            text_metrics.unpersist()
+        if "text_metrics" not in self.materialize:
+            lookup_dirs = self._text_lookup_dirs()
+            if lookup_dirs is not None:
+                builder = lambda: text_verified_lookup(  # noqa: E731
+                    candidates, *lookup_dirs, cfg
+                )
+            else:
+                builder = lambda: text_verified_fused(  # noqa: E731
+                    candidates, signatures, fingerprints, cfg
+                )
+            text_verified = self._stage("text_verified", builder)
+        else:
+            # debug mode (materialize="all"): committed metrics table +
+            # the original two-stage derivation over it
+            text_verified = self._stage(
+                "text_verified",
+                lambda: verify_text_pairs(text_metrics, signatures, cfg),
+            )
         energy = "energy" in self.detectors
         if energy and not self.io.committed(
             "dropped_energy_buckets", cfg.config_id

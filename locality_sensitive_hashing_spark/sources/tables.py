@@ -294,3 +294,28 @@ class TableIO:
 
     def exists(self, table: str) -> bool:
         return os.path.exists(self._path(table))
+
+    def data_path(self, table: str) -> str | None:
+        """Filesystem directory of a committed table's parquet files, or
+        None when the store is Iceberg-backed (files behind the catalog).
+        Used by the worker-side lookup kernels (operators/verify.py) that
+        map-join small committed tables by reading them directly."""
+        if self.iceberg_catalog:
+            return None
+        return self._path(table)
+
+    def data_bytes(self, table: str) -> int:
+        """Total on-disk bytes of a committed table (0 if absent/Iceberg):
+        the size signal behind scale-adaptive plan choices (broadcast /
+        worker-side lookup vs shuffle join)."""
+        path = self.data_path(table)
+        if path is None or not os.path.isdir(path):
+            return 0
+        total = 0
+        for root, _, files in os.walk(path):
+            for f in files:
+                try:
+                    total += os.path.getsize(os.path.join(root, f))
+                except OSError:
+                    pass
+        return total

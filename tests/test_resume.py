@@ -86,7 +86,10 @@ def test_crash_mid_pipeline_resumes(spark, cfg, clips_df, corpus, monkeypatch):
         def boom(*a, **k):
             raise RuntimeError("simulated crash")
 
-        monkeypatch.setattr(P, "verify_text_pairs", boom)
+        # the text_verified stage builds via the lookup kernel (small
+        # corpus) or the fused join form -- crash whichever runs
+        monkeypatch.setattr(P, "text_verified_lookup", boom)
+        monkeypatch.setattr(P, "text_verified_fused", boom)
         pipe = DedupPipeline(spark, cfg, io, run_id="crash-run")
         with pytest.raises(RuntimeError, match="simulated crash"):
             pipe.run(clips_df)
