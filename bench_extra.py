@@ -537,10 +537,63 @@ def cmd_ab():
     }, indent=1))
 
 
+def cmd_abcand():
+    """Interleaved min-of-N A/B of the candidates union variants."""
+    from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as cfg
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        pairs_from_blocks,
+        union_candidates,
+    )
+    from locality_sensitive_hashing_spark.operators.minhash import explode_bands
+    from locality_sensitive_hashing_spark.operators.simhash import (
+        simhash_candidates,
+    )
+    from locality_sensitive_hashing_spark.operators.suffix_array import (
+        sa_anchor_pairs,
+    )
+
+    import bench_extra_variants as V
+
+    spark = get_session()
+    sc = spark.sparkContext
+    io = make_io(spark)
+    sigs, fps = io.read("signatures"), io.read("fingerprints")
+
+    def subtrees():
+        return [
+            pairs_from_blocks(
+                explode_bands(sigs, id_col="text_key"),
+                ["band_id", "band_hash"], cfg.bucket_cap, "minhash",
+                id_col="text_key", dedup=False),
+            simhash_candidates(fps, cfg, id_col="text_key", dedup=False),
+            sa_anchor_pairs(sigs, cfg, id_col="text_key", dedup=False),
+        ]
+
+    variants = {
+        "current_collect_set": lambda: noop(union_candidates(*subtrees())),
+        "bitmask_bit_or": lambda: noop(V.union_candidates_bitmask(
+            subtrees(), ["minhash", "simhash", "sa"])),
+    }
+    rounds = int(os.environ.get("AB_ROUNDS", "3"))
+    walls = {k: [] for k in variants}
+    sampler = _neighbor_window()
+    for r in range(rounds):
+        for k, fn in variants.items():
+            sc.setJobDescription(f"r06abcand[{r}]: {k}")
+            walls[k].append(round(fn(), 2))
+    win = sampler.stop()
+    sc.setJobDescription(None)
+    print(json.dumps({
+        "min": {k: min(v) for k, v in walls.items()},
+        "all": walls,
+        "neighbor_cores": win["neighbor_cores_avg"],
+    }, indent=1))
+
+
 def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "prepare"
     {"prepare": cmd_prepare, "stats": cmd_stats, "text": cmd_text,
-     "cand": cmd_cand, "ab": cmd_ab}[cmd]()
+     "cand": cmd_cand, "ab": cmd_ab, "abcand": cmd_abcand}[cmd]()
 
 
 if __name__ == "__main__":

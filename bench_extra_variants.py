@@ -307,3 +307,34 @@ def fused_text_verified_lookup(
                 F.col("_m.lcs").alias("lcs"))
         .withColumn("text_ok", text_ok)
     )
+
+
+# ---------------------------------------------------------------------------
+# Candidates-stage variants (round 6).
+# ---------------------------------------------------------------------------
+def union_candidates_bitmask(pair_dfs, names):
+    """union_candidates with a primitive bit_or aggregation: each input's
+    constant detector string becomes one bit; the groupBy state is an
+    int64 instead of a collect_set object buffer, and the detectors array
+    decodes from the mask in sorted-name order -- exactly
+    array_sort(collect_set(detector))."""
+    snames = sorted(names)
+    bit = {n: 1 << i for i, n in enumerate(snames)}
+    parts = [
+        df.select("id1", "id2",
+                  F.lit(bit[n]).cast("long").alias("_b"))
+        for df, n in zip(pair_dfs, names)
+    ]
+    u = parts[0]
+    for d in parts[1:]:
+        u = u.unionByName(d)
+    mask = F.col("_mask")
+    detectors = F.array_compact(F.array(*[
+        F.when(mask.bitwiseAND(F.lit(b).cast("long")) != 0, F.lit(n))
+        for n, b in ((n, bit[n]) for n in snames)
+    ]))
+    return (
+        u.groupBy("id1", "id2")
+        .agg(F.bit_or("_b").alias("_mask"))
+        .select("id1", "id2", detectors.alias("detectors"))
+    )

@@ -156,12 +156,57 @@ def incremental_pairs_from_blocks(
 
 def union_candidates(*pair_dfs: DataFrame) -> DataFrame:
     """Union detector candidate sets with provenance (O16):
-    (id1, id2, detectors array<string> sorted)."""
+    (id1, id2, detectors array<string> sorted).
+
+    Generic form (arbitrary ``detector`` column values).  The pipeline's
+    hot path uses :func:`union_candidates_bitmask` instead -- same rows,
+    primitive aggregation state (round 6)."""
     u = pair_dfs[0]
     for d in pair_dfs[1:]:
         u = u.unionByName(d)
     return u.groupBy("id1", "id2").agg(
         F.array_sort(F.collect_set("detector")).alias("detectors")
+    )
+
+
+def union_candidates_bitmask(
+    pair_dfs: list[DataFrame], names: list[str]
+) -> DataFrame:
+    """:func:`union_candidates` for inputs whose detector tag is KNOWN
+    per input (the pipeline's case: one constant tag per subtree).
+
+    Each input contributes one bit; the pair-dedup groupBy then
+    aggregates a primitive ``bit_or`` over int64 masks instead of a
+    ``collect_set`` object buffer -- the partial-aggregation state that
+    rides the one candidate shuffle shrinks to 8 bytes/pair and the
+    ObjectHashAggregate becomes a codegen HashAggregate (measured 10.2 ->
+    7.9 s on the 25M-row bench union).  The detectors array decodes from
+    the mask in sorted-name order, which equals
+    ``array_sort(collect_set(detector))`` exactly (verified row-for-row
+    against the legacy union at bench scale; pinned by
+    tests/test_operators.py::test_union_candidates_bitmask_equals_legacy).
+    A ``detector`` column on the inputs is ignored.
+    """
+    snames = sorted(set(names))
+    if len(snames) != len(names):
+        raise ValueError(f"duplicate detector names: {names}")
+    bit = {n: 1 << i for i, n in enumerate(snames)}
+    parts = [
+        df.select("id1", "id2", F.lit(bit[n]).cast("long").alias("_b"))
+        for df, n in zip(pair_dfs, names)
+    ]
+    u = parts[0]
+    for d in parts[1:]:
+        u = u.unionByName(d)
+    mask = F.col("_mask")
+    detectors = F.array_compact(F.array(*[
+        F.when(mask.bitwiseAND(F.lit(bit[n]).cast("long")) != 0, F.lit(n))
+        for n in snames
+    ]))
+    return (
+        u.groupBy("id1", "id2")
+        .agg(F.bit_or("_b").alias("_mask"))
+        .select("id1", "id2", detectors.alias("detectors"))
     )
 
 

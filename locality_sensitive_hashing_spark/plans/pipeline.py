@@ -72,7 +72,7 @@ from locality_sensitive_hashing_spark.metrics import partition_lineage
 from locality_sensitive_hashing_spark.operators.candidates import (
     dropped_blocks,
     pairs_from_blocks,
-    union_candidates,
+    union_candidates_bitmask,
 )
 from locality_sensitive_hashing_spark.operators.connected_components import (
     connected_components,
@@ -327,8 +327,10 @@ class DedupPipeline:
             # subtrees concurrently. (pool.submit still parallelizes the
             # materialize="all" debugging mode.)
             futures = []
+            cand_names: list[str] = []
             if "minhash" in self.detectors:
                 futures.append(pool.submit(self._stage, "cand_minhash", build_minhash))
+                cand_names.append("minhash")
             if "simhash" in self.detectors:
                 futures.append(
                     pool.submit(
@@ -339,6 +341,7 @@ class DedupPipeline:
                         ),
                     )
                 )
+                cand_names.append("simhash")
             if "sa" in self.detectors:
                 futures.append(
                     pool.submit(
@@ -349,12 +352,17 @@ class DedupPipeline:
                         ),
                     )
                 )
+                cand_names.append("sa")
             cand_parts = [f.result() for f in futures]
             classes = f_classes.result()
 
         chains = self._stage("chain_edges", lambda: chain_edges(keyed))
+        # one constant detector tag per subtree -> the pair-dedup groupBy
+        # aggregates a primitive bitmask instead of a collect_set buffer
+        # (operators/candidates.union_candidates_bitmask; same rows)
         candidates = self._stage(
-            "candidates", lambda: union_candidates(*cand_parts)
+            "candidates",
+            lambda: union_candidates_bitmask(cand_parts, cand_names),
         )
         # -- text verification (round 6: one-pass forms) ------------------
         # When text_metrics stays a passthrough (the default), the metrics

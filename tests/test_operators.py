@@ -97,6 +97,36 @@ def test_union_candidates_provenance(spark):
     assert got == {("a", "b"): ["minhash", "simhash"], ("c", "d"): ["simhash"]}
 
 
+def test_union_candidates_bitmask_equals_legacy(spark):
+    """The pipeline's primitive bit_or union (round 6) emits exactly the
+    legacy array_sort(collect_set) rows -- including cross-band duplicate
+    collapse and sorted provenance arrays."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        union_candidates_bitmask,
+    )
+
+    p1 = spark.createDataFrame(
+        [("a", "b", "minhash"), ("a", "b", "minhash"), ("b", "c", "minhash")],
+        "id1 string, id2 string, detector string",
+    )
+    p2 = spark.createDataFrame(
+        [("a", "b", "simhash"), ("c", "d", "simhash")],
+        "id1 string, id2 string, detector string",
+    )
+    p3 = spark.createDataFrame(
+        [("a", "b", "sa"), ("b", "c", "sa")],
+        "id1 string, id2 string, detector string",
+    )
+    legacy = union_candidates(p1, p2, p3).toPandas()
+    new = union_candidates_bitmask([p1, p2, p3],
+                                   ["minhash", "simhash", "sa"]).toPandas()
+    key = lambda df: {  # noqa: E731
+        (r.id1, r.id2): list(r.detectors) for r in df.itertuples()
+    }
+    assert key(new) == key(legacy)
+    assert key(new)[("a", "b")] == ["minhash", "sa", "simhash"]
+
+
 def test_estimated_jaccard_jvm_matches_numpy(spark):
     s1 = [1, 2, 3, 4]
     s2 = [1, 9, 3, 7]
