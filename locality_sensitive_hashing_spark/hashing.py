@@ -270,10 +270,29 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
     Manber-Myers 1990 doubling scheme, O(n log^2 n) with vectorized sorts.
     ``s`` is int32/int64 >= 0.
     """
+    return suffix_array_with_levels(s)[0]
+
+
+def suffix_array_with_levels(
+    s: np.ndarray,
+) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Suffix array plus the prefix-doubling rank levels.
+
+    Returns ``(order, levels)`` with ``levels = [(k, rank_k), ...]`` in
+    increasing k: ``rank_k[i] == rank_k[j]`` for i != j iff the two
+    suffixes share their first k characters (the doubling invariant; a
+    truncated suffix can only rank-collide with itself, since two
+    distinct positions cannot have equal remaining length).  The levels
+    power the vectorized binary-lifting LCP in
+    :func:`longest_common_substring_len` -- Kasai's O(n) LCP loop is
+    exact but runs per-character in interpreted Python, which dominated
+    the SA verifier (593 us of a 1005 us call at bench scale).
+    """
     n = s.size
     if n == 0:
-        return np.empty(0, dtype=np.int64)
+        return np.empty(0, dtype=np.int64), []
     rank = np.asarray(s, dtype=np.int64)
+    levels: list[tuple[int, np.ndarray]] = [(1, rank)]
     idx = np.arange(n, dtype=np.int64)
     k = 1
     while True:
@@ -288,11 +307,50 @@ def suffix_array(s: np.ndarray) -> np.ndarray:
         changed[1:] = (key_r[1:] != key_r[:-1]) | (key_s[1:] != key_s[:-1])
         new_rank[order] = np.cumsum(changed)
         rank = new_rank
-        if rank[order[-1]] == n - 1:
-            return order
         k *= 2
+        levels.append((k, rank))
+        if rank[order[-1]] == n - 1:
+            return order, levels
         if k >= n:
-            return np.lexsort((idx, rank))  # all ranks distinct fallback
+            return np.lexsort((idx, rank)), levels  # all distinct fallback
+
+
+def _max_cross_lcp(
+    order: np.ndarray,
+    levels: list[tuple[int, np.ndarray]],
+    n: int,
+    n1: int,
+) -> int:
+    """Max LCP over SA-adjacent suffix pairs with differing source text.
+
+    Exactly the quantity the Kasai-based path read off ``lcp[cross]``:
+    the max cross-text LCP is attained at an SA-adjacent pair with
+    differing sources (any farther pair's LCP is a min over the adjacent
+    ones).  Each pair's LCP comes from binary lifting over the doubling
+    rank levels: walk k from high to low, advancing both positions by k
+    whenever the k-ranks agree.  All pairs lift together as numpy
+    vectors -- O(log n) passes, no per-character Python.
+    """
+    import numpy as np  # local for executor import order
+
+    src1 = order < n1  # does the suffix start inside t1?
+    cross = src1[1:] != src1[:-1]
+    if not cross.any():
+        return 0
+    I = order[:-1][cross].copy()
+    J = order[1:][cross].copy()
+    lcp = np.zeros(I.size, dtype=np.int64)
+    for k, rank in reversed(levels):
+        ok = (I + k <= n) & (J + k <= n)
+        if ok.any():
+            ii, jj = I[ok], J[ok]
+            eq = rank[ii] == rank[jj]
+            if eq.any():
+                hit = np.nonzero(ok)[0][eq]
+                lcp[hit] += k
+                I[hit] += k
+                J[hit] += k
+    return int(lcp.max(initial=0))
 
 
 def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
@@ -359,11 +417,9 @@ def longest_common_substring_len(t1: str, t2: str) -> int:
     if b1.size == 0 or b2.size == 0:
         return 0
     s = np.concatenate([b1, np.array([1], dtype=np.int64), b2])
-    sa = suffix_array(s)
-    lcp = lcp_array(s, sa)
-    # src[i]: does the i-th suffix in SA order start inside t1? The max
-    # cross-text LCP is attained at some SA-adjacent pair with differing
-    # sources (any farther pair's LCP is a min over the adjacent ones).
-    src = sa < b1.size
-    cross = src[1:] != src[:-1]
-    return int(lcp[1:][cross].max(initial=0))
+    order, levels = suffix_array_with_levels(s)
+    # the max cross-text LCP is attained at some SA-adjacent pair with
+    # differing sources; binary-lifting over the doubling ranks computes
+    # those pair LCPs vectorized (exactly Kasai's lcp[cross] values --
+    # fuzz-pinned by test_hashing.py::test_lifting_lcp_equals_kasai)
+    return _max_cross_lcp(order, levels, s.size, b1.size)

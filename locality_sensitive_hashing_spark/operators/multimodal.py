@@ -315,7 +315,24 @@ def spectral_weights(
     cos/sin ever runs inside the checked path and every downstream
     value is exact int64 — the frequency-domain analogue of
     :func:`audio_temporal_stats`' zero-rounding contract.
+
+    Memoized (round 6): the 2*K*n pure-Python round(cos/sin) loop cost
+    ~500 us per call and the gain-fingerprint kernel called it once PER
+    CLIP (47 s single-core over the bench corpus' 95k distinct
+    payloads -- guide section 4.5's init-once rule).  The cached
+    matrices are returned read-only so a sharing caller cannot corrupt
+    the table; values are identical.
     """
+    return _spectral_weights_cached(tuple(bins), n, scale)
+
+
+from functools import lru_cache  # noqa: E402  (helper for the memo above)
+
+
+@lru_cache(maxsize=None)
+def _spectral_weights_cached(
+    bins: tuple, n: int, scale: int
+) -> tuple[np.ndarray, np.ndarray]:
     import math
 
     wc = np.array(
@@ -328,6 +345,8 @@ def spectral_weights(
          for k in bins],
         dtype=np.int64,
     )
+    wc.setflags(write=False)
+    ws.setflags(write=False)
     return wc, ws
 
 

@@ -179,6 +179,32 @@ def test_lcs_edge_cases():
     assert H.longest_common_substring_len("xyz", "abc") == 0
 
 
+def test_lifting_lcp_equals_kasai():
+    """The vectorized binary-lifting cross-LCP (round 6) reproduces the
+    Kasai-based computation exactly on adversarially repetitive texts
+    (the containment fast path is bypassed by construction)."""
+    rng = np.random.default_rng(11)
+    checked = 0
+    for _ in range(400):
+        n1, n2 = int(rng.integers(1, 60)), int(rng.integers(1, 60))
+        alphabet = list("ab") if checked % 2 else list("abc")
+        t1 = "".join(rng.choice(alphabet, n1))
+        t2 = "".join(rng.choice(alphabet, n2))
+        if t1 in t2 or t2 in t1:
+            continue
+        b1 = np.frombuffer(t1.encode(), dtype=np.uint8).astype(np.int64) + 2
+        b2 = np.frombuffer(t2.encode(), dtype=np.uint8).astype(np.int64) + 2
+        s = np.concatenate([b1, np.array([1], dtype=np.int64), b2])
+        sa = H.suffix_array(s)
+        lcp = H.lcp_array(s, sa)
+        src = sa < b1.size
+        cross = src[1:] != src[:-1]
+        kasai = int(lcp[1:][cross].max(initial=0))
+        assert H.longest_common_substring_len(t1, t2) == kasai
+        checked += 1
+    assert checked > 300
+
+
 def test_audio_roundtrip_and_compare():
     rng = np.random.default_rng(42)
     pcm = A.synth_pcm(rng, 16000, 400)
