@@ -179,6 +179,39 @@ def test_lcs_edge_cases():
     assert H.longest_common_substring_len("xyz", "abc") == 0
 
 
+def test_hash_kgrams_rolling_matches_naive():
+    """The O(n) rolling-hash form of hash_kgrams (round 6) is bit-exact
+    vs the original O(n*k) sliding-window multiply-accumulate, including
+    multi-byte UTF-8 and every k down to 1."""
+    import random
+
+    def naive(text, k):
+        b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+        n = b.size - k + 1
+        if n <= 0:
+            return np.empty(0, dtype=np.uint64)
+        win = np.lib.stride_tricks.sliding_window_view(b, k).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            powers = np.concatenate([
+                np.multiply.accumulate(
+                    np.full(k - 1, H._FNV_PRIME, dtype=np.uint64))[::-1],
+                np.ones(1, dtype=np.uint64),
+            ]) if k > 1 else np.ones(1, dtype=np.uint64)
+            h = (win * powers).sum(axis=1, dtype=np.uint64)
+            h ^= h >> np.uint64(33)
+            h *= H._GOLD
+            h ^= h >> np.uint64(29)
+        return h
+
+    rng = random.Random(1)
+    for _ in range(500):
+        n = rng.randint(0, 80)
+        t = "".join(chr(rng.randint(32, 0x24F)) for _ in range(n))
+        k = rng.randint(1, 40)
+        a, b = H.hash_kgrams(t, k), naive(t, k)
+        assert a.dtype == b.dtype and (a == b).all(), (t, k)
+
+
 def test_lifting_lcp_equals_kasai():
     """The vectorized binary-lifting cross-LCP (round 6) reproduces the
     Kasai-based computation exactly on adversarially repetitive texts
