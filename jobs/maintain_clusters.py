@@ -107,6 +107,25 @@ def _write_state(workdir: str, state: dict) -> None:
     os.rename(tmp, p)  # the commit point
 
 
+def _with_gain_cols(df):
+    """Backfill the combined kernel's gain columns on a PRE-CODES energy
+    frame (null codes / n_active): the gain eligibility floor
+    (audio_fingerprint.eligible_fingerprints -- size(codes) >= MIN_CODES
+    AND n_active bounds) drops null rows, so a legacy batch participates
+    in the energy axis only while new-kernel batches keep the gain axis.
+    Without this, a MIXED-ERA store (committed pre-codes batches + new
+    combined-kernel batches) crashed every gain-side reference to the
+    old frame (ADVICE round 5, medium)."""
+    from pyspark.sql import functions as F
+
+    out = df
+    if "codes" not in out.columns:
+        out = out.withColumn("codes", F.lit(None).cast("array<int>"))
+    if "n_active" not in out.columns:
+        out = out.withColumn("n_active", F.lit(None).cast("int"))
+    return out
+
+
 def _load_store(spark, workdir: str, state: dict):
     """Reconstruct the ClusterStore from committed state WITHOUT folding:
     base, mapping, delta, and the retraction tombstones load as separate
@@ -283,7 +302,16 @@ def _locked_main(args) -> int:
                 if retracted is not None else df)
 
     def _read(table, ids):
-        return spark.read.parquet(*batch_paths(args.store, table, ids))
+        r = spark.read
+        if table == "energy":
+            # a store whose committed batches span the pre-codes and
+            # combined-kernel eras has per-batch schemas that differ in
+            # the gain columns; without mergeSchema the reader picks ONE
+            # file's schema nondeterministically (codes silently present
+            # or absent). Merged, pre-codes rows read as null codes and
+            # fall out at the gain eligibility floor.
+            r = r.option("mergeSchema", "true")
+        return r.parquet(*batch_paths(args.store, table, ids))
 
     # reconstruct the in-memory store from the committed state -- base,
     # mapping, delta, gone as-is (reconstruction must NOT fold: the whole
@@ -373,6 +401,19 @@ def _locked_main(args) -> int:
             old_anch = (_minus_t(_read("anchors", base_ids))
                         if has_sa else None)
             old_en = _minus_a(_read("energy", base_ids)) if has_audio else None
+        if has_audio:
+            # mixed-era store: pending batches written by the combined
+            # kernel while committed batches predate it (or vice versa).
+            # Align both frames on the gain columns -- backfilled null
+            # rows fall out at the gain eligibility floor -- so the
+            # revival unions and every gain-side reference below are
+            # schema-safe, and the gain axis keeps running for the
+            # new-kernel content instead of crashing or being disabled
+            # store-wide (ADVICE round 5, medium).
+            use_gain = "codes" in en.columns or "codes" in old_en.columns
+            if use_gain:
+                en = _with_gain_cols(en)
+                old_en = _with_gain_cols(old_en)
         if has_revival:
             sigs = sigs.unionByName(
                 old_sigs.join(F.broadcast(revived_t), "text_key", "left_semi"))
@@ -408,10 +449,11 @@ def _locked_main(args) -> int:
             pairs, sigs, old_sigs, fps, old_fps, est, cfg, lcs=has_sa)
         if has_audio:
             apairs = _energy_pairs(cfg, en, old_en).localCheckpoint()
-            # gain axis iff the store was written by the combined kernel
-            # (codes column present; pre-codes stores run energy-only)
+            # gain axis iff ANY era of the store carries the combined
+            # kernel's codes (both frames were gain-column-aligned above;
+            # a fully pre-codes store runs energy-only)
             gp = (_gain_pairs(cfg, en, old_en).localCheckpoint()
-                  if "codes" in en.columns else None)
+                  if use_gain else None)
             edges = edges.unionByName(_audio_text_edges(
                 apairs, en, old_en, keyed_all, keyed_new, cfg, gpairs=gp
             )).distinct()

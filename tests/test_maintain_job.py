@@ -853,6 +853,40 @@ def test_maintain_job_gain_axis_crosses_batch_boundary(spark, cfg, tmp_path):
     )
 
 
+def test_maintain_job_mixed_era_store_runs_gain_gracefully(spark, cfg,
+                                                          tmp_path):
+    """MIXED-ERA store (ADVICE round 5, medium): committed batches
+    written by the PRE-CODES kernel, pending batches by the combined
+    kernel -- the natural state right after upgrading.  The job must not
+    crash (the old guard checked only the new frame and every gain-side
+    reference to the codes-less old frame raised AnalysisException), the
+    cross-era gain pair must stay apart (its source has no codes -- the
+    documented graceful degradation), and the maintenance fold must
+    still complete end to end."""
+    import shutil
+
+    store = os.path.join(str(tmp_path), "intake_mixed")
+    wd = os.path.join(str(tmp_path), "clusters_mixed")
+    os.makedirs(wd)
+    clips, src_tr, var_tr = _gain_pair_corpus()
+    ing = BatchIngestor(spark, store, cfg)
+    is_src = clips.clip_id != "gvar0000"
+    ing.process(spark.createDataFrame(clips[is_src]), 0)
+    # age batch 0's energy table to the pre-codes era
+    b0 = os.path.join(store, "energy", "b0")
+    pdf = spark.read.parquet(b0).drop("codes", "n_active").toPandas()
+    shutil.rmtree(b0)
+    spark.createDataFrame(pdf).write.parquet(b0)
+    _run_job(store, wd)  # bootstrap over the pre-codes era: energy-only
+    ing.process(spark.createDataFrame(clips[~is_src]), 1)  # combined era
+    _run_job(store, wd)  # mixed era: must fold without AnalysisException
+    assign = _assign(MJ.read_current(spark, wd))
+    assert assign[_tkey(src_tr)] != assign[_tkey(var_tr)], (
+        "the gain source predates codes -- the cross-era pair must stay "
+        "apart, not crash or silently merge"
+    )
+
+
 def test_audio_text_edges_gain_restriction_broadcasts(spark):
     """Scale contract of the gain branch: the corpus-scale energy store
     (shingles AND codes sides) is restricted to the BROADCAST pair-
