@@ -215,6 +215,85 @@ def hash_tokens(tokens: list[str]) -> np.ndarray:
     return out
 
 
+def hash_tokens_batch(tokens) -> np.ndarray:
+    """Vectorized :func:`hash_tokens`: one FNV-1a step per byte COLUMN.
+
+    Same values bit-for-bit (fuzz-pinned by
+    test_hashing.py::test_hash_tokens_batch_matches_loop): tokens are
+    packed into a padded byte matrix and the per-byte fold
+    ``h = (h ^ c) * FNV_PRIME`` runs once per column over all still-active
+    rows -- max_token_len numpy passes instead of a Python loop per byte.
+    """
+    m = len(tokens)
+    out = np.full(m, _FNV_OFFSET, dtype=np.uint64)
+    if m == 0:
+        return out
+    enc = [t.encode("utf-8") for t in tokens]
+    lens = np.fromiter((len(e) for e in enc), dtype=np.int64, count=m)
+    maxlen = int(lens.max())
+    if maxlen == 0:
+        return out
+    buf = np.frombuffer(b"".join(enc), dtype=np.uint8)
+    mat = np.zeros((m, maxlen), dtype=np.uint8)
+    mask = np.arange(maxlen)[None, :] < lens[:, None]
+    mat[mask] = buf  # row-major True run per row == concatenation order
+    with np.errstate(over="ignore"):
+        for j in range(maxlen):
+            act = mask[:, j]
+            out = np.where(
+                act, (out ^ mat[:, j].astype(np.uint64)) * _FNV_PRIME, out
+            )
+    return out
+
+
+def simhash64_batch(texts) -> np.ndarray:
+    """Vectorized :func:`simhash64` over a batch of RAW texts -> int64 (n,).
+
+    Identical per-row values (fuzz-pinned by
+    test_hashing.py::test_simhash64_batch_matches_scalar): tokens are
+    factorized across the batch so each distinct token is FNV-hashed once
+    (:func:`hash_tokens_batch`), per-(doc, token) counts come from one
+    ``np.unique`` over a fused key, and the per-bit weighted sums reduce
+    via 64 ``np.bincount`` passes -- integer-exact (counts < 2^53 in
+    float64) so the sign test matches the scalar kernel bit-for-bit.
+    """
+    n_docs = len(texts)
+    out = np.zeros(n_docs, dtype=np.int64)
+    if n_docs == 0:
+        return out
+    doc_ids: list[np.ndarray] = []
+    all_toks: list[str] = []
+    for d, t in enumerate(texts):
+        toks = normalize_text(t or "").split()
+        if toks:
+            doc_ids.append(np.full(len(toks), d, dtype=np.int64))
+            all_toks.extend(toks)
+    if not all_toks:
+        return out
+    import pandas as pd
+
+    docs = np.concatenate(doc_ids)
+    codes, uniq = pd.factorize(np.asarray(all_toks, dtype=object))
+    m = len(uniq)
+    th = hash_tokens_batch(list(uniq))
+    # per-(doc, token) multiplicity: one unique over the fused key
+    key = docs * m + codes
+    ukey, counts = np.unique(key, return_counts=True)
+    udoc = (ukey // m).astype(np.int64)
+    ucode = ukey % m
+    thu = th[ucode]
+    total = np.bincount(udoc, weights=counts, minlength=n_docs)
+    fp = np.zeros(n_docs, dtype=np.uint64)
+    cw = counts.astype(np.float64)
+    for i in range(64):
+        bit = ((thu >> np.uint64(i)) & np.uint64(1)).astype(np.float64)
+        s1 = np.bincount(udoc, weights=cw * bit, minlength=n_docs)
+        # sums[d] = 2*s1 - total  > 0  <=>  bit i of fp[d] is 1
+        fp |= np.where(2.0 * s1 > total, np.uint64(1) << np.uint64(i),
+                       np.uint64(0))
+    return fp.view(np.int64)
+
+
 def simhash64(text: str) -> int:
     """64-bit SimHash fingerprint of normalized ``text`` (Charikar 2002).
 

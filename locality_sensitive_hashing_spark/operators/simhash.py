@@ -27,7 +27,10 @@ def simhash_udf():
 
     @F.pandas_udf("long")
     def compute(text: pd.Series) -> pd.Series:
-        return pd.Series([H.simhash64(t or "") for t in text])
+        # batch-vectorized kernel: factorize tokens across the batch, hash
+        # each distinct token once, 64 bincount reductions -- identical
+        # values to the per-text scalar (hashing.simhash64_batch docstring)
+        return pd.Series(H.simhash64_batch(text.tolist()))
 
     return compute
 

@@ -261,3 +261,39 @@ def test_config_id_stability_and_validation():
     assert Config(seed=1).config_id != Config(seed=2).config_id
     with pytest.raises(ValueError):
         Config(num_hashes=100, bands=32, rows_per_band=4)
+
+
+def test_hash_tokens_batch_matches_loop():
+    """The column-vectorized FNV token hasher (round 6) is bit-exact vs
+    the per-byte Python loop, including empty tokens and multi-byte UTF-8."""
+    import random
+
+    rng = random.Random(7)
+    toks = ["", "a", "z" * 100]
+    for _ in range(400):
+        n = rng.randint(0, 30)
+        toks.append("".join(chr(rng.randint(32, 0x24F)) for _ in range(n)))
+    a, b = H.hash_tokens(toks), H.hash_tokens_batch(toks)
+    assert a.dtype == b.dtype == np.uint64 and (a == b).all()
+    assert H.hash_tokens_batch([]).size == 0
+
+
+def test_simhash64_batch_matches_scalar():
+    """The batch SimHash kernel (round 6: factorize + 64 bincount
+    reductions) equals the per-text scalar on every row, including empty,
+    whitespace-only, unicode and high-multiplicity texts."""
+    import random
+
+    rng = random.Random(11)
+    words = ["tok%02d" % i for i in range(40)]
+    texts = ["", "   ", "éàü ÉÀÜ", "a", "x " * 300, "UPPER lower 123 !!!"]
+    for _ in range(300):
+        n = rng.randint(0, 60)
+        texts.append(" ".join(rng.choice(words) for _ in range(n)))
+    for _ in range(100):
+        n = rng.randint(0, 80)
+        texts.append("".join(chr(rng.randint(32, 0x24F)) for _ in range(n)))
+    scalar = np.array([H.simhash64(t) for t in texts], dtype=np.int64)
+    batch = H.simhash64_batch(texts)
+    assert batch.dtype == np.int64 and (scalar == batch).all()
+    assert H.simhash64_batch([]).size == 0
