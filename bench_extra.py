@@ -58,6 +58,20 @@ def load_corpus(spark):
     return spark.read.parquet(path)
 
 
+def read_candidates(io):
+    """Committed candidates table decoded to the detectors-array form
+    (round 6: the stage stores the raw bitmask; same decode as the
+    pipeline's read-back).  Falls through for pre-mask workdirs."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        decode_detector_mask,
+    )
+
+    df = io.read("candidates")
+    if "detectors_mask" in df.columns:
+        df = decode_detector_mask(df, ["minhash", "simhash", "sa"])
+    return df
+
+
 def make_io(spark):
     from locality_sensitive_hashing_spark.sources.tables import TableIO
 
@@ -88,7 +102,7 @@ def cmd_stats():
     spark = get_session()
     io = make_io(spark)
     sigs = io.read("signatures")
-    cands = io.read("candidates")
+    cands = read_candidates(io)
     out = {
         "signatures": sigs.count(),
         "candidates": cands.count(),
@@ -125,7 +139,7 @@ def cmd_text():
     sc = spark.sparkContext
     io = make_io(spark)
     sigs, fps, cands = (io.read("signatures"), io.read("fingerprints"),
-                        io.read("candidates"))
+                        read_candidates(io))
     res = {}
 
     sc.setJobDescription("r06: candidates read only")
@@ -489,7 +503,7 @@ def cmd_ab():
     sc = spark.sparkContext
     io = make_io(spark)
     sigs, fps, cands = (io.read("signatures"), io.read("fingerprints"),
-                        io.read("candidates"))
+                        read_candidates(io))
 
     def run_current():
         tm = text_pair_metrics(cands, sigs, fps).persist()

@@ -70,6 +70,7 @@ from pyspark.sql import functions as F
 from locality_sensitive_hashing_spark.config import Config
 from locality_sensitive_hashing_spark.metrics import partition_lineage
 from locality_sensitive_hashing_spark.operators.candidates import (
+    decode_detector_mask,
     dropped_blocks,
     pairs_from_blocks,
     union_candidates_bitmask,
@@ -359,11 +360,22 @@ class DedupPipeline:
         chains = self._stage("chain_edges", lambda: chain_edges(keyed))
         # one constant detector tag per subtree -> the pair-dedup groupBy
         # aggregates a primitive bitmask instead of a collect_set buffer
-        # (operators/candidates.union_candidates_bitmask; same rows)
+        # (operators/candidates.union_candidates_bitmask; same rows).
+        # Round 6 commit shape: the dedup keys on the packed
+        # unhex(id1)||unhex(id2) binary (text_keys are fixed-width hex --
+        # half the key bytes on the pipeline's largest shuffle) and the
+        # stage table stores the raw int64 mask instead of the decoded
+        # array (array encode off the 10M-row write); the read-back
+        # decodes to the identical detectors array below, so every
+        # downstream consumer and the resume path see the same rows.
         candidates = self._stage(
             "candidates",
-            lambda: union_candidates_bitmask(cand_parts, cand_names),
+            lambda: union_candidates_bitmask(
+                cand_parts, cand_names, hex_ids=True, as_mask=True
+            ),
         )
+        if "detectors_mask" in candidates.columns:
+            candidates = decode_detector_mask(candidates, cand_names)
         # -- text verification (round 6: one-pass forms) ------------------
         # When text_metrics stays a passthrough (the default), the metrics
         # + lazy-LCS + text_ok derivation runs as ONE job instead of the

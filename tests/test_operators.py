@@ -127,6 +127,45 @@ def test_union_candidates_bitmask_equals_legacy(spark):
     assert key(new)[("a", "b")] == ["minhash", "sa", "simhash"]
 
 
+def test_union_bitmask_hex_and_mask_forms_equal_legacy(spark):
+    """Round-6 commit shape: the packed unhex(id1)||unhex(id2) dedup key
+    and the raw-mask output decode back to exactly the legacy rows for
+    fixed-width lowercase-hex ids (the pipeline's text_key form)."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        decode_detector_mask,
+        union_candidates_bitmask,
+    )
+
+    h = lambda s: s * 8  # noqa: E731 -- 8-char lowercase hex ids
+    p1 = spark.createDataFrame(
+        [(h("0a"), h("1b"), "minhash"), (h("0a"), h("1b"), "minhash"),
+         (h("1b"), h("2c"), "minhash")],
+        "id1 string, id2 string, detector string",
+    )
+    p2 = spark.createDataFrame(
+        [(h("0a"), h("1b"), "simhash"), (h("2c"), h("ff"), "simhash")],
+        "id1 string, id2 string, detector string",
+    )
+    p3 = spark.createDataFrame(
+        [(h("0a"), h("1b"), "sa"), (h("1b"), h("2c"), "sa")],
+        "id1 string, id2 string, detector string",
+    )
+    names = ["minhash", "simhash", "sa"]
+    legacy = union_candidates(p1, p2, p3).toPandas()
+    hexed = union_candidates_bitmask(
+        [p1, p2, p3], names, hex_ids=True).toPandas()
+    masked = decode_detector_mask(
+        union_candidates_bitmask([p1, p2, p3], names, hex_ids=True,
+                                 as_mask=True),
+        names,
+    ).toPandas()
+    key = lambda df: {  # noqa: E731
+        (r.id1, r.id2): list(r.detectors) for r in df.itertuples()
+    }
+    assert key(hexed) == key(legacy)
+    assert key(masked) == key(legacy)
+
+
 def test_estimated_jaccard_jvm_matches_numpy(spark):
     s1 = [1, 2, 3, 4]
     s2 = [1, 9, 3, 7]

@@ -13,6 +13,9 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from locality_sensitive_hashing_spark.operators.candidates import (
+    decode_detector_mask,
+)
 from locality_sensitive_hashing_spark.operators.verify import (
     text_pair_metrics,
     text_verified_fused,
@@ -21,6 +24,13 @@ from locality_sensitive_hashing_spark.operators.verify import (
 )
 
 COLS = ["tk1", "tk2", "detectors", "est_jaccard", "hamming", "lcs", "text_ok"]
+CAND_NAMES = ["minhash", "simhash", "sa"]
+
+
+def _read_candidates(io):
+    # round 6: the committed stage stores the raw bitmask; decode exactly
+    # as the pipeline does on read-back
+    return decode_detector_mask(io.read("candidates"), CAND_NAMES)
 
 
 def _frame(df):
@@ -32,7 +42,7 @@ def _frame(df):
 @pytest.fixture(scope="module")
 def three_paths(spark, pipeline_run, cfg):
     io, _, _ = pipeline_run
-    cands = io.read("candidates")
+    cands = _read_candidates(io)
     sigs = io.read("signatures")
     fps = io.read("fingerprints")
     lookup = _frame(text_verified_lookup(
@@ -79,7 +89,7 @@ def test_committed_stage_used_lookup_or_fused(pipeline_run):
 
 def test_lookup_plan_zero_joins_one_python_crossing(spark, pipeline_run, cfg):
     io, _, _ = pipeline_run
-    cands = io.read("candidates")
+    cands = _read_candidates(io)
     plan = text_verified_lookup(
         cands, io.data_path("signatures"), io.data_path("fingerprints"), cfg
     )._jdf.queryExecution().executedPlan().toString()
