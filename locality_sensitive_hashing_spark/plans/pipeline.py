@@ -288,32 +288,6 @@ class DedupPipeline:
 
             def build_minhash():
                 buckets = explode_bands(signatures, id_col="text_key")
-                # bounded-bucket caps: overflow counted, never silent (O25).
-                # Keyed on dropped_buckets' OWN commit status (not the
-                # candidates stage's): a crash between the candidates
-                # commit and this write must re-emit the log on resume,
-                # while a fully-resumed pipeline skips the full signatures
-                # re-scan. The write is ADVISORY logging (like stage
-                # metrics), so it runs on the async metrics pool --
-                # overlapping the candidates job instead of serializing a
-                # full banding pass in front of it; run() drains the
-                # future before returning.
-                if not self.io.committed("dropped_buckets", cfg.config_id):
-                    def emit_dropped():
-                        self.io.write(
-                            dropped_blocks(
-                                buckets, ["band_id", "band_hash"], cfg.bucket_cap
-                            ),
-                            "dropped_buckets",
-                            cfg.config_id,
-                        )
-
-                    if self._metrics_pool is not None:
-                        self._metrics_futures.append(
-                            self._metrics_pool.submit(emit_dropped)
-                        )
-                    else:
-                        emit_dropped()
                 # dedup=False: union_candidates' groupBy dedups with one
                 # shuffle for all detectors (map-side combine collapses
                 # the per-bucket duplicates before they ship)
@@ -413,12 +387,48 @@ class DedupPipeline:
                 lambda: verify_text_pairs(text_metrics, signatures, cfg),
             )
         energy = "energy" in self.detectors
+        fingerprint = "fingerprint" in self.detectors
+        verified = self._stage(
+            "verified",
+            lambda: expand_and_verify(
+                text_verified, classes, chains, clips, cfg,
+                energy=energy, fingerprint=fingerprint,
+            ),
+        )
+        # -- advisory loud-drop logs (O25): over-cap buckets across all
+        # three capped detector axes are counted, never silent.  Keyed on
+        # each log's OWN commit status (not its stage's): a crash between
+        # the stage commit and the log re-emits on resume.  The writes are
+        # ADVISORY (like stage metrics), so they run on the async metrics
+        # pool, SUBMITTED HERE -- after the verified commit, right before
+        # the CC stage -- so the extra banding/blocking scans overlap the
+        # iterative clusters stage's idle cores instead of contending with
+        # the candidates/verified jobs (round 6, guide section 2.6);
+        # run() drains the futures before returning.
+        def submit_advisory(fn):
+            if self._metrics_pool is not None:
+                self._metrics_futures.append(self._metrics_pool.submit(fn))
+            else:
+                fn()
+
+        if "minhash" in self.detectors and not self.io.committed(
+            "dropped_buckets", cfg.config_id
+        ):
+            def emit_dropped():
+                self.io.write(
+                    dropped_blocks(
+                        explode_bands(signatures, id_col="text_key"),
+                        ["band_id", "band_hash"],
+                        cfg.bucket_cap,
+                    ),
+                    "dropped_buckets",
+                    cfg.config_id,
+                )
+
+            submit_advisory(emit_dropped)
         if energy and not self.io.committed(
             "dropped_energy_buckets", cfg.config_id
         ):
-            # same loud-drop contract as the text banding caps (O25):
-            # over-cap energy tuple-buckets are counted, never silent.
-            # Advisory logging -> async pool, drained before run() returns.
             def emit_dropped_energy():
                 from locality_sensitive_hashing_spark.operators.audio_lsh import (
                     explode_energy_bands,
@@ -437,18 +447,10 @@ class DedupPipeline:
                     cfg.config_id,
                 )
 
-            if self._metrics_pool is not None:
-                self._metrics_futures.append(
-                    self._metrics_pool.submit(emit_dropped_energy)
-                )
-            else:
-                emit_dropped_energy()
-        fingerprint = "fingerprint" in self.detectors
+            submit_advisory(emit_dropped_energy)
         if fingerprint and not self.io.committed(
             "dropped_fp_buckets", cfg.config_id
         ):
-            # fifth detector, same loud-drop contract: over-cap pigeonhole
-            # window buckets are counted, never silent (O25).
             def emit_dropped_fp():
                 from locality_sensitive_hashing_spark.operators.audio_fingerprint import (
                     fingerprint_blocks,
@@ -467,19 +469,7 @@ class DedupPipeline:
                     cfg.config_id,
                 )
 
-            if self._metrics_pool is not None:
-                self._metrics_futures.append(
-                    self._metrics_pool.submit(emit_dropped_fp)
-                )
-            else:
-                emit_dropped_fp()
-        verified = self._stage(
-            "verified",
-            lambda: expand_and_verify(
-                text_verified, classes, chains, clips, cfg,
-                energy=energy, fingerprint=fingerprint,
-            ),
-        )
+            submit_advisory(emit_dropped_fp)
         clusters = self._stage(
             "clusters",
             lambda: connected_components(
