@@ -75,9 +75,20 @@ def connected_components(
         .distinct(),
         cfg,
     )
+    # Iterate over the EDGE-INDUCED subgraph only (round 6): a node with
+    # no incident edge keeps its own label at every round by definition,
+    # so propagating over it is pure waste -- at corpus scale the
+    # iteration state shrinks from |V| to |touched V| (usually orders of
+    # magnitude under the dedup rate), and singletons rejoin as a single
+    # narrow anti-join projection below.  Result-identical (min-label per
+    # component; isolated nodes label themselves either way).
+    enodes = sym.select(F.col("src").alias("clip_id")).distinct()
     labels = _checkpointer(
-        nodes.select("clip_id", F.col("clip_id").alias("cluster_id")), cfg
+        enodes.select("clip_id", F.col("clip_id").alias("cluster_id")), cfg
     )
+    singletons = nodes.select(
+        "clip_id", F.col("clip_id").alias("cluster_id")
+    ).join(enodes, "clip_id", "left_anti")
 
     for _ in range(cfg.cc_max_iters):
         # neighbor label messages: dst receives src's current label; the
@@ -131,8 +142,8 @@ def connected_components(
             observed.select("clip_id", "cluster_id"), cfg
         )
         labels = new_labels
-        if not obs.get["changed"]:  # 0 changed, or null (zero-node graph)
-            return labels
+        if not obs.get["changed"]:  # 0 changed, or null (zero-edge graph)
+            return labels.unionByName(singletons)
     raise RuntimeError(
         f"connected components did not converge in {cfg.cc_max_iters} iters"
     )
