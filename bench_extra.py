@@ -477,6 +477,74 @@ def cmd_cand():
     print(json.dumps({k: round(v, 2) for k, v in res.items()}, indent=1))
 
 
+def cmd_plans():
+    """Dump explain('formatted') for the kernel-touched stages to
+    $PLAN_OUT (default plans/r06) with suffix $PLAN_SUFFIX (after).
+
+    Inputs come from the committed profile tables (run `prepare` first),
+    so each dump is the stage's own plan from its real upstream schema.
+    Run from a round-start worktree with PLAN_SUFFIX=before for the
+    before-side of each pair.
+    """
+    import contextlib
+    import io as _io
+
+    from locality_sensitive_hashing_spark.config import DEFAULT_CONFIG as cfg
+    from locality_sensitive_hashing_spark.operators.connected_components import (
+        connected_components,
+    )
+    from locality_sensitive_hashing_spark.operators.minhash import (
+        with_signatures,
+    )
+    from locality_sensitive_hashing_spark.operators.simhash import (
+        with_fingerprint,
+    )
+    from locality_sensitive_hashing_spark.operators.textgroup import (
+        audio_classes,
+        distinct_texts,
+    )
+
+    out_dir = os.environ.get("PLAN_OUT", "plans/r06")
+    suffix = os.environ.get("PLAN_SUFFIX", "after")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_session()
+    clips = load_corpus(spark)
+    io = make_io(spark)
+    keyed = io.read("keyed")
+    texts = distinct_texts(keyed)
+
+    def plan(df) -> str:
+        jvm = df.sparkSession._jvm
+        return str(jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"))
+
+    frames = {
+        "signatures": lambda: with_signatures(
+            texts, cfg, text_col="norm", id_col="text_key",
+            pre_normalized=True),
+        "fingerprints": lambda: with_fingerprint(
+            texts, text_col="norm", id_col="text_key"),
+        "audio_classes": lambda: audio_classes(keyed, clips, cfg),
+        # building CC runs its (observe-gated) iterations; the returned
+        # frame's plan is the final label assembly
+        "clusters": lambda: connected_components(
+            io.read("verified").where("is_dup").select("id1", "id2"),
+            clips.select("clip_id"), cfg),
+    }
+    only = os.environ.get("PLAN_ONLY")
+    for name, build in frames.items():
+        if only and name not in only.split(","):
+            continue
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        buf = _io.StringIO()
+        with contextlib.redirect_stdout(buf):  # silence observe prints
+            text = plan(build())
+        with open(path, "w") as f:
+            f.write(text)
+        print(f"{path}: {len(text.splitlines())} lines")
+    spark.stop()
+
+
 def _neighbor_window():
     import bench_util
 
@@ -649,7 +717,7 @@ def main():
     cmd = sys.argv[1] if len(sys.argv) > 1 else "prepare"
     {"prepare": cmd_prepare, "stats": cmd_stats, "text": cmd_text,
      "cand": cmd_cand, "ab": cmd_ab, "abcand": cmd_abcand,
-     "pipe": cmd_pipe}[cmd]()
+     "pipe": cmd_pipe, "plans": cmd_plans}[cmd]()
 
 
 if __name__ == "__main__":
