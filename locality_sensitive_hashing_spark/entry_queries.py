@@ -4112,6 +4112,14 @@ def q_detector_attribution(spark, sf_dir):
             _ATTR_AUX_DONE.add(key)
 
     tv = io.read("text_verified")
+    if "detectors_mask" in tv.columns:
+        # round-6 mask-schema commit: decode to the identical detectors
+        # array (same rows as the array-schema commit, test-pinned)
+        from locality_sensitive_hashing_spark.operators.candidates import (
+            decode_mask_col,
+        )
+
+        tv = decode_mask_col(tv, ["minhash", "simhash", "sa"])
     one, zero = F.lit(1).cast("long"), F.lit(0).cast("long")
     ex = tv.select(
         F.explode("detectors").alias("detector"),

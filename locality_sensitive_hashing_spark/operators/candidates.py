@@ -188,13 +188,32 @@ def mask_to_detectors(mask, names: list[str]):
     ]))
 
 
+def decode_mask_col(
+    df: DataFrame,
+    names: list[str],
+    mask_col: str = "detectors_mask",
+    out_col: str = "detectors",
+) -> DataFrame:
+    """Replace ``mask_col`` (int64 :func:`detector_bits` mask) with the
+    decoded ``out_col`` detectors array IN PLACE (column order preserved).
+
+    The generic read-back decode for any mask-schema stage commit
+    (candidates since round 6; text_verified too -- its 10M-row commit
+    paid the same array<string> encode the candidates stage shed)."""
+    cols = [
+        mask_to_detectors(F.col(c), names).alias(out_col) if c == mask_col
+        else c
+        for c in df.columns
+    ]
+    return df.select(*cols)
+
+
 def decode_detector_mask(df: DataFrame, names: list[str]) -> DataFrame:
     """(id1, id2, detectors_mask) -> (id1, id2, detectors array<string>):
     read-back decode of a mask-schema candidates commit (see
     :func:`union_candidates_bitmask` ``as_mask``)."""
-    return df.select(
-        "id1", "id2",
-        mask_to_detectors(F.col("detectors_mask"), names).alias("detectors"),
+    return decode_mask_col(
+        df.select("id1", "id2", "detectors_mask"), names
     )
 
 

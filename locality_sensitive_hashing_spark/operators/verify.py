@@ -311,8 +311,41 @@ def _text_ok_expr(cfg: Config):
     )
 
 
+def _sa_flag_and_prov(candidates: DataFrame, names: list[str] | None):
+    """(sa_flag Column, provenance column name) for a candidates frame.
+
+    Mask-schema candidates (round 6 commit form) test the 'sa' bit
+    directly and pass the int64 mask through -- the text_verified commit
+    then stores the mask too, shedding the 10M-row array<string> encode
+    the same way the candidates commit did (measured ~2 s off the stage
+    write); the pipeline decodes on read-back
+    (operators/candidates.decode_mask_col).  Array-schema inputs keep the
+    legacy behavior.
+    """
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        detector_bits,
+    )
+
+    if "detectors_mask" in candidates.columns:
+        if not names:
+            raise ValueError(
+                "mask-schema candidates need the detector name list")
+        bit = detector_bits(names)["sa"] if "sa" in names else 0
+        sa = (
+            F.col("detectors_mask").bitwiseAND(F.lit(bit).cast("long")) != 0
+            if bit
+            else F.lit(False)
+        )
+        return sa, "detectors_mask"
+    return F.array_contains("detectors", "sa"), "detectors"
+
+
 def text_verified_lookup(
-    candidates: DataFrame, sig_dir: str, fp_dir: str, cfg: Config
+    candidates: DataFrame,
+    sig_dir: str,
+    fp_dir: str,
+    cfg: Config,
+    names: list[str] | None = None,
 ) -> DataFrame:
     """One-pass text_verified via the worker-side lookup kernel.
 
@@ -321,14 +354,18 @@ def text_verified_lookup(
     valid when the committed signature/fingerprint tables fit in worker
     memory; the pipeline gates on their on-disk size and falls back to
     :func:`text_verified_fused` (plans/pipeline.py).
+
+    Mask-schema candidates yield a mask-schema output (column order
+    tk1, tk2, detectors_mask, ...) -- see :func:`_sa_flag_and_prov`.
     """
+    sa, prov = _sa_flag_and_prov(candidates, names)
     kernel = pair_metrics_lookup_udf(sig_dir, fp_dir, cfg)
     return (
         candidates
-        .withColumn("_sa", F.array_contains("detectors", "sa"))
+        .withColumn("_sa", sa)
         .withColumn("_m", kernel(F.col("id1"), F.col("id2"), F.col("_sa")))
         .select(F.col("id1").alias("tk1"), F.col("id2").alias("tk2"),
-                "detectors", F.col("_m.est").alias("est_jaccard"),
+                prov, F.col("_m.est").alias("est_jaccard"),
                 F.col("_m.hamming").alias("hamming"),
                 F.col("_m.lcs").alias("lcs"))
         .withColumn("text_ok", _text_ok_expr(cfg))
@@ -398,6 +435,7 @@ def text_verified_fused(
     signatures: DataFrame,
     fingerprints: DataFrame,
     cfg: Config,
+    names: list[str] | None = None,
 ) -> DataFrame:
     """One-pass text_verified, join form (scale fallback).
 
@@ -422,10 +460,11 @@ def text_verified_fused(
                       F.col("sig").alias("sig2"),
                       F.col("norm").alias("norm2"),
                       F.col("fingerprint").alias("fp2"))
+    sa, prov = _sa_flag_and_prov(candidates, names)
     kernel = est_lcs_fused_udf(cfg)
     return (
         candidates
-        .withColumn("_sa", F.array_contains("detectors", "sa"))
+        .withColumn("_sa", sa)
         .join(g1, "id1")
         # gate norm1 BEFORE the id2 exchange: non-SA pairs ship no norm
         .withColumn("_n1", F.when(F.col("_sa"), F.col("norm1")))
@@ -441,7 +480,7 @@ def text_verified_fused(
                                   F.col("_n1"), F.col("_n2"),
                                   F.col("_saflag")))
         .select(F.col("id1").alias("tk1"), F.col("id2").alias("tk2"),
-                "detectors", F.col("_el.est").alias("est_jaccard"),
+                prov, F.col("_el.est").alias("est_jaccard"),
                 "hamming", F.col("_el.lcs").alias("lcs"))
         .withColumn("text_ok", _text_ok_expr(cfg))
     )
@@ -725,6 +764,17 @@ def expand_and_verify(
         )
         .drop("_ok1", "_ok2", "_n1", "_n2", "_g1", "_g2")
     )
+    # The survivors and rejected branches below consume ``screened`` with
+    # complementary filters; without a materialization point the whole
+    # screen subtree (text_verified scan + four broadcast joins + the
+    # interpreted digest HOF) executes TWICE in the verified job -- and a
+    # forced exchange cannot be reused here because each branch's filter
+    # pushes below the repartition, de-canonicalizing the two subtrees
+    # (measured: repartition("id1","id2") saved nothing).  localCheckpoint
+    # runs the screen once and both branches read the bounded pair frame
+    # (no payload columns; MEMORY_AND_DISK, spills rather than OOMs) --
+    # measured -13% on the stage with the checkpoint job included.
+    screened = screened.localCheckpoint()
     survivors = _audio_verdict(screened.where("_maybe_dup"), clips).withColumn(
         "is_dup", F.col("allclose") & (F.col("snr_db") >= snr_thresh)
     )

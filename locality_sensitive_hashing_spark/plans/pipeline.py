@@ -71,6 +71,7 @@ from locality_sensitive_hashing_spark.config import Config
 from locality_sensitive_hashing_spark.metrics import partition_lineage
 from locality_sensitive_hashing_spark.operators.candidates import (
     decode_detector_mask,
+    decode_mask_col,
     dropped_blocks,
     pairs_from_blocks,
     union_candidates_bitmask,
@@ -342,14 +343,21 @@ class DedupPipeline:
         # array (array encode off the 10M-row write); the read-back
         # decodes to the identical detectors array below, so every
         # downstream consumer and the resume path see the same rows.
-        candidates = self._stage(
+        cand_raw = self._stage(
             "candidates",
             lambda: union_candidates_bitmask(
                 cand_parts, cand_names, hex_ids=True, as_mask=True
             ),
         )
-        if "detectors_mask" in candidates.columns:
-            candidates = decode_detector_mask(candidates, cand_names)
+        # mask-schema commits stay mask-form through the one-pass text
+        # verify (its commit then stores the mask too -- round 6: the
+        # array<string> encode cost ~2 s of the 10M-row stage write);
+        # the decoded array form feeds the debug/two-stage path only.
+        has_mask = "detectors_mask" in cand_raw.columns
+        candidates = (
+            decode_detector_mask(cand_raw, cand_names) if has_mask
+            else cand_raw
+        )
         # -- text verification (round 6: one-pass forms) ------------------
         # When text_metrics stays a passthrough (the default), the metrics
         # + lazy-LCS + text_ok derivation runs as ONE job instead of the
@@ -369,16 +377,19 @@ class DedupPipeline:
             lambda: text_pair_metrics(candidates, signatures, fingerprints),
         )
         if "text_metrics" not in self.materialize:
+            cand_in = cand_raw if has_mask else candidates
             lookup_dirs = self._text_lookup_dirs()
             if lookup_dirs is not None:
                 builder = lambda: text_verified_lookup(  # noqa: E731
-                    candidates, *lookup_dirs, cfg
+                    cand_in, *lookup_dirs, cfg, names=cand_names
                 )
             else:
                 builder = lambda: text_verified_fused(  # noqa: E731
-                    candidates, signatures, fingerprints, cfg
+                    cand_in, signatures, fingerprints, cfg, names=cand_names
                 )
             text_verified = self._stage("text_verified", builder)
+            if "detectors_mask" in text_verified.columns:
+                text_verified = decode_mask_col(text_verified, cand_names)
         else:
             # debug mode (materialize="all"): committed metrics table +
             # the original two-stage derivation over it

@@ -110,3 +110,43 @@ def test_lookup_gate_falls_back_on_size(spark, pipeline_run, cfg,
     assert pipe._text_lookup_dirs() is None
     monkeypatch.delenv("SPARK_LSH_TEXT_LOOKUP_MAX_BYTES")
     assert pipe._text_lookup_dirs() is not None
+
+
+def test_mask_schema_commit_decodes_to_identical_rows(spark, pipeline_run,
+                                                      cfg):
+    """Round 6: mask-form candidates in -> mask-form text_verified out
+    (the commit sheds the 10M-row array<string> encode); decoding the
+    mask yields BIT-IDENTICAL rows to the array path, lookup and fused
+    alike."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        decode_mask_col,
+    )
+
+    io, _, _ = pipeline_run
+    cand_raw = io.read("candidates")
+    if "detectors_mask" not in cand_raw.columns:
+        pytest.skip("pre-mask candidates commit")
+    cands = _read_candidates(io)
+    sigs, fps = io.read("signatures"), io.read("fingerprints")
+    sig_dir = io.data_path("signatures")
+    fp_dir = io.data_path("fingerprints")
+
+    arr = _frame(text_verified_lookup(cands, sig_dir, fp_dir, cfg))
+    masked = text_verified_lookup(
+        cand_raw, sig_dir, fp_dir, cfg, names=CAND_NAMES)
+    assert "detectors_mask" in masked.columns  # the commit-form schema
+    got = _frame(decode_mask_col(masked, CAND_NAMES))
+    assert list(got.columns) == list(arr.columns)
+    for c in ("tk1", "tk2", "detectors", "hamming", "lcs", "text_ok"):
+        assert list(got[c]) == list(arr[c]), f"{c} mismatch (lookup)"
+    assert (got.est_jaccard.to_numpy().view(np.int64)
+            == arr.est_jaccard.to_numpy().view(np.int64)).all()
+
+    arr_f = _frame(text_verified_fused(cands, sigs, fps, cfg))
+    got_f = _frame(decode_mask_col(
+        text_verified_fused(cand_raw, sigs, fps, cfg, names=CAND_NAMES),
+        CAND_NAMES))
+    for c in ("tk1", "tk2", "detectors", "hamming", "lcs", "text_ok"):
+        assert list(got_f[c]) == list(arr_f[c]), f"{c} mismatch (fused)"
+    assert (got_f.est_jaccard.to_numpy().view(np.int64)
+            == arr_f.est_jaccard.to_numpy().view(np.int64)).all()
