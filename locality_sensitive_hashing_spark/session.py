@@ -34,21 +34,16 @@ def get_spark(
         # (the *algorithmic* quadratic blow-up inside one bucket is handled
         # separately by bucket caps + salting, operators/candidates.py).
         .config("spark.sql.adaptive.enabled", "true")
+        # coalescePartitions keeps the DEFAULT parallelismFirst=true: a
+        # size-based policy (parallelismFirst=false, advisory 8m) was
+        # MEASURED round 6 and rejected -- AQE coalesces by shuffle
+        # BYTES, blind to downstream Python CPU, so the small-bytes
+        # distinct-texts exchange collapsed to ~4 partitions and the
+        # signature UDF stage that consumes it went 2.0 -> 9.4 s
+        # isolated; the intended win (single-task label frames in the
+        # iterative CC stage) was only ~0.15 s.  Numbers in
+        # OPTIMIZATION_r06.md "attempted and rejected".
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # Coalesce by SIZE, not to the core count (round 6): the default
-        # parallelismFirst=true pins every tiny shuffle at `nparts`
-        # partitions, so iterative small-frame stages (connected
-        # components' per-round label frames, incremental/maintenance
-        # batch joins) pay `nparts` near-empty tasks of scheduler latency
-        # per shuffle.  With size-based coalescing those collapse to a
-        # handful of >=advisory-size tasks (measured -7..-15% on the CC
-        # stage), while any shuffle carrying real bytes keeps its
-        # partition count -- and at cluster scale the operative knob is
-        # the INITIAL partition count, which AQE only merges downward.
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
-                "false")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes",
-                os.environ.get("SPARK_LSH_ADVISORY_PARTITION_BYTES", "8m"))
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # pair-verification joins pull rep payloads (tens of MB at test
         # scale) onto candidate pairs; let Spark broadcast up to 64 MB
