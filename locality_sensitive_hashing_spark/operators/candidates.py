@@ -222,6 +222,7 @@ def union_candidates_bitmask(
     names: list[str],
     hex_ids: bool = False,
     as_mask: bool = False,
+    packed_ids: bool = False,
 ) -> DataFrame:
     """:func:`union_candidates` for inputs whose detector tag is KNOWN
     per input (the pipeline's case: one constant tag per subtree).
@@ -252,16 +253,35 @@ def union_candidates_bitmask(
     decoded ``detectors`` array -- the pipeline commits this form (array
     encode off the 10M-row stage write; measured 3.0 -> 1.8 s) and
     decodes on read-back via :func:`decode_detector_mask`.
+
+    ``packed_ids`` (round 6, with ``hex_ids``): the inputs' id1/id2 are
+    ALREADY the unhexed fixed-width binaries (the pipeline unhexes once
+    per blocking-table row upstream), so the dedup key is a plain concat
+    -- the per-emission ``unhex`` pair (2 calls x ~54M emission rows at
+    bench scale, measured ~1.2 s) drops to one call per block row.  The
+    binary ids compare by unsigned bytes, which is order-isomorphic to
+    the lowercase-hex string order (fixed width, nibble-ordered), so the
+    id1 < id2 orientation and every cap decision upstream are unchanged;
+    the decode below emits the identical hex ids (test-pinned).
     """
     bit = detector_bits(names)
     if hex_ids:
-        parts = [
-            df.select(
-                F.concat(F.unhex("id1"), F.unhex("id2")).alias("_k"),
-                F.lit(bit[n]).cast("long").alias("_b"),
-            )
-            for df, n in zip(pair_dfs, names)
-        ]
+        if packed_ids:
+            parts = [
+                df.select(
+                    F.concat("id1", "id2").alias("_k"),
+                    F.lit(bit[n]).cast("long").alias("_b"),
+                )
+                for df, n in zip(pair_dfs, names)
+            ]
+        else:
+            parts = [
+                df.select(
+                    F.concat(F.unhex("id1"), F.unhex("id2")).alias("_k"),
+                    F.lit(bit[n]).cast("long").alias("_b"),
+                )
+                for df, n in zip(pair_dfs, names)
+            ]
     else:
         parts = [
             df.select("id1", "id2", F.lit(bit[n]).cast("long").alias("_b"))

@@ -287,8 +287,32 @@ class DedupPipeline:
             signatures = f_sigs.result()
             fingerprints = f_fps.result()
 
+            # Binary pair ids through the detector subtrees (round 6):
+            # text_key is fixed-width lowercase hex, so unhex ONCE per
+            # blocking-table row here and let every downstream pair
+            # emission, join, broadcast and the union's dedup key carry
+            # the 16-byte binary instead of the 32-char string -- the
+            # per-emission unhex pair (~54M emissions at bench scale)
+            # drops to one call per block row and the subtree broadcast
+            # relations shrink ~40%.  Binary unsigned-byte order ==
+            # lowercase-hex string order (fixed width), so id1 < id2 and
+            # all cap decisions are unchanged; the union decodes the
+            # identical hex ids (test-pinned).  Only when the subtree
+            # stages stay passthrough: a materialize="all" debug run
+            # keeps the legacy string-id stage commits.
+            packed = not ({"cand_minhash", "cand_simhash", "cand_sa"}
+                          & self.materialize)
+            sigs_cand = (
+                signatures.withColumn("text_key", F.unhex("text_key"))
+                if packed else signatures
+            )
+            fps_cand = (
+                fingerprints.withColumn("text_key", F.unhex("text_key"))
+                if packed else fingerprints
+            )
+
             def build_minhash():
-                buckets = explode_bands(signatures, id_col="text_key")
+                buckets = explode_bands(sigs_cand, id_col="text_key")
                 # dedup=False: union_candidates' groupBy dedups with one
                 # shuffle for all detectors (map-side combine collapses
                 # the per-bucket duplicates before they ship)
@@ -313,7 +337,7 @@ class DedupPipeline:
                         self._stage,
                         "cand_simhash",
                         lambda: simhash_candidates(
-                            fingerprints, cfg, id_col="text_key", dedup=False
+                            fps_cand, cfg, id_col="text_key", dedup=False
                         ),
                     )
                 )
@@ -324,7 +348,7 @@ class DedupPipeline:
                         self._stage,
                         "cand_sa",
                         lambda: sa_anchor_pairs(
-                            signatures, cfg, id_col="text_key", dedup=False
+                            sigs_cand, cfg, id_col="text_key", dedup=False
                         ),
                     )
                 )
@@ -346,7 +370,8 @@ class DedupPipeline:
         cand_raw = self._stage(
             "candidates",
             lambda: union_candidates_bitmask(
-                cand_parts, cand_names, hex_ids=True, as_mask=True
+                cand_parts, cand_names, hex_ids=True, as_mask=True,
+                packed_ids=packed,
             ),
         )
         # mask-schema commits stay mask-form through the one-pass text

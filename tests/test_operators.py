@@ -166,6 +166,55 @@ def test_union_bitmask_hex_and_mask_forms_equal_legacy(spark):
     assert key(masked) == key(legacy)
 
 
+def test_union_bitmask_packed_binary_ids_equal_legacy(spark):
+    """Round 6: pre-unhexed BINARY pair ids through the union (the
+    pipeline unhexes once per blocking-table row) decode back to exactly
+    the legacy string-id rows -- including the id1 < id2 orientation,
+    which relies on binary unsigned-byte order matching lowercase-hex
+    string order for fixed-width keys."""
+    from locality_sensitive_hashing_spark.operators.candidates import (
+        decode_detector_mask,
+        union_candidates_bitmask,
+    )
+
+    h = lambda s: s * 8  # noqa: E731 -- fixed-width lowercase hex ids
+    rows1 = [(h("0a"), h("1b"), "minhash"), (h("0a"), h("1b"), "minhash"),
+             (h("1b"), h("2c"), "minhash"), (h("7f"), h("80"), "minhash")]
+    rows2 = [(h("0a"), h("1b"), "simhash"), (h("2c"), h("ff"), "simhash")]
+    rows3 = [(h("0a"), h("1b"), "sa"), (h("1b"), h("2c"), "sa")]
+    mk = lambda rows: spark.createDataFrame(  # noqa: E731
+        rows, "id1 string, id2 string, detector string")
+    mkbin = lambda rows: mk(rows).select(  # noqa: E731
+        F.unhex("id1").alias("id1"), F.unhex("id2").alias("id2"), "detector")
+    names = ["minhash", "simhash", "sa"]
+    legacy = union_candidates(mk(rows1), mk(rows2), mk(rows3)).toPandas()
+    packed = decode_detector_mask(
+        union_candidates_bitmask(
+            [mkbin(rows1), mkbin(rows2), mkbin(rows3)], names,
+            hex_ids=True, as_mask=True, packed_ids=True),
+        names,
+    ).toPandas()
+    key = lambda df: {  # noqa: E731
+        (r.id1, r.id2): list(r.detectors) for r in df.itertuples()
+    }
+    assert key(packed) == key(legacy)
+
+
+def test_binary_id_order_matches_hex_string_order(spark):
+    """The packed-id path's id1 < id2 runs on BinaryType: Spark's
+    unsigned-byte comparison must order exactly like the lowercase-hex
+    string comparison for fixed-width keys (incl. bytes >= 0x80, where a
+    SIGNED byte comparison would flip)."""
+    vals = ["00", "7f", "80", "ff", "0a", "9c"]
+    rows = [(a * 8, b * 8) for a in vals for b in vals]
+    df = spark.createDataFrame(rows, "a string, b string")
+    got = df.select(
+        (F.col("a") < F.col("b")).alias("s"),
+        (F.unhex("a") < F.unhex("b")).alias("x"),
+    ).toPandas()
+    assert (got.s == got.x).all()
+
+
 def test_estimated_jaccard_jvm_matches_numpy(spark):
     s1 = [1, 2, 3, 4]
     s2 = [1, 9, 3, 7]
